@@ -1,0 +1,3 @@
+"""Meshes as precomputed connectivity arrays (TPU-native grid replacement)."""
+
+from hpdg_tpu.mesh.structured import Mesh, structured, refine, lshape  # noqa: F401

@@ -1,0 +1,207 @@
+"""Axis-aligned cube meshes as plain connectivity arrays.
+
+This replaces the DUNE grid/GridView/intersection machinery the reference
+builds on (YaspGrid in all its tests, e.g. test/test_solversetup.cc:25-26):
+instead of element iterators and intersection visitors, a mesh is a set of
+static numpy arrays — per-element geometry plus precomputed face lists —
+built once on the host.  Device kernels consume fixed-shape batches
+derived from these arrays; no grid traversal ever reaches XLA.
+
+Geometry is axis-aligned (each element is a box ``[lower, lower+extent]``),
+matching the reference's test substrate.  Jacobians are diagonal; all
+geometry factors reduce to per-element ``extent`` vectors.
+
+Interior faces are stored with the convention: the *inside* element is on
+the low side of the face, so the unit normal (pointing inside→outside, as
+in DUNE's ``centerUnitOuterNormal``) is always +e_axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class Faces:
+    """Interior conforming faces. Normal = +e_axis, inside on the low side."""
+
+    inside: np.ndarray  # (nf,) int32 element index
+    outside: np.ndarray  # (nf,) int32
+    axis: np.ndarray  # (nf,) int32 normal axis
+
+    def __len__(self):
+        return len(self.inside)
+
+
+@dataclass(frozen=True)
+class BoundaryFaces:
+    elem: np.ndarray  # (nbf,) int32
+    axis: np.ndarray  # (nbf,) int32
+    side: np.ndarray  # (nbf,) int32: 0 = low face, 1 = high face
+
+    def __len__(self):
+        return len(self.elem)
+
+
+@dataclass(frozen=True)
+class Mesh:
+    dim: int
+    lower: np.ndarray  # (n, dim) float64 element lower corners
+    extent: np.ndarray  # (n, dim) float64 element extents per axis
+    faces: Faces
+    bfaces: BoundaryFaces
+    # refinement hierarchy links (None for a base mesh)
+    parent: np.ndarray | None = None  # (n,) int32 index into the parent mesh
+    child_pos: np.ndarray | None = None  # (n,) int32 in [0, 2^dim)
+
+    @property
+    def n_elements(self) -> int:
+        return self.lower.shape[0]
+
+    @property
+    def volumes(self) -> np.ndarray:
+        return np.prod(self.extent, axis=1)
+
+    def face_measure(self) -> np.ndarray:
+        """Measure of each interior face (length in 2D, area in 3D)."""
+        ext = self.extent[self.faces.inside]
+        mask = np.ones_like(ext, dtype=bool)
+        mask[np.arange(len(self.faces)), self.faces.axis] = False
+        return np.where(mask, ext, 1.0).prod(axis=1)
+
+    def bface_measure(self) -> np.ndarray:
+        ext = self.extent[self.bfaces.elem]
+        mask = np.ones_like(ext, dtype=bool)
+        mask[np.arange(len(self.bfaces)), self.bfaces.axis] = False
+        return np.where(mask, ext, 1.0).prod(axis=1)
+
+    def centers(self) -> np.ndarray:
+        return self.lower + 0.5 * self.extent
+
+
+def _build_faces(lower: np.ndarray, extent: np.ndarray) -> tuple[Faces, BoundaryFaces]:
+    """Match conforming faces by quantized geometric keys (vectorized)."""
+    n, dim = lower.shape
+    tol = extent.min() * 1e-6
+    scale = 1.0 / tol
+
+    ins, outs, axs = [], [], []
+    be, ba, bs = [], [], []
+    for axis in range(dim):
+        tang = [a for a in range(dim) if a != axis]
+        # key per (elem, side): (plane coordinate, tangential lower, tangential extent)
+        plane_low = lower[:, axis]
+        plane_high = lower[:, axis] + extent[:, axis]
+        parts = [plane_low, plane_high]
+        keys = np.zeros((2 * n, 1 + 2 * len(tang)), dtype=np.int64)
+        keys[:n, 0] = np.rint(plane_high * scale)  # high face of elem (elem is LOW side)
+        keys[n:, 0] = np.rint(plane_low * scale)  # low face of elem (elem is HIGH side)
+        for k, a in enumerate(tang):
+            col = np.rint(lower[:, a] * scale)
+            ecol = np.rint(extent[:, a] * scale)
+            keys[:n, 1 + 2 * k] = col
+            keys[n:, 1 + 2 * k] = col
+            keys[:n, 2 + 2 * k] = ecol
+            keys[n:, 2 + 2 * k] = ecol
+        uniq, inv, counts = np.unique(keys, axis=0, return_inverse=True,
+                                      return_counts=True)
+        order = np.argsort(inv, kind="stable")
+        # walk groups: count==2 -> interior (one from each half), count==1 -> boundary
+        cc = counts[inv[order]]
+        grp_starts = np.concatenate([[0], np.cumsum(counts)])
+        two = counts == 2
+        # for interior groups the two members are (elem_low from first half, elem_high from second half)
+        starts2 = grp_starts[:-1][two]
+        m0 = order[starts2]
+        m1 = order[starts2 + 1]
+        # ensure m_low from first half (high face of low element)
+        lo = np.where(m0 < n, m0, m1)
+        hi = np.where(m0 < n, m1, m0)
+        if len(lo):
+            assert (lo < n).all() and (hi >= n).all(), "non-conforming mesh?"
+        ins.append(lo.astype(np.int32))
+        outs.append((hi - n).astype(np.int32))
+        axs.append(np.full(len(lo), axis, dtype=np.int32))
+        one = counts == 1
+        starts1 = grp_starts[:-1][one]
+        mb = order[starts1]
+        be.append((mb % n).astype(np.int32))
+        ba.append(np.full(len(mb), axis, dtype=np.int32))
+        bs.append((mb < n).astype(np.int32))  # first half = high face
+
+    faces = Faces(np.concatenate(ins), np.concatenate(outs), np.concatenate(axs))
+    bfaces = BoundaryFaces(np.concatenate(be), np.concatenate(ba), np.concatenate(bs))
+    return faces, bfaces
+
+
+def from_boxes(lower: np.ndarray, extent: np.ndarray, parent=None,
+               child_pos=None) -> Mesh:
+    lower = np.asarray(lower, dtype=np.float64)
+    extent = np.asarray(extent, dtype=np.float64)
+    faces, bfaces = _build_faces(lower, extent)
+    return Mesh(dim=lower.shape[1], lower=lower, extent=extent, faces=faces,
+                bfaces=bfaces, parent=parent, child_pos=child_pos)
+
+
+def structured(cells, lower=None, upper=None, mask=None) -> Mesh:
+    """Structured box mesh with ``cells`` elements per axis.
+
+    ``mask`` (bool array of shape ``cells``) keeps only selected cells —
+    used e.g. for the L-shape domain.  Element order is C order over the
+    lattice (last axis fastest), masked cells skipped.
+    """
+    cells = tuple(int(c) for c in cells)
+    dim = len(cells)
+    lo = np.zeros(dim) if lower is None else np.asarray(lower, dtype=np.float64)
+    hi = np.ones(dim) if upper is None else np.asarray(upper, dtype=np.float64)
+    h = (hi - lo) / np.asarray(cells)
+    idx = np.stack(np.meshgrid(*[np.arange(c) for c in cells], indexing="ij"),
+                   axis=-1).reshape(-1, dim)
+    if mask is not None:
+        keep = np.asarray(mask, dtype=bool).reshape(-1)
+        idx = idx[keep]
+    lowers = lo[None, :] + idx * h[None, :]
+    extents = np.broadcast_to(h, lowers.shape).copy()
+    return from_boxes(lowers, extents)
+
+
+def lshape(n: int) -> Mesh:
+    """L-shaped domain [-1,1]^2 minus the open quadrant (0,1)x(-1,0),
+    with 2n x 2n base cells (the classic re-entrant corner benchmark)."""
+    mask = np.ones((2 * n, 2 * n), dtype=bool)
+    xs = (np.arange(2 * n) + 0.5) / n - 1.0  # cell center x in (-1, 1)
+    ys = (np.arange(2 * n) + 0.5) / n - 1.0
+    cx, cy = np.meshgrid(xs, ys, indexing="ij")
+    mask[(cx > 0) & (cy < 0)] = False
+    return structured((2 * n, 2 * n), lower=(-1.0, -1.0), upper=(1.0, 1.0),
+                      mask=mask)
+
+
+def refine(mesh: Mesh, marks: np.ndarray | None = None) -> Mesh:
+    """Uniform (marks=None) refinement: each element splits into 2^dim
+    children, ordered parent-major with the child position in C order
+    (last axis fastest).  Local (marked) refinement with hanging nodes is
+    provided by :mod:`hpdg_tpu.mesh.adaptive`.
+    """
+    if marks is not None:
+        raise NotImplementedError("local refinement lives in mesh.adaptive")
+    n, dim = mesh.lower.shape
+    nc = 2**dim
+    bits = ((np.arange(nc)[:, None] >> np.arange(dim - 1, -1, -1)[None, :]) & 1)
+    child_extent = np.repeat(mesh.extent, nc, axis=0) * 0.5
+    offset = bits[None, :, :] * (mesh.extent[:, None, :] * 0.5)
+    child_lower = (mesh.lower[:, None, :] + offset).reshape(-1, dim)
+    parent = np.repeat(np.arange(n, dtype=np.int32), nc)
+    child_pos = np.tile(np.arange(nc, dtype=np.int32), n)
+    return from_boxes(child_lower, child_extent, parent=parent,
+                      child_pos=child_pos)
+
+
+def hierarchy(base: Mesh, levels: int) -> list[Mesh]:
+    """Uniformly refined mesh hierarchy [coarsest, ..., finest]."""
+    meshes = [base]
+    for _ in range(levels):
+        meshes.append(refine(meshes[-1]))
+    return meshes

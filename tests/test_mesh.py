@@ -1,0 +1,72 @@
+import numpy as np
+
+from hpdg_tpu import mesh as hmesh
+from hpdg_tpu.basis.dgbasis import DGBasis
+
+
+def test_structured_2d_faces():
+    m = hmesh.structured((3, 2))
+    assert m.n_elements == 6
+    # interior faces: axis0: 2*2=4, axis1: 3*1=3
+    assert len(m.faces) == 7
+    assert len(m.bfaces) == 2 * 2 + 2 * 3
+    assert np.isclose(m.volumes.sum(), 1.0)
+    # normals: inside element must be on the low side along the axis
+    for f in range(len(m.faces)):
+        a = m.faces.axis[f]
+        assert (m.lower[m.faces.inside[f], a] < m.lower[m.faces.outside[f], a])
+
+
+def test_structured_3d_faces():
+    m = hmesh.structured((2, 2, 2))
+    assert m.n_elements == 8
+    assert len(m.faces) == 3 * 4
+    assert len(m.bfaces) == 6 * 4
+    fm = m.face_measure()
+    assert np.allclose(fm, 0.25)
+
+
+def test_lshape():
+    m = hmesh.lshape(2)
+    assert m.n_elements == 12  # 16 cells minus 4
+    # total area = 3
+    assert np.isclose(m.volumes.sum(), 3.0)
+
+
+def test_refine():
+    m = hmesh.structured((2, 2))
+    f = hmesh.refine(m)
+    assert f.n_elements == 16
+    assert np.isclose(f.volumes.sum(), 1.0)
+    assert f.parent is not None
+    # children tile the parent
+    for e in range(f.n_elements):
+        p = f.parent[e]
+        assert np.all(f.lower[e] >= m.lower[p] - 1e-14)
+        assert np.all(f.lower[e] + f.extent[e] <= m.lower[p] + m.extent[p] + 1e-14)
+    # child_pos: bit per axis, last axis fastest
+    e0 = np.where((f.parent == 0) & (f.child_pos == 1))[0][0]
+    assert np.allclose(f.lower[e0], [0.0, 0.25])
+
+
+def test_dgbasis_buckets():
+    m = hmesh.structured((4, 4))
+    degrees = np.full(16, 2)
+    degrees[[3, 7, 9]] = 4
+    b = DGBasis(m, degrees)
+    assert b.bucket_degrees == (2, 4)
+    assert b.bucket_size(2) == 13 and b.bucket_size(4) == 3
+    assert b.ndof == 13 * 9 + 3 * 25
+    # offsets are contiguous in element order
+    assert b.offsets[0] == 0
+    assert b.offsets[1] == 9
+    assert b.offsets[4] == 9 * 3 + 25  # elem 3 has degree 4
+
+
+def test_node_positions():
+    m = hmesh.structured((2, 1))
+    b = DGBasis(m, np.array([1, 1]))
+    pos = b.node_positions(1)
+    assert pos.shape == (2, 4, 2)
+    # element 0 corners; C-order multiindex, last dim fastest
+    assert np.allclose(pos[0], [[0, 0], [0, 1], [0.5, 0], [0.5, 1]])
