@@ -1,0 +1,137 @@
+"""Host-side assembly planning: sparsity pattern + face/boundary groups.
+
+The TPU-native replacement of the dune-fufem global assembler loops
+(``assembleSkeletonPattern`` / ``assembleSkeletonEntries``,
+buildingblocks/matrices.hh:42-86): instead of visiting intersections one
+by one, all faces are grouped by (degree_in, degree_out, axis) so every
+group is one fixed-shape batch, and every contribution is assigned a
+static *slot* into the per-(p_row, p_col) block-value arrays up front.
+
+Pattern layout invariant: in bucket (p, p) the first n_p slots are the
+diagonal blocks in bucket order (slot of block (r, r) == r); face-driven
+off-diagonal blocks follow in group order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.linalg.blockmatrix import BlockPattern
+
+
+@dataclass(frozen=True)
+class FaceGroup:
+    p_in: int
+    p_out: int
+    axis: int
+    face_ids: np.ndarray  # indices into mesh.faces
+    in_pos: np.ndarray  # bucket positions of inside elements
+    out_pos: np.ndarray
+    fmeas: np.ndarray  # face measures
+    inv_h_in: np.ndarray  # 1 / extent[inside, axis]
+    inv_h_out: np.ndarray
+    slot12: np.ndarray  # slots into values[(p_in, p_out)]
+    slot21: np.ndarray  # slots into values[(p_out, p_in)]
+    # M11 slot == in_pos (diagonal), M22 slot == out_pos.
+
+
+@dataclass(frozen=True)
+class BoundaryGroup:
+    p: int
+    axis: int
+    side: int  # 0 = low face (normal -e_axis), 1 = high face (+e_axis)
+    face_ids: np.ndarray
+    pos: np.ndarray  # bucket positions of the boundary elements
+    fmeas: np.ndarray
+    inv_h: np.ndarray
+
+
+@dataclass(frozen=True)
+class AssemblyPlan:
+    basis: DGBasis
+    pattern: BlockPattern
+    face_groups: tuple
+    boundary_groups: tuple
+
+
+def build_plan(basis: DGBasis) -> AssemblyPlan:
+    mesh = basis.mesh
+    deg = basis.degrees
+    faces = mesh.faces
+    nf = len(faces)
+
+    # pattern accumulators: start with the diagonal of every bucket
+    rows = {}
+    cols = {}
+    row_sizes = {p: basis.bucket_size(p) for p in basis.bucket_degrees}
+    for p in basis.bucket_degrees:
+        n = basis.bucket_size(p)
+        rows[(p, p)] = [np.arange(n, dtype=np.int32)]
+        cols[(p, p)] = [np.arange(n, dtype=np.int32)]
+    counters = {k: row_sizes[k[0]] for k in rows}
+
+    fmeas_all = mesh.face_measure()
+    face_groups = []
+    if nf:
+        keys = np.stack(
+            [deg[faces.inside], deg[faces.outside], faces.axis], axis=-1
+        )
+        uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+        for g, (pi, po, ax) in enumerate(uniq):
+            pi, po, ax = int(pi), int(po), int(ax)
+            fids = np.where(inv == g)[0].astype(np.int32)
+            ein = faces.inside[fids]
+            eout = faces.outside[fids]
+            in_pos = basis.elem_bucket_pos[ein]
+            out_pos = basis.elem_bucket_pos[eout]
+
+            def _alloc(key, r, c):
+                if key not in rows:
+                    rows[key], cols[key] = [], []
+                    counters[key] = 0
+                start = counters[key]
+                rows[key].append(r.astype(np.int32))
+                cols[key].append(c.astype(np.int32))
+                counters[key] = start + len(r)
+                return start + np.arange(len(r), dtype=np.int32)
+
+            slot12 = _alloc((pi, po), in_pos, out_pos)
+            slot21 = _alloc((po, pi), out_pos, in_pos)
+            face_groups.append(FaceGroup(
+                p_in=pi, p_out=po, axis=ax, face_ids=fids,
+                in_pos=in_pos, out_pos=out_pos,
+                fmeas=fmeas_all[fids],
+                inv_h_in=1.0 / mesh.extent[ein, ax],
+                inv_h_out=1.0 / mesh.extent[eout, ax],
+                slot12=slot12, slot21=slot21,
+            ))
+
+    bmeas_all = mesh.bface_measure()
+    boundary_groups = []
+    if len(mesh.bfaces):
+        bkeys = np.stack(
+            [deg[mesh.bfaces.elem], mesh.bfaces.axis, mesh.bfaces.side], axis=-1
+        )
+        uniq, inv = np.unique(bkeys, axis=0, return_inverse=True)
+        for g, (p, ax, side) in enumerate(uniq):
+            p, ax, side = int(p), int(ax), int(side)
+            fids = np.where(inv == g)[0].astype(np.int32)
+            elems = mesh.bfaces.elem[fids]
+            boundary_groups.append(BoundaryGroup(
+                p=p, axis=ax, side=side, face_ids=fids,
+                pos=basis.elem_bucket_pos[elems],
+                fmeas=bmeas_all[fids],
+                inv_h=1.0 / mesh.extent[elems, ax],
+            ))
+
+    entries = {
+        k: (np.concatenate(rows[k]), np.concatenate(cols[k])) for k in rows
+    }
+    col_sizes = dict(row_sizes)
+    pattern = BlockPattern(row_sizes, col_sizes, entries)
+    return AssemblyPlan(basis=basis, pattern=pattern,
+                        face_groups=tuple(face_groups),
+                        boundary_groups=tuple(boundary_groups))

@@ -1,0 +1,76 @@
+"""Right-hand-side functionals: L2 load vector and SIPG Dirichlet data.
+
+Analogs of BuildingBlocks::l2Functional and ::dirichletData
+(buildingblocks/rhs.hh:26-104, assemblers/localassemblers/
+ipdgboundaryassembler.hh:131-137 with DGType = -1 i.e. SIPG).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from hpdg_tpu.basis import tensor
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.assemble.plan import AssemblyPlan, build_plan
+from hpdg_tpu.linalg import blockvector as bv
+
+
+def l2_functional(basis: DGBasis, f, quad_order=None, dtype=jnp.float64) -> dict:
+    """b_i = ∫ f phi_i, as a bucketed block vector.
+
+    ``f`` is a vectorized callable on arrays of physical points (..., dim).
+    Default quadrature: Gauss-Legendre exact to order 2p+2.
+    """
+    mesh = basis.mesh
+    dim = mesh.dim
+    out = {}
+    for p in basis.bucket_degrees:
+        order = quad_order if quad_order is not None else 2 * p + 2
+        nq1 = max(1, (order + 2) // 2)
+        vt = tensor.volume_tables(p, dim, nq1, family=basis.family,
+                                  quad_family="legendre")
+        V, w = vt["V"], vt["weights"]
+        elems = basis.bucket_elems[p]
+        ext = mesh.extent[elems]
+        detJ = jnp.asarray(np.prod(ext, axis=1), dtype)
+        x = (mesh.lower[elems][:, None, :]
+             + vt["points"][None, :, :] * ext[:, None, :])
+        fv = jnp.asarray(f(jnp.asarray(x, dtype)), dtype)
+        fw = fv * jnp.asarray(w, dtype)[None, :] * detJ[:, None]
+        out[p] = jnp.einsum("eq,iq->ei", fw, jnp.asarray(V, dtype))
+    return out
+
+
+def dirichlet_rhs(basis: DGBasis, g, penalty: float = 2.0,
+                  dtype=jnp.float64, plan: AssemblyPlan | None = None) -> dict:
+    """SIPG-consistent Dirichlet boundary functional:
+    b_i += ∫_bdry g * (mu * v_i - dn v_i), mu = penalty p^2 / |f|."""
+    plan = plan or build_plan(basis)
+    mesh = basis.mesh
+    dim = mesh.dim
+    out = bv.zeros(basis, dtype=dtype)
+    for bg in plan.boundary_groups:
+        p, ax, side = bg.p, bg.axis, bg.side
+        sign = 1.0 if side == 1 else -1.0
+        ft = tensor.face_tables(p, dim, ax, side, p + 2, family=basis.family)
+        w, V, D = ft["weights"], ft["V"], ft["Dn"]
+        pen = penalty * p**2
+        elems = mesh.bfaces.elem[bg.face_ids]
+        lo = mesh.lower[elems].copy()
+        if side == 1:
+            lo[:, ax] += mesh.extent[elems, ax]
+        tang = [a for a in range(dim) if a != ax]
+        x = np.repeat(lo[:, None, :], len(w), axis=1)
+        for t, a in enumerate(tang):
+            x[:, :, a] += ft["points"][None, :, t] * mesh.extent[elems, a][:, None]
+        gv = jnp.asarray(g(jnp.asarray(x, dtype)), dtype)  # (nf, q)
+        wj = jnp.asarray(w, dtype)
+        # mu * |f| * w = penalty p^2 w  (face measure cancels)
+        contrib = (pen * jnp.einsum("fq,iq->fi", gv * wj[None], jnp.asarray(V, dtype))
+                   - jnp.einsum("fq,iq->fi",
+                                gv * wj[None] * jnp.asarray(
+                                    sign * bg.fmeas * bg.inv_h, dtype)[:, None],
+                                jnp.asarray(D, dtype)))
+        out[p] = out[p].at[jnp.asarray(bg.pos)].add(contrib)
+    return out

@@ -1,0 +1,168 @@
+"""Batched SIPG stiffness assembly (device-side, einsum/MXU friendly).
+
+TPU-native re-design of ``GaussLobattoIPDGAssembler``
+(assemblers/localassemblers/gausslobattoipdgassembler.hh:31-478) and the
+coefficient variant (gausslobattoipdgcoefficientassembler.hh):
+
+* Instead of a per-element/per-edge visitor, each degree bucket of
+  elements (resp. each (p_in, p_out, axis) group of faces) is assembled
+  in one batched einsum over precomputed 1D tensor tables.
+* For constant coefficients everything collapses to per-face *scalar*
+  coefficients times a handful of fixed (bs x bs) matrices — one
+  ``[n_faces, k] @ [k, bs, bs]`` contraction per group.
+* Unlike the reference (2D only, static_assert at
+  gausslobattoipdgassembler.hh:39), this works for any dim >= 1.
+
+Conventions match the reference exactly: Gauss-Lobatto quadrature of
+DUNE order 2*max(p), penalty sigma*max(p_in,p_out)^2/|f|
+(gausslobattoipdgassembler.hh:167), [u] = u_in - u_out, normal points
+inside -> outside, Dirichlet boundary terms with full (not halved)
+consistency weights (gausslobattoipdgassembler.hh:310-315).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from hpdg_tpu.basis import tensor
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.assemble.plan import AssemblyPlan, build_plan
+from hpdg_tpu.linalg.blockmatrix import BlockSparseMatrix, zeros_values
+
+
+def _sym(M):
+    return M + M.T
+
+
+def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
+                     dirichlet: bool = False, diffusion=None,
+                     dtype=jnp.float64, plan: AssemblyPlan | None = None
+                     ) -> BlockSparseMatrix:
+    """Assemble the (optionally variable-coefficient) SIPG stiffness matrix.
+
+    ``diffusion``: optional vectorized scalar coefficient ``K(x)`` taking
+    an array ``(..., dim)`` of physical points.  The analog of
+    BuildingBlocks::laplace (buildingblocks/matrices.hh:29-89).
+    """
+    plan = plan or build_plan(basis)
+    mesh = basis.mesh
+    dim = mesh.dim
+    vals = zeros_values(plan.pattern, dim, dtype=dtype)
+
+    # ---------------- bulk ----------------
+    for p in basis.bucket_degrees:
+        vt = tensor.volume_tables(p, dim, p + 2, family=basis.family)
+        G, w = vt["G"], vt["weights"]
+        elems = basis.bucket_elems[p]
+        ext = mesh.extent[elems]
+        detJ = np.prod(ext, axis=1)
+        invh2 = detJ[:, None] / ext**2  # (n, dim): detJ / h_a^2
+        if diffusion is None:
+            S = np.einsum("q,aiq,ajq->aij", w, G, G)
+            bulk = jnp.einsum("ea,aij->eij", jnp.asarray(invh2, dtype),
+                              jnp.asarray(S, dtype))
+        else:
+            x = (mesh.lower[elems][:, None, :]
+                 + vt["points"][None, :, :] * ext[:, None, :])
+            k = jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
+            kw = k * jnp.asarray(w, dtype)[None, :]
+            bulk = jnp.einsum("eq,ea,aiq,ajq->eij", kw,
+                              jnp.asarray(invh2, dtype),
+                              jnp.asarray(G, dtype), jnp.asarray(G, dtype))
+        n = basis.bucket_size(p)
+        vals[(p, p)] = vals[(p, p)].at[:n].add(bulk)
+
+    # ---------------- interior faces ----------------
+    for fg in plan.face_groups:
+        pi, po, ax = fg.p_in, fg.p_out, fg.axis
+        pmax = max(pi, po)
+        nq1 = pmax + 2
+        fin = tensor.face_tables(pi, dim, ax, 1, nq1, family=basis.family)
+        fout = tensor.face_tables(po, dim, ax, 0, nq1, family=basis.family)
+        w = fin["weights"]
+        Vi, Di = fin["V"], fin["Dn"]
+        Vo, Do = fout["V"], fout["Dn"]
+        pen = penalty * pmax**2
+        c_in = jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_in, dtype)
+        c_out = jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_out, dtype)
+
+        if diffusion is None:
+            AVDi = np.einsum("iq,q,jq->ij", Vi, w, Di)
+            AVDo = np.einsum("iq,q,jq->ij", Vo, w, Do)
+            BVVi = np.einsum("iq,q,jq->ij", Vi, w, Vi)
+            BVVo = np.einsum("iq,q,jq->ij", Vo, w, Vo)
+            X1 = np.einsum("iq,q,jq->ij", Vi, w, Do)
+            X2 = np.einsum("iq,q,jq->ij", Di, w, Vo)
+            X3 = np.einsum("iq,q,jq->ij", Vi, w, Vo)
+            J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+            M11 = c_in[:, None, None] * J(_sym(AVDi)) + pen * J(BVVi)
+            M22 = -c_out[:, None, None] * J(_sym(AVDo)) + pen * J(BVVo)
+            M12 = (c_out[:, None, None] * J(X1)
+                   - c_in[:, None, None] * J(X2) - pen * J(X3))
+            # SIPG is symmetric: M21 = M12^T blockwise
+            M21 = (c_out[:, None, None] * J(X1.T)
+                   - c_in[:, None, None] * J(X2.T) - pen * J(X3.T))
+        else:
+            # physical face quad points (same from both sides, conforming)
+            ein = mesh.faces.inside[fg.face_ids]
+            lo = mesh.lower[ein].copy()
+            lo[:, ax] += mesh.extent[ein, ax]  # face plane
+            tang = [a for a in range(dim) if a != ax]
+            x = np.repeat(lo[:, None, :], len(w), axis=1)
+            for t, a in enumerate(tang):
+                x[:, :, a] += fin["points"][None, :, t] * mesh.extent[ein, a][:, None]
+            k = jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)  # (nf, q)
+            J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+            wj = J(w)
+            kzi = k * wj[None, :] * c_in[:, None]  # -0.5 |f|/h_in K w
+            kzo = k * wj[None, :] * c_out[:, None]
+            M11 = (jnp.einsum("fq,iq,jq->fij", kzi, J(Vi), J(Di))
+                   + jnp.einsum("fq,iq,jq->fij", kzi, J(Di), J(Vi))
+                   + pen * J(np.einsum("iq,q,jq->ij", Vi, w, Vi))[None])
+            M22 = (-jnp.einsum("fq,iq,jq->fij", kzo, J(Vo), J(Do))
+                   - jnp.einsum("fq,iq,jq->fij", kzo, J(Do), J(Vo))
+                   + pen * J(np.einsum("iq,q,jq->ij", Vo, w, Vo))[None])
+            M12 = (jnp.einsum("fq,iq,jq->fij", kzo, J(Vi), J(Do))
+                   - jnp.einsum("fq,iq,jq->fij", kzi, J(Di), J(Vo))
+                   - pen * J(np.einsum("iq,q,jq->ij", Vi, w, Vo))[None])
+            M21 = (jnp.einsum("fq,iq,jq->fij", kzo, J(Do), J(Vi))
+                   - jnp.einsum("fq,iq,jq->fij", kzi, J(Vo), J(Di))
+                   - pen * J(np.einsum("iq,q,jq->ij", Vo, w, Vi))[None])
+
+        vals[(pi, pi)] = vals[(pi, pi)].at[jnp.asarray(fg.in_pos)].add(M11)
+        vals[(po, po)] = vals[(po, po)].at[jnp.asarray(fg.out_pos)].add(M22)
+        vals[(pi, po)] = vals[(pi, po)].at[jnp.asarray(fg.slot12)].add(M12)
+        vals[(po, pi)] = vals[(po, pi)].at[jnp.asarray(fg.slot21)].add(M21)
+
+    # ---------------- Dirichlet boundary ----------------
+    if dirichlet:
+        for bg in plan.boundary_groups:
+            p, ax, side = bg.p, bg.axis, bg.side
+            sign = 1.0 if side == 1 else -1.0
+            ft = tensor.face_tables(p, dim, ax, side, p + 2, family=basis.family)
+            w, V, D = ft["weights"], ft["V"], ft["Dn"]
+            pen = penalty * p**2
+            c = jnp.asarray(-sign * bg.fmeas * bg.inv_h, dtype)
+            if diffusion is None:
+                AVD = np.einsum("iq,q,jq->ij", V, w, D)
+                BVV = np.einsum("iq,q,jq->ij", V, w, V)
+                M = (c[:, None, None] * jnp.asarray(_sym(AVD), dtype)
+                     + pen * jnp.asarray(BVV, dtype))
+            else:
+                elems = mesh.bfaces.elem[bg.face_ids]
+                lo = mesh.lower[elems].copy()
+                if side == 1:
+                    lo[:, ax] += mesh.extent[elems, ax]
+                tang = [a for a in range(dim) if a != ax]
+                x = np.repeat(lo[:, None, :], len(w), axis=1)
+                for t, a in enumerate(tang):
+                    x[:, :, a] += ft["points"][None, :, t] * mesh.extent[elems, a][:, None]
+                k = jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
+                kz = k * jnp.asarray(w, dtype)[None, :] * c[:, None]
+                M = (jnp.einsum("fq,iq,jq->fij", kz, jnp.asarray(V, dtype), jnp.asarray(D, dtype))
+                     + jnp.einsum("fq,iq,jq->fij", kz, jnp.asarray(D, dtype), jnp.asarray(V, dtype))
+                     + pen * jnp.asarray(np.einsum("iq,q,jq->ij", V, w, V), dtype)[None])
+            vals[(p, p)] = vals[(p, p)].at[jnp.asarray(bg.pos)].add(M)
+
+    return BlockSparseMatrix(plan.pattern, dim, vals)

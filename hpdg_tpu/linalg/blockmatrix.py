@@ -28,25 +28,35 @@ class BlockPattern:
     (row r is the r-th element of row-bucket pr, likewise cols).
     """
 
-    def __init__(self, row_sizes: dict, col_sizes: dict, entries: dict):
+    def __init__(self, row_sizes: dict, col_sizes: dict, entries: dict,
+                 diag_first: bool = True):
         self.row_sizes = dict(row_sizes)  # p -> number of block rows in bucket
         self.col_sizes = dict(col_sizes)
+        #: if True, bucket (p, p) stores its diagonal blocks at slots 0..n-1
+        #: in row order (the layout assemble.plan.build_plan produces)
+        self.diag_first = diag_first
         self.entries = {}
-        self._slot_index = {}
+        self._slot_index_cache = {}
         for key, (rows, cols) in entries.items():
             rows = np.asarray(rows, dtype=np.int32)
             cols = np.asarray(cols, dtype=np.int32)
             self.entries[key] = (rows, cols)
-            # lookup: (row, col) -> slot
-            self._slot_index[key] = {
+
+    def _slot_index(self, key):
+        if key not in self._slot_index_cache:
+            rows, cols = self.entries[key]
+            self._slot_index_cache[key] = {
                 (int(r), int(c)): s for s, (r, c) in enumerate(zip(rows, cols))
             }
+        return self._slot_index_cache[key]
 
     def slot(self, pr: int, pc: int, row: int, col: int) -> int:
-        return self._slot_index[(pr, pc)][(row, col)]
+        return self._slot_index((pr, pc))[(row, col)]
 
     def slots(self, pr: int, pc: int, rows, cols) -> np.ndarray:
-        ix = self._slot_index[(pr, pc)]
+        if pr == pc and self.diag_first and np.array_equal(rows, cols):
+            return np.asarray(rows, dtype=np.int32)
+        ix = self._slot_index((pr, pc))
         return np.array([ix[(int(r), int(c))] for r, c in zip(rows, cols)],
                         dtype=np.int32)
 

@@ -1,0 +1,229 @@
+"""Slow, obviously-correct numpy reference assemblers (the test oracle).
+
+This plays the role the generic dune-fufem ``InteriorPenaltyDGAssembler``
+plays in the reference's test suite (test/testobjects.hh:20-158): an
+independent, maximally-simple implementation that the fast batched /
+sum-factorized paths are differential-tested against at ~1e-11
+tolerances (SURVEY.md §4).
+
+Deliberately written with explicit per-element, per-quad-point loops and
+direct basis evaluation — it shares *no* kernel code with the production
+assemblers (which use precomputed tensor tables and batched einsums).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hpdg_tpu import quadrature
+from hpdg_tpu.basis import lagrange
+from hpdg_tpu.basis.dgbasis import DGBasis
+
+
+def _phi(nodes, xref):
+    """All tensor basis values at one reference point: (p+1)^d vector."""
+    d = len(xref)
+    per_axis = [lagrange.lagrange_values(nodes, [xref[a]])[:, 0] for a in range(d)]
+    out = per_axis[0]
+    for a in range(1, d):
+        out = np.multiply.outer(out, per_axis[a]).reshape(-1)
+    return out
+
+
+def _grad_phi(nodes, xref, h):
+    """Physical gradients at one reference point: ((p+1)^d, d)."""
+    d = len(xref)
+    vals = [lagrange.lagrange_values(nodes, [xref[a]])[:, 0] for a in range(d)]
+    ders = [lagrange.lagrange_derivatives(nodes, [xref[a]])[:, 0] for a in range(d)]
+    n = len(nodes) ** d
+    out = np.zeros((n, d))
+    for a in range(d):
+        g = vals[0] if a != 0 else ders[0]
+        for b in range(1, d):
+            g = np.multiply.outer(g, ders[b] if b == a else vals[b]).reshape(-1)
+        out[:, a] = g / h[a]
+    return out
+
+
+def _face_point(tpt, axis, side, dim):
+    """Embed a tangential (dim-1) point into element-local coords."""
+    x = np.zeros(dim)
+    t = 0
+    for a in range(dim):
+        if a == axis:
+            x[a] = float(side)
+        else:
+            x[a] = tpt[t]
+            t += 1
+    return x
+
+
+def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
+                diffusion=None) -> np.ndarray:
+    """Dense SIPG stiffness matrix in the flat element-ordered layout.
+
+    Matches the reference's conventions exactly
+    (gausslobattoipdgassembler.hh): bulk/face Gauss-Lobatto rules of DUNE
+    order 2p (resp. 2 max(p_in, p_out)); penalty sigma*max(p)^2/|f|;
+    [u] = u_in - u_out with the normal pointing inside -> outside.
+    ``diffusion``: optional scalar coefficient K(x) (callable on (dim,)).
+    """
+    mesh = basis.mesh
+    dim = mesh.dim
+    K = diffusion or (lambda x: 1.0)
+    A = np.zeros((basis.ndof, basis.ndof))
+
+    # ---- bulk ----
+    for e in range(mesh.n_elements):
+        p = int(basis.degrees[e])
+        nodes = lagrange.nodes_1d(p, basis.family)
+        qn, qw = quadrature.gauss_lobatto_for_order(2 * p)
+        pts, w = quadrature.tensor_rule(qn, qw, dim)
+        h = mesh.extent[e]
+        detJ = np.prod(h)
+        o = basis.offsets[e]
+        n = basis.block_sizes[e]
+        for q in range(len(w)):
+            G = _grad_phi(nodes, pts[q], h)
+            x = mesh.lower[e] + pts[q] * h
+            A[o:o + n, o:o + n] += w[q] * detJ * K(x) * (G @ G.T)
+
+    # ---- interior faces ----
+    for f in range(len(mesh.faces)):
+        ei, eo = int(mesh.faces.inside[f]), int(mesh.faces.outside[f])
+        ax = int(mesh.faces.axis[f])
+        pi, po = int(basis.degrees[ei]), int(basis.degrees[eo])
+        pmax = max(pi, po)
+        qn, qw = quadrature.gauss_lobatto_for_order(2 * pmax)
+        if dim > 1:
+            tpts, tw = quadrature.tensor_rule(qn, qw, dim - 1)
+        else:
+            tpts, tw = np.zeros((1, 0)), np.ones(1)
+        nodes_i = lagrange.nodes_1d(pi, basis.family)
+        nodes_o = lagrange.nodes_1d(po, basis.family)
+        hi, ho = mesh.extent[ei], mesh.extent[eo]
+        fmeas = np.prod(np.delete(hi, ax))
+        mu = penalty * pmax**2 / fmeas
+        oi, no = basis.offsets[ei], basis.block_sizes[ei]
+        oo, mo = basis.offsets[eo], basis.block_sizes[eo]
+        for q in range(len(tw)):
+            xi = _face_point(tpts[q], ax, 1, dim)
+            xo = _face_point(tpts[q], ax, 0, dim)
+            vi = _phi(nodes_i, xi)
+            vo = _phi(nodes_o, xo)
+            # physical normal derivative, normal = +e_ax
+            dni = _grad_phi(nodes_i, xi, hi)[:, ax]
+            dno = _grad_phi(nodes_o, xo, ho)[:, ax]
+            xphys = mesh.lower[ei] + xi * hi
+            k = K(xphys)
+            z = tw[q] * fmeas
+            M11 = -0.5 * k * (np.outer(vi, dni) + np.outer(dni, vi)) + mu * np.outer(vi, vi)
+            M12 = -0.5 * k * np.outer(vi, dno) + 0.5 * k * np.outer(dni, vo) - mu * np.outer(vi, vo)
+            M21 = +0.5 * k * np.outer(vo, dni) - 0.5 * k * np.outer(dno, vi) - mu * np.outer(vo, vi)
+            M22 = +0.5 * k * (np.outer(vo, dno) + np.outer(dno, vo)) + mu * np.outer(vo, vo)
+            A[oi:oi + no, oi:oi + no] += z * M11
+            A[oi:oi + no, oo:oo + mo] += z * M12
+            A[oo:oo + mo, oi:oi + no] += z * M21
+            A[oo:oo + mo, oo:oo + mo] += z * M22
+
+    # ---- Dirichlet boundary faces ----
+    if dirichlet:
+        for f in range(len(mesh.bfaces)):
+            e = int(mesh.bfaces.elem[f])
+            ax = int(mesh.bfaces.axis[f])
+            side = int(mesh.bfaces.side[f])
+            sign = 1.0 if side == 1 else -1.0
+            p = int(basis.degrees[e])
+            qn, qw = quadrature.gauss_lobatto_for_order(2 * p)
+            if dim > 1:
+                tpts, tw = quadrature.tensor_rule(qn, qw, dim - 1)
+            else:
+                tpts, tw = np.zeros((1, 0)), np.ones(1)
+            nodes = lagrange.nodes_1d(p, basis.family)
+            h = mesh.extent[e]
+            fmeas = np.prod(np.delete(h, ax))
+            mu = penalty * p**2 / fmeas
+            o, n = basis.offsets[e], basis.block_sizes[e]
+            for q in range(len(tw)):
+                x = _face_point(tpts[q], ax, side, dim)
+                v = _phi(nodes, x)
+                dn = sign * _grad_phi(nodes, x, h)[:, ax]
+                xphys = mesh.lower[e] + x * h
+                k = K(xphys)
+                z = tw[q] * fmeas
+                A[o:o + n, o:o + n] += z * (
+                    -k * (np.outer(v, dn) + np.outer(dn, v)) + mu * np.outer(v, v)
+                )
+    return A
+
+
+def mass_matrix(basis: DGBasis, weight=None, quad_order=None) -> np.ndarray:
+    mesh = basis.mesh
+    dim = mesh.dim
+    wfun = weight or (lambda x: 1.0)
+    M = np.zeros((basis.ndof, basis.ndof))
+    for e in range(mesh.n_elements):
+        p = int(basis.degrees[e])
+        nodes = lagrange.nodes_1d(p, basis.family)
+        order = quad_order if quad_order is not None else 2 * p
+        qn, qw = quadrature.gauss_lobatto_for_order(order)
+        pts, w = quadrature.tensor_rule(qn, qw, dim)
+        h = mesh.extent[e]
+        detJ = np.prod(h)
+        o, n = basis.offsets[e], basis.block_sizes[e]
+        for q in range(len(w)):
+            v = _phi(nodes, pts[q])
+            x = mesh.lower[e] + pts[q] * h
+            M[o:o + n, o:o + n] += w[q] * detJ * wfun(x) * np.outer(v, v)
+    return M
+
+
+def l2_functional(basis: DGBasis, g, quad_order=None) -> np.ndarray:
+    mesh = basis.mesh
+    dim = mesh.dim
+    b = np.zeros(basis.ndof)
+    for e in range(mesh.n_elements):
+        p = int(basis.degrees[e])
+        nodes = lagrange.nodes_1d(p, basis.family)
+        order = quad_order if quad_order is not None else 2 * p + 2
+        qn, qw = quadrature.gauss_legendre_for_order(order)
+        pts, w = quadrature.tensor_rule(qn, qw, dim)
+        h = mesh.extent[e]
+        detJ = np.prod(h)
+        o, n = basis.offsets[e], basis.block_sizes[e]
+        for q in range(len(w)):
+            v = _phi(nodes, pts[q])
+            x = mesh.lower[e] + pts[q] * h
+            b[o:o + n] += w[q] * detJ * g(x) * v
+    return b
+
+
+def dirichlet_rhs(basis: DGBasis, g, penalty: float = 2.0) -> np.ndarray:
+    """SIPG-consistent Dirichlet data: b_i = ∫_bdry g (mu v_i - dn v_i)
+    (reference: ipdgboundaryassembler.hh:131-137 with DGType = -1)."""
+    mesh = basis.mesh
+    dim = mesh.dim
+    b = np.zeros(basis.ndof)
+    for f in range(len(mesh.bfaces)):
+        e = int(mesh.bfaces.elem[f])
+        ax = int(mesh.bfaces.axis[f])
+        side = int(mesh.bfaces.side[f])
+        sign = 1.0 if side == 1 else -1.0
+        p = int(basis.degrees[e])
+        qn, qw = quadrature.gauss_lobatto_for_order(2 * p)
+        if dim > 1:
+            tpts, tw = quadrature.tensor_rule(qn, qw, dim - 1)
+        else:
+            tpts, tw = np.zeros((1, 0)), np.ones(1)
+        nodes = lagrange.nodes_1d(p, basis.family)
+        h = mesh.extent[e]
+        fmeas = np.prod(np.delete(h, ax))
+        mu = penalty * p**2 / fmeas
+        o, n = basis.offsets[e], basis.block_sizes[e]
+        for q in range(len(tw)):
+            x = _face_point(tpts[q], ax, side, dim)
+            v = _phi(nodes, x)
+            dn = sign * _grad_phi(nodes, x, h)[:, ax]
+            xphys = mesh.lower[e] + x * h
+            b[o:o + n] += tw[q] * fmeas * g(xphys) * (mu * v - dn)
+    return b

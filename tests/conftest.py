@@ -16,4 +16,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize hook force-selects the TPU tunnel backend via
+# jax.config.update("jax_platforms", "axon,cpu") at interpreter start;
+# override it back — unit tests run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

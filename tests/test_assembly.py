@@ -1,0 +1,154 @@
+"""Differential tests: batched device assembly vs the slow numpy oracle.
+
+Mirrors the reference's test strategy (test/test_ipdg_assembler.cc:90-109:
+fast GL assembler vs generic fufem assembler, ||dA||_F < 1e-11).
+"""
+
+import numpy as np
+import pytest
+
+from hpdg_tpu import mesh as hmesh
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.assemble import (assemble_laplace, assemble_mass,
+                               l2_functional, dirichlet_rhs)
+from hpdg_tpu.assemble.mass import lumped_mass
+from hpdg_tpu.linalg import blockmatrix as bm
+from hpdg_tpu.linalg import blockvector as bv
+from hpdg_tpu.testing import oracle
+
+
+def frob_close(A, B, tol=1e-11):
+    scale = max(1.0, np.linalg.norm(B))
+    return np.linalg.norm(A - B) / scale < tol
+
+
+@pytest.mark.parametrize("p", [1, 2, 3, 4])
+@pytest.mark.parametrize("dirichlet", [False, True])
+def test_sipg_2d_uniform(p, dirichlet):
+    m = hmesh.structured((3, 2), upper=(1.5, 1.0))
+    basis = DGBasis(m, np.full(m.n_elements, p))
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=dirichlet)
+    Ad = bm.to_dense(A, basis)
+    Aref = oracle.sipg_matrix(basis, penalty=2.0, dirichlet=dirichlet)
+    assert frob_close(Ad, Aref)
+    assert np.allclose(Ad, Ad.T, atol=1e-11)
+
+
+def test_sipg_2d_mixed_degrees():
+    m = hmesh.structured((3, 3))
+    degrees = np.array([1, 2, 3, 2, 2, 1, 3, 1, 2])
+    basis = DGBasis(m, degrees)
+    A = assemble_laplace(basis, penalty=1.5, dirichlet=True)
+    Ad = bm.to_dense(A, basis)
+    Aref = oracle.sipg_matrix(basis, penalty=1.5, dirichlet=True)
+    assert frob_close(Ad, Aref)
+
+
+@pytest.mark.parametrize("p", [1, 2, 3])
+def test_sipg_3d(p):
+    m = hmesh.structured((2, 2, 2), upper=(1.0, 2.0, 0.5))
+    basis = DGBasis(m, np.full(m.n_elements, p))
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True)
+    Ad = bm.to_dense(A, basis)
+    Aref = oracle.sipg_matrix(basis, penalty=2.0, dirichlet=True)
+    assert frob_close(Ad, Aref)
+
+
+def test_sipg_3d_mixed():
+    m = hmesh.structured((2, 2, 1))
+    degrees = np.array([1, 2, 2, 3])
+    basis = DGBasis(m, degrees)
+    A = assemble_laplace(basis, penalty=2.0)
+    Ad = bm.to_dense(A, basis)
+    Aref = oracle.sipg_matrix(basis, penalty=2.0)
+    assert frob_close(Ad, Aref)
+
+
+def test_sipg_with_coefficient():
+    m = hmesh.structured((3, 2))
+    basis = DGBasis(m, np.array([2, 1, 3, 2, 2, 1]))
+    import jax.numpy as jnp
+
+    Kfun = lambda x: 1.0 + x[..., 0] + 2.0 * x[..., 1] ** 2
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True, diffusion=Kfun)
+    Ad = bm.to_dense(A, basis)
+    Aref = oracle.sipg_matrix(basis, penalty=2.0, dirichlet=True,
+                              diffusion=lambda x: 1.0 + x[0] + 2.0 * x[1] ** 2)
+    assert frob_close(Ad, Aref)
+
+
+def test_lshape_assembly():
+    m = hmesh.lshape(2)
+    rng = np.random.default_rng(1887)
+    basis = DGBasis(m, rng.integers(1, 4, m.n_elements))
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True)
+    Ad = bm.to_dense(A, basis)
+    Aref = oracle.sipg_matrix(basis, penalty=2.0, dirichlet=True)
+    assert frob_close(Ad, Aref)
+
+
+def test_mass():
+    m = hmesh.structured((3, 2))
+    basis = DGBasis(m, np.array([1, 2, 3, 2, 1, 2]))
+    M = assemble_mass(basis)
+    Md = bm.to_dense(M, basis)
+    Mref = oracle.mass_matrix(basis)
+    assert frob_close(Md, Mref, tol=1e-12)
+
+
+def test_weighted_mass():
+    m = hmesh.structured((2, 2))
+    basis = DGBasis(m, np.full(4, 2))
+    wfun_j = lambda x: 1.0 + x[..., 0] * x[..., 1]
+    M = assemble_mass(basis, weight=wfun_j, quad_order=6)
+    Md = bm.to_dense(M, basis)
+    Mref = oracle.mass_matrix(basis, weight=lambda x: 1.0 + x[0] * x[1],
+                              quad_order=6)
+    assert frob_close(Md, Mref, tol=1e-12)
+
+
+def test_lumped_mass_matches_collocation_diagonal():
+    m = hmesh.structured((2, 2))
+    basis = DGBasis(m, np.full(4, 3))
+    lm = lumped_mass(basis)
+    # row sums of a mass matrix = ∫ phi_i; for GL collocation the lumped
+    # diagonal equals the exact integral of phi_i (quadrature of order 2p-1)
+    ones = {p: np.ones_like(np.asarray(v)) for p, v in lm.items()}
+    total = sum(np.sum(np.asarray(v)) for v in lm.values())
+    assert np.isclose(total, 1.0)  # sums to the domain measure
+
+
+def test_l2_functional():
+    m = hmesh.structured((3, 2))
+    basis = DGBasis(m, np.array([1, 2, 3, 2, 1, 2]))
+    f_j = lambda x: x[..., 0] ** 2 + np.cos(x[..., 1])
+    b = l2_functional(basis, f_j)
+    bf = bv.to_flat(basis, b)
+    bref = oracle.l2_functional(basis, lambda x: x[0] ** 2 + np.cos(x[1]))
+    assert np.allclose(bf, bref, atol=1e-12)
+
+
+def test_dirichlet_rhs():
+    m = hmesh.structured((3, 2))
+    basis = DGBasis(m, np.array([1, 2, 3, 2, 1, 2]))
+    g_j = lambda x: x[..., 0] + x[..., 1] ** 2
+    b = dirichlet_rhs(basis, g_j, penalty=2.0)
+    bf = bv.to_flat(basis, b)
+    bref = oracle.dirichlet_rhs(basis, lambda x: x[0] + x[1] ** 2, penalty=2.0)
+    assert np.allclose(bf, bref, atol=1e-11)
+
+
+def test_matvec_vs_dense():
+    m = hmesh.structured((3, 3))
+    basis = DGBasis(m, np.array([1, 2, 3, 2, 2, 1, 3, 1, 2]))
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True)
+    Ad = bm.to_dense(A, basis)
+    x = bv.random(basis)
+    y = bm.matvec(A, x)
+    yf = bv.to_flat(basis, y)
+    yref = Ad @ bv.to_flat(basis, x)
+    assert np.allclose(yf, yref, atol=1e-11)
+    # transpose matvec
+    yt = bm.matvec_t(A, x)
+    ytf = bv.to_flat(basis, yt)
+    assert np.allclose(ytf, Ad.T @ bv.to_flat(basis, x), atol=1e-11)
