@@ -1,0 +1,4 @@
+"""Solvers: Krylov (CG), hp-multigrid, smoothers, nonsmooth (TNNMG)."""
+
+from hpdg_tpu.solvers.cg import pcg  # noqa: F401
+from hpdg_tpu.solvers import smoothers  # noqa: F401

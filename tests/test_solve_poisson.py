@@ -1,0 +1,113 @@
+"""End-to-end slice: 2D/3D Poisson SIPG solved with PCG + block Jacobi.
+
+This is the BASELINE config-1 problem (2D Poisson SIPG p=2 uniform,
+CG + block-Jacobi) with a manufactured solution, checking the optimal
+L2 convergence rate O(h^{p+1}).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hpdg_tpu import mesh as hmesh
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.assemble import assemble_laplace, l2_functional, dirichlet_rhs
+from hpdg_tpu.linalg import blockmatrix as bm, blockvector as bv
+from hpdg_tpu.solvers import pcg, smoothers
+from hpdg_tpu.estimators import l2_error
+
+
+def u_exact(x):
+    return jnp.sin(jnp.pi * x[..., 0]) * jnp.sin(jnp.pi * x[..., 1])
+
+
+def f_rhs(x):
+    return 2 * jnp.pi**2 * u_exact(x)
+
+
+def solve_poisson(n, p, tol=1e-10):
+    m = hmesh.structured((n, n))
+    basis = DGBasis(m, np.full(m.n_elements, p))
+    A = assemble_laplace(basis, penalty=2.0 * p, dirichlet=True)
+    b = l2_functional(basis, f_rhs)
+    M = smoothers.block_jacobi_preconditioner(A)
+    x, info = pcg(lambda v: bm.matvec(A, v), b, precond=M, tol=tol,
+                  maxiter=2000)
+    return basis, x, info
+
+
+def test_poisson_2d_p2_convergence_rate():
+    errs = []
+    for n in [4, 8]:
+        basis, x, info = solve_poisson(n, 2)
+        errs.append(float(l2_error(basis, x, u_exact)))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 2.7, (errs, rate)  # optimal rate p+1 = 3
+    assert errs[1] < 2e-4
+
+
+def test_poisson_2d_p3_more_accurate():
+    basis, x, info = solve_poisson(4, 3)
+    err = float(l2_error(basis, x, u_exact))
+    assert err < 2e-4
+    assert int(info["iterations"]) < 2000
+
+
+def test_pcg_residual_history_monotone_tail():
+    basis, x, info = solve_poisson(4, 2, tol=1e-12)
+    res = np.asarray(info["residuals"])
+    k = int(info["iterations"])
+    assert res[k] <= 1e-12 * res[0] or res[k] < 1e-12 * np.linalg.norm(
+        bv.to_flat(basis, x))
+    # converged flag: final residual really is small
+    assert res[k] < 1e-9
+
+
+def test_colored_gs_is_convergent_smoother():
+    m = hmesh.structured((2, 2))
+    basis = DGBasis(m, np.full(4, 2))
+    A = assemble_laplace(basis, penalty=4.0, dirichlet=True)
+    b = l2_functional(basis, f_rhs)
+    colors = smoothers.greedy_coloring(m)
+    assert colors.max() + 1 == 2  # structured meshes are bipartite
+    gs = smoothers.colored_block_gs_step(A, basis, colors)
+    x = bv.zeros(basis)
+    r0 = float(bv.norm(b))
+    hist = []
+    for _ in range(60):
+        x = gs(x, b)
+        hist.append(float(bv.norm(bv.sub(b, bm.matvec(A, x)))))
+    assert hist[-1] < 1e-3 * r0  # converges on a tiny problem
+    assert all(b2 <= a2 * (1 + 1e-12) for a2, b2 in zip(hist, hist[1:]))
+
+
+def test_poisson_3d_p2():
+    m = hmesh.structured((3, 3, 3))
+    basis = DGBasis(m, np.full(27, 2))
+    A = assemble_laplace(basis, penalty=6.0, dirichlet=True)
+
+    def u3(x):
+        return (jnp.sin(jnp.pi * x[..., 0]) * jnp.sin(jnp.pi * x[..., 1])
+                * jnp.sin(jnp.pi * x[..., 2]))
+
+    b = l2_functional(basis, lambda x: 3 * jnp.pi**2 * u3(x))
+    M = smoothers.block_jacobi_preconditioner(A)
+    x, info = pcg(lambda v: bm.matvec(A, v), b, precond=M, tol=1e-9,
+                  maxiter=3000)
+    err = float(l2_error(basis, x, u3))
+    assert err < 2e-2
+
+
+def test_inhomogeneous_dirichlet():
+    # u = x + y (harmonic), exact for p>=1: error only from solver tol
+    m = hmesh.structured((4, 4))
+    basis = DGBasis(m, np.full(16, 1))
+    g = lambda x: x[..., 0] + x[..., 1]
+    A = assemble_laplace(basis, penalty=4.0, dirichlet=True)
+    b = dirichlet_rhs(basis, g, penalty=4.0)
+    M = smoothers.block_jacobi_preconditioner(A)
+    x, _ = pcg(lambda v: bm.matvec(A, v), b, precond=M, tol=1e-12,
+               maxiter=2000)
+    err = float(l2_error(basis, x, g))
+    assert err < 1e-8, err
