@@ -1,0 +1,77 @@
+"""Matrix-free diagonal-block extraction for block-Jacobi smoothing.
+
+Rebuild of SumFactDiagonalIPDGOperator / IPDGDiagonalBlock
+(matrix-free/localoperators/sfdiagonalipdg.hh, ipdgdiagonalblock.hh):
+computes only the (e, e) diagonal blocks of the SIPG operator — bulk
+block plus the M11/M22 face contributions — without forming the global
+matrix.  Used as the ``MatrixCreator`` for matrix-free block Jacobi
+(ipdgblockjacobi.hh analog, see solvers.smoothers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from hpdg_tpu.basis import tensor
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.assemble.plan import AssemblyPlan, build_plan
+
+
+def _sym(M):
+    return M + M.T
+
+
+def sipg_diagonal_blocks(basis: DGBasis, penalty: float = 2.0,
+                         dirichlet: bool = False, dtype=jnp.float64,
+                         plan: AssemblyPlan | None = None) -> dict:
+    """p -> [n_p, bs, bs] diagonal blocks of the SIPG operator."""
+    plan = plan or build_plan(basis)
+    mesh = basis.mesh
+    dim = mesh.dim
+    out = {}
+    for p in basis.bucket_degrees:
+        vt = tensor.volume_tables(p, dim, p + 2, family=basis.family)
+        G, w = vt["G"], vt["weights"]
+        ext = mesh.extent[basis.bucket_elems[p]]
+        detJ = np.prod(ext, axis=1)
+        invh2 = detJ[:, None] / ext**2
+        S = np.einsum("q,aiq,ajq->aij", w, G, G)
+        out[p] = jnp.einsum("ea,aij->eij", jnp.asarray(invh2, dtype),
+                            jnp.asarray(S, dtype))
+
+    for fg in plan.face_groups:
+        pmax = max(fg.p_in, fg.p_out)
+        nq1 = pmax + 2
+        fin = tensor.face_tables(fg.p_in, dim, fg.axis, 1, nq1,
+                                 family=basis.family)
+        fout = tensor.face_tables(fg.p_out, dim, fg.axis, 0, nq1,
+                                  family=basis.family)
+        w = fin["weights"]
+        pen = penalty * pmax**2
+        AVDi = np.einsum("iq,q,jq->ij", fin["V"], w, fin["Dn"])
+        BVVi = np.einsum("iq,q,jq->ij", fin["V"], w, fin["V"])
+        AVDo = np.einsum("iq,q,jq->ij", fout["V"], w, fout["Dn"])
+        BVVo = np.einsum("iq,q,jq->ij", fout["V"], w, fout["V"])
+        c_in = jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_in, dtype)
+        c_out = jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_out, dtype)
+        M11 = c_in[:, None, None] * jnp.asarray(_sym(AVDi), dtype) \
+            + pen * jnp.asarray(BVVi, dtype)
+        M22 = -c_out[:, None, None] * jnp.asarray(_sym(AVDo), dtype) \
+            + pen * jnp.asarray(BVVo, dtype)
+        out[fg.p_in] = out[fg.p_in].at[jnp.asarray(fg.in_pos)].add(M11)
+        out[fg.p_out] = out[fg.p_out].at[jnp.asarray(fg.out_pos)].add(M22)
+
+    if dirichlet:
+        for bg in plan.boundary_groups:
+            ft = tensor.face_tables(bg.p, dim, bg.axis, bg.side, bg.p + 2,
+                                    family=basis.family)
+            w = ft["weights"]
+            sign = 1.0 if bg.side == 1 else -1.0
+            AVD = np.einsum("iq,q,jq->ij", ft["V"], w, ft["Dn"])
+            BVV = np.einsum("iq,q,jq->ij", ft["V"], w, ft["V"])
+            c = jnp.asarray(-sign * bg.fmeas * bg.inv_h, dtype)
+            M = c[:, None, None] * jnp.asarray(_sym(AVD), dtype) \
+                + penalty * bg.p**2 * jnp.asarray(BVV, dtype)
+            out[bg.p] = out[bg.p].at[jnp.asarray(bg.pos)].add(M)
+    return out

@@ -1,0 +1,81 @@
+"""DG energy-norm functionals: the per-element error indicator.
+
+Rebuild of IPDGLocalNorm (matrix-free/localoperators/ipdglocalnorm.hh):
+eta_e^2 = (∇x, ∇x)_E + Σ_{faces f ∋ E} sigma max(p)^2 / (2|f|) ∫_f [x]^2
+(each interior face splits its jump energy evenly between its two
+elements; boundary faces contribute fully to their element when
+``dirichlet``).  This drives the hp-adaptive loop
+(buildingblocks/estimating.hh:12-58).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from hpdg_tpu.basis import tensor
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.assemble.plan import AssemblyPlan, build_plan
+from hpdg_tpu.matrixfree.sumfact import _fwd_spec, _chain
+
+
+def ipdg_local_norm(basis: DGBasis, penalty: float = 2.0,
+                    dirichlet: bool = False, dtype=jnp.float64,
+                    plan: AssemblyPlan | None = None):
+    """Returns apply(x) -> (n_elements,) array of eta_e^2 (flat element order)."""
+    plan = plan or build_plan(basis)
+    dim = basis.dim
+    mesh = basis.mesh
+    fwd = _fwd_spec(dim)
+
+    def apply(x):
+        eta = jnp.zeros(mesh.n_elements, dtype=dtype)
+        # bulk: |∇x|^2 per element
+        for p in basis.bucket_degrees:
+            vt = tensor.volume_tables(p, dim, p + 2, family=basis.family)
+            t1 = vt["t1d"]
+            ext = mesh.extent[basis.bucket_elems[p]]
+            detJ = np.prod(ext, axis=1)
+            d1 = p + 1
+            u = x[p].reshape((-1,) + (d1,) * dim)
+            wq = jnp.asarray(
+                vt["weights"].reshape((len(t1.qweights),) * dim), dtype)
+            acc = 0.0
+            for a in range(dim):
+                tabs = [t1.derivatives if b == a else t1.values
+                        for b in range(dim)]
+                du = _chain(u, tabs, fwd, dtype)
+                coef = jnp.asarray(detJ / ext[:, a] ** 2, dtype)
+                acc = acc + coef * jnp.sum(
+                    wq[None] * du**2, axis=tuple(range(1, dim + 1)))
+            eta = eta.at[jnp.asarray(basis.bucket_elems[p])].add(acc)
+        # interior faces: sigma max(p)^2/(2|f|) ∫ [x]^2 to both elements
+        for fg in plan.face_groups:
+            pmax = max(fg.p_in, fg.p_out)
+            fin = tensor.face_tables(fg.p_in, dim, fg.axis, 1, pmax + 2,
+                                     family=basis.family)
+            fout = tensor.face_tables(fg.p_out, dim, fg.axis, 0, pmax + 2,
+                                      family=basis.family)
+            u_in = x[fg.p_in][jnp.asarray(fg.in_pos)]
+            u_out = x[fg.p_out][jnp.asarray(fg.out_pos)]
+            jump = u_in @ jnp.asarray(fin["V"], dtype) - \
+                u_out @ jnp.asarray(fout["V"], dtype)
+            w = jnp.asarray(fin["weights"], dtype)
+            # mu/2 * |f| * w_q = penalty pmax^2 w_q / 2
+            contrib = 0.5 * penalty * pmax**2 * jnp.sum(w[None] * jump**2, axis=1)
+            ein = jnp.asarray(mesh.faces.inside[fg.face_ids])
+            eout = jnp.asarray(mesh.faces.outside[fg.face_ids])
+            eta = eta.at[ein].add(contrib).at[eout].add(contrib)
+        if dirichlet:
+            for bg in plan.boundary_groups:
+                ft = tensor.face_tables(bg.p, dim, bg.axis, bg.side,
+                                        bg.p + 2, family=basis.family)
+                u = x[bg.p][jnp.asarray(bg.pos)]
+                tr = u @ jnp.asarray(ft["V"], dtype)
+                w = jnp.asarray(ft["weights"], dtype)
+                contrib = penalty * bg.p**2 * jnp.sum(w[None] * tr**2, axis=1)
+                elems = jnp.asarray(mesh.bfaces.elem[bg.face_ids])
+                eta = eta.at[elems].add(contrib)
+        return eta
+
+    return apply

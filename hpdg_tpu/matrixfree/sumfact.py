@@ -1,0 +1,254 @@
+"""Sum-factorized matrix-free SIPG / Laplace / mass operators.
+
+Rebuild of SumFactIPDGOperator (matrix-free/localoperators/sfipdg.hh:39-725),
+SumFactLaplaceOperator (sflaplace.hh), SumFactMassOperator (sfmass.hh) and
+the naive reference IPDGOperator (ipdgoperator.hh) — TPU-first:
+
+* The reference's per-element ``BtUL`` / ``CplusAXtBt`` BLAS chains
+  (common/mmmatrix.hh:154-279) become *batched* tensor contractions over
+  whole degree buckets: ``einsum('nij,iq,jr->nqr', u, D, V)`` is exactly
+  Bᵀ·U·L for every element of the bucket at once — MXU-shaped work.
+* The reference's intersection loop with its visit-once guard
+  (sfipdg.hh:196-197) becomes precomputed face groups (assemble.plan):
+  gather both sides' coefficients, evaluate 1D traces, scatter-add both
+  sides' outputs.  No per-face control flow.
+* Works for dim 1/2/3 and mixed degrees (the reference is 2D-only,
+  static_assert sfipdg.hh:48).
+
+Operator cost: O(d^2 (p+1)^d (p+2)) per element vs O((p+1)^{2d}) for the
+assembled SpMV — the classic sum-factorization win that grows with p.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from hpdg_tpu.basis import tensor
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.assemble.plan import AssemblyPlan, build_plan
+from hpdg_tpu.linalg import blockvector as bv
+
+_LETTERS = "ijkl"
+_QLETTERS = "qrst"
+
+
+def _fwd_spec(dim: int) -> str:
+    """e.g. dim=3: 'nijk,iq,jr,ks->nqrs' (coeffs -> quad values)."""
+    ii = _LETTERS[:dim]
+    qq = _QLETTERS[:dim]
+    mats = ",".join(f"{i}{q}" for i, q in zip(ii, qq))
+    return f"n{ii},{mats}->n{qq}"
+
+
+def _bwd_spec(dim: int) -> str:
+    """e.g. dim=3: 'nqrs,iq,jr,ks->nijk' (quad-weighted values -> dofs)."""
+    ii = _LETTERS[:dim]
+    qq = _QLETTERS[:dim]
+    mats = ",".join(f"{i}{q}" for i, q in zip(ii, qq))
+    return f"n{qq},{mats}->n{ii}"
+
+
+def _chain(u, tables, spec, dtype):
+    return jnp.einsum(spec, u, *[jnp.asarray(t, dtype) for t in tables],
+                      preferred_element_type=dtype)
+
+
+def _bucket_geometry(basis: DGBasis, p: int):
+    ext = basis.mesh.extent[basis.bucket_elems[p]]
+    detJ = np.prod(ext, axis=1)
+    return ext, detJ
+
+
+def laplace_bulk_operator(basis: DGBasis, diffusion=None, dtype=jnp.float64):
+    """Matrix-free (K ∇u, ∇v) over all elements (SumFactLaplaceOperator)."""
+    dim = basis.dim
+    fwd, bwd = _fwd_spec(dim), _bwd_spec(dim)
+    prep = {}
+    for p in basis.bucket_degrees:
+        vt = tensor.volume_tables(p, dim, p + 2, family=basis.family)
+        t1 = vt["t1d"]
+        ext, detJ = _bucket_geometry(basis, p)
+        coef = detJ[:, None] / ext**2  # (n, dim)
+        wq = vt["weights"].reshape((len(t1.qweights),) * dim)
+        xq = None
+        if diffusion is not None:
+            elems = basis.bucket_elems[p]
+            xq = (basis.mesh.lower[elems][:, None, :]
+                  + vt["points"][None, :, :] * ext[:, None, :])
+        prep[p] = (t1.values, t1.derivatives, coef, wq, xq, vt["points"].shape[0])
+
+    def apply(x):
+        y = {}
+        for p, (V, D, coef, wq, xq, nq) in prep.items():
+            shp = x[p].shape
+            d1 = V.shape[0]
+            u = x[p].reshape((shp[0],) + (d1,) * dim)
+            kq = None
+            if xq is not None:
+                kq = diffusion(jnp.asarray(xq, dtype)).reshape(
+                    (shp[0],) + wq.shape)
+            out = 0.0
+            for a in range(dim):
+                tabs = [D if b == a else V for b in range(dim)]
+                du = _chain(u, tabs, fwd, dtype)
+                g = du * jnp.asarray(wq, dtype)[None]
+                if kq is not None:
+                    g = g * kq
+                g = g * jnp.asarray(coef[:, a], dtype).reshape(
+                    (-1,) + (1,) * dim)
+                out = out + _chain(g, tabs, bwd, dtype)
+            y[p] = out.reshape(shp)
+        return y
+
+    return apply
+
+
+def mass_operator(basis: DGBasis, dtype=jnp.float64):
+    """Matrix-free (u, v): batched dense block GEMM (SumFactMassOperator)."""
+    prep = {}
+    for p in basis.bucket_degrees:
+        vt = tensor.volume_tables(p, basis.dim, p + 2, family=basis.family)
+        M0 = np.einsum("iq,q,jq->ij", vt["V"], vt["weights"], vt["V"])
+        _, detJ = _bucket_geometry(basis, p)
+        prep[p] = (jnp.asarray(M0, dtype), jnp.asarray(detJ, dtype))
+
+    def apply(x):
+        return {p: jnp.einsum("ni,ij->nj", x[p], M0,
+                              preferred_element_type=dtype) * detJ[:, None]
+                for p, (M0, detJ) in prep.items()}
+
+    return apply
+
+
+def _face_prep(basis: DGBasis, plan: AssemblyPlan, dtype):
+    """Static per-face-group data for the SIPG skeleton terms."""
+    dim = basis.dim
+    groups = []
+    for fg in plan.face_groups:
+        pmax = max(fg.p_in, fg.p_out)
+        nq1 = pmax + 2
+        fin = tensor.face_tables(fg.p_in, dim, fg.axis, 1, nq1, family=basis.family)
+        fout = tensor.face_tables(fg.p_out, dim, fg.axis, 0, nq1, family=basis.family)
+        groups.append(dict(
+            fg=fg, w=fin["weights"], Vi=fin["V"], Di=fin["Dn"],
+            Vo=fout["V"], Do=fout["Dn"], pmax=pmax, pts=fin["points"],
+        ))
+    return groups
+
+
+def _face_phys_points(basis, fg, pts, nq):
+    mesh = basis.mesh
+    ein = mesh.faces.inside[fg.face_ids]
+    lo = mesh.lower[ein].copy()
+    lo[:, fg.axis] += mesh.extent[ein, fg.axis]
+    tang = [a for a in range(basis.dim) if a != fg.axis]
+    x = np.repeat(lo[:, None, :], nq, axis=1)
+    for t, a in enumerate(tang):
+        x[:, :, a] += pts[None, :, t] * mesh.extent[ein, a][:, None]
+    return x
+
+
+def sipg_operator(basis: DGBasis, penalty: float = 2.0,
+                  dirichlet: bool = False, diffusion=None,
+                  dtype=jnp.float64, plan: AssemblyPlan | None = None):
+    """Full matrix-free SIPG apply (bulk + skeleton + Dirichlet terms).
+
+    Semantically identical to ``assemble_laplace(...)`` matvec; tested
+    against it at 1e-12 (mirroring testsumfactor.cc:36-96).
+    Returns a jit-safe closure dict -> dict.
+    """
+    plan = plan or build_plan(basis)
+    dim = basis.dim
+    mesh = basis.mesh
+    bulk = laplace_bulk_operator(basis, diffusion=diffusion, dtype=dtype)
+    groups = _face_prep(basis, plan, dtype)
+
+    # face geometry coefficient arrays (host -> constants)
+    for g in groups:
+        fg = g["fg"]
+        g["z"] = fg.fmeas  # |f| * w_q applied via w
+        g["pen_w"] = penalty * g["pmax"] ** 2 * g["w"]  # mu*|f|*w = pen*w
+        if diffusion is not None:
+            g["xq"] = _face_phys_points(basis, fg, g["pts"], len(g["w"]))
+
+    bgroups = []
+    if dirichlet:
+        for bg in plan.boundary_groups:
+            ft = tensor.face_tables(bg.p, dim, bg.axis, bg.side, bg.p + 2,
+                                    family=basis.family)
+            item = dict(bg=bg, w=ft["weights"], V=ft["V"], D=ft["Dn"],
+                        sign=1.0 if bg.side == 1 else -1.0,
+                        pen_w=penalty * bg.p**2 * ft["weights"])
+            if diffusion is not None:
+                elems = mesh.bfaces.elem[bg.face_ids]
+                lo = mesh.lower[elems].copy()
+                if bg.side == 1:
+                    lo[:, bg.axis] += mesh.extent[elems, bg.axis]
+                tang = [a for a in range(dim) if a != bg.axis]
+                x = np.repeat(lo[:, None, :], len(ft["weights"]), axis=1)
+                for t, a in enumerate(tang):
+                    x[:, :, a] += ft["points"][None, :, t] * mesh.extent[elems, a][:, None]
+                item["xq"] = x
+            bgroups.append(item)
+
+    def apply(x):
+        y = bulk(x)
+        for g in groups:
+            fg = g["fg"]
+            J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+            Vi, Di, Vo, Do = J(g["Vi"]), J(g["Di"]), J(g["Vo"]), J(g["Do"])
+            u_in = x[fg.p_in][jnp.asarray(fg.in_pos)]
+            u_out = x[fg.p_out][jnp.asarray(fg.out_pos)]
+            uinq = u_in @ Vi
+            uoutq = u_out @ Vo
+            dninq = (u_in @ Di) * J(fg.inv_h_in)[:, None]
+            dnoutq = (u_out @ Do) * J(fg.inv_h_out)[:, None]
+            jump = uinq - uoutq
+            avg = 0.5 * (dninq + dnoutq)
+            k = 1.0
+            if diffusion is not None:
+                k = diffusion(jnp.asarray(g["xq"], dtype))
+            zw = J(g["z"])[:, None] * J(g["w"])[None, :]  # |f| w_q
+            penw = J(g["pen_w"])[None, :]
+            t1_in = zw * (-(k * avg)) + penw * jump
+            t2_in = zw * (-0.5 * k * jump) * J(fg.inv_h_in)[:, None]
+            t1_out = zw * (k * avg) - penw * jump
+            t2_out = zw * (-0.5 * k * jump) * J(fg.inv_h_out)[:, None]
+            y_in = t1_in @ Vi.T + t2_in @ Di.T
+            y_out = t1_out @ Vo.T + t2_out @ Do.T
+            y[fg.p_in] = y[fg.p_in].at[jnp.asarray(fg.in_pos)].add(y_in)
+            y[fg.p_out] = y[fg.p_out].at[jnp.asarray(fg.out_pos)].add(y_out)
+        for g in bgroups:
+            bg = g["bg"]
+            J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+            V, D = J(g["V"]), J(g["D"])
+            u = x[bg.p][jnp.asarray(bg.pos)]
+            uq = u @ V
+            dnq = (u @ D) * (g["sign"] * J(bg.inv_h))[:, None]
+            k = 1.0
+            if diffusion is not None:
+                k = diffusion(jnp.asarray(g["xq"], dtype))
+            zw = J(bg.fmeas)[:, None] * J(g["w"])[None, :]
+            penw = J(g["pen_w"])[None, :]
+            t1 = zw * (-(k * dnq)) + penw * uq
+            t2 = zw * (-(k * uq)) * (g["sign"] * J(bg.inv_h))[:, None]
+            yb = t1 @ V.T + t2 @ D.T
+            y[bg.p] = y[bg.p].at[jnp.asarray(bg.pos)].add(yb)
+        return y
+
+    return apply
+
+
+def naive_sipg_operator(basis: DGBasis, penalty: float = 2.0,
+                        dirichlet: bool = False, dtype=jnp.float64,
+                        plan: AssemblyPlan | None = None):
+    """Naive matrix-free SIPG: assemble per-bucket *local* blocks once and
+    matvec them (the reference's IPDGOperator, ipdgoperator.hh:22-406 —
+    kept as the differential-testing partner for the sum-factorized path).
+    """
+    from hpdg_tpu.assemble.sipg import assemble_laplace
+    from hpdg_tpu.linalg.blockmatrix import matvec as bsm_matvec
+    A = assemble_laplace(basis, penalty=penalty, dirichlet=dirichlet,
+                         dtype=dtype, plan=plan)
+    return lambda x: bsm_matvec(A, x)

@@ -1,0 +1,161 @@
+"""Differential tests: sum-factorized matrix-free ops vs assembled matrices.
+
+Mirrors matrix-free/test/testsumfactor.cc: the sum-factorized apply must
+match the assembled operator to ~1e-12 in the energy norm, with mixed
+degrees injected (testsumfactor.cc:36,94-96).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hpdg_tpu import mesh as hmesh
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.assemble import assemble_laplace, assemble_mass, build_plan
+from hpdg_tpu.linalg import blockmatrix as bm, blockvector as bv
+from hpdg_tpu import matrixfree as mf
+from hpdg_tpu.testing import oracle
+
+
+def rel_err(y, yref, basis):
+    yf, rf = bv.to_flat(basis, y), bv.to_flat(basis, yref)
+    return np.linalg.norm(yf - rf) / max(np.linalg.norm(rf), 1e-30)
+
+
+@pytest.mark.parametrize("p", [1, 2, 3, 4])
+@pytest.mark.parametrize("dirichlet", [False, True])
+def test_sipg_apply_2d(p, dirichlet):
+    m = hmesh.structured((4, 4))
+    degrees = np.full(16, p)
+    degrees[0] = p + 1  # mixed-degree element, as in testsumfactor.cc:36
+    basis = DGBasis(m, degrees)
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=dirichlet)
+    op = mf.sipg_operator(basis, penalty=2.0, dirichlet=dirichlet)
+    x = bv.random(basis)
+    assert rel_err(op(x), bm.matvec(A, x), basis) < 1e-12
+
+
+@pytest.mark.parametrize("p", [1, 2, 4])
+def test_sipg_apply_3d(p):
+    m = hmesh.structured((2, 2, 2), upper=(1.0, 0.5, 2.0))
+    degrees = np.full(8, p)
+    degrees[3] = max(1, p - 1)
+    basis = DGBasis(m, degrees)
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True)
+    op = mf.sipg_operator(basis, penalty=2.0, dirichlet=True)
+    x = bv.random(basis)
+    assert rel_err(op(x), bm.matvec(A, x), basis) < 1e-12
+
+
+def test_sipg_apply_with_coefficient():
+    m = hmesh.structured((3, 3))
+    basis = DGBasis(m, np.array([1, 2, 3, 2, 2, 1, 3, 1, 2]))
+    Kf = lambda x: 1.0 + x[..., 0] ** 2 + x[..., 1]
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True, diffusion=Kf)
+    op = mf.sipg_operator(basis, penalty=2.0, dirichlet=True, diffusion=Kf)
+    x = bv.random(basis)
+    assert rel_err(op(x), bm.matvec(A, x), basis) < 1e-12
+
+
+def test_mass_apply():
+    m = hmesh.structured((3, 2))
+    basis = DGBasis(m, np.array([1, 2, 3, 2, 1, 2]))
+    M = assemble_mass(basis)
+    op = mf.mass_operator(basis)
+    x = bv.random(basis)
+    assert rel_err(op(x), bm.matvec(M, x), basis) < 1e-13
+
+
+def test_bulk_operator_matches_neumann_no_faces():
+    # pure bulk operator == SIPG with penalty terms removed? Instead:
+    # compare against oracle bulk-only matrix (assemble with no faces).
+    m = hmesh.structured((2, 2))
+    basis = DGBasis(m, np.full(4, 3))
+    op = mf.laplace_bulk_operator(basis)
+    x = bv.random(basis)
+    y = op(x)
+    # oracle: bulk part only
+    import numpy as onp
+    meshb = basis
+    Aref = onp.zeros((basis.ndof, basis.ndof))
+    from hpdg_tpu.testing.oracle import _grad_phi
+    from hpdg_tpu.basis import lagrange
+    from hpdg_tpu import quadrature
+    for e in range(m.n_elements):
+        p = int(basis.degrees[e])
+        nodes = lagrange.nodes_1d(p)
+        qn, qw = quadrature.gauss_lobatto_for_order(2 * p)
+        pts, w = quadrature.tensor_rule(qn, qw, 2)
+        h = m.extent[e]
+        detJ = onp.prod(h)
+        o, n = basis.offsets[e], basis.block_sizes[e]
+        for q in range(len(w)):
+            G = _grad_phi(nodes, pts[q], h)
+            Aref[o:o + n, o:o + n] += w[q] * detJ * (G @ G.T)
+    yref = Aref @ bv.to_flat(basis, x)
+    assert np.allclose(bv.to_flat(basis, y), yref, atol=1e-11)
+
+
+def test_diagonal_blocks_match_assembled():
+    m = hmesh.structured((3, 3))
+    basis = DGBasis(m, np.array([1, 2, 3, 2, 2, 1, 3, 1, 2]))
+    plan = build_plan(basis)
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True, plan=plan)
+    D_mf = mf.sipg_diagonal_blocks(basis, penalty=2.0, dirichlet=True,
+                                   plan=plan)
+    D_as = bm.extract_diagonal(A)
+    for p in basis.bucket_degrees:
+        assert np.allclose(np.asarray(D_mf[p]), np.asarray(D_as[p]),
+                           atol=1e-12)
+
+
+def test_ipdg_local_norm_sums_to_energy():
+    # sum_e eta_e^2 == x^T A_neumann x where A has full (not halved) jumps?
+    # With the 1/2 face split, sum over elements recovers the full jump
+    # energy: sum eta^2 = |x|_{broken H1}^2 + sum_f mu ∫ [x]^2.
+    m = hmesh.structured((3, 3))
+    basis = DGBasis(m, np.array([1, 2, 3, 2, 2, 1, 3, 1, 2]))
+    x = bv.random(basis)
+    eta = mf.ipdg_local_norm(basis, penalty=2.0)(x)
+    assert eta.shape == (9,)
+    assert np.all(np.asarray(eta) >= 0)
+    # reference total: bulk + jump energies computed via oracle matrices
+    Abulk_jump = oracle.sipg_matrix(basis, penalty=2.0, dirichlet=False)
+    # sipg matrix contains consistency terms; build energy directly instead
+    from hpdg_tpu.basis import lagrange, tensor
+    from hpdg_tpu import quadrature
+    total = 0.0
+    xf = bv.to_flat(basis, x)
+    # bulk
+    for e in range(m.n_elements):
+        p = int(basis.degrees[e])
+        nodes = lagrange.nodes_1d(p)
+        qn, qw = quadrature.gauss_lobatto_for_order(2 * p)
+        pts, w = quadrature.tensor_rule(qn, qw, 2)
+        h = m.extent[e]
+        detJ = np.prod(h)
+        o, n = basis.offsets[e], basis.block_sizes[e]
+        from hpdg_tpu.testing.oracle import _grad_phi
+        for q in range(len(w)):
+            G = _grad_phi(nodes, pts[q], h)
+            g = G.T @ xf[o:o + n]
+            total += w[q] * detJ * (g @ g)
+    # jumps
+    from hpdg_tpu.testing.oracle import _phi, _face_point
+    for f in range(len(m.faces)):
+        ei, eo = int(m.faces.inside[f]), int(m.faces.outside[f])
+        ax = int(m.faces.axis[f])
+        pi, po = int(basis.degrees[ei]), int(basis.degrees[eo])
+        pmax = max(pi, po)
+        qn, qw = quadrature.gauss_lobatto_for_order(2 * pmax)
+        tpts, tw = quadrature.tensor_rule(qn, qw, 1)
+        fmeas = np.prod(np.delete(m.extent[ei], ax))
+        mu = 2.0 * pmax**2 / fmeas
+        oi, ni = basis.offsets[ei], basis.block_sizes[ei]
+        oo, no = basis.offsets[eo], basis.block_sizes[eo]
+        for q in range(len(tw)):
+            vi = _phi(lagrange.nodes_1d(pi), _face_point(tpts[q], ax, 1, 2))
+            vo = _phi(lagrange.nodes_1d(po), _face_point(tpts[q], ax, 0, 2))
+            jump = vi @ xf[oi:oi + ni] - vo @ xf[oo:oo + no]
+            total += tw[q] * fmeas * mu * jump**2
+    assert np.isclose(float(jnp.sum(eta)), total, rtol=1e-12)
