@@ -1,0 +1,233 @@
+"""Functional hp-multigrid: LevelOperations + V/mu-cycle.
+
+Faithful redesign of the reference's functional multigrid
+(iterationsteps/mg/multigrid.hh:26-79, multigrid_impl.hh:16-117): a level
+is a bundle of callables (apply, pre/post smoother, restrict, prolong),
+the cycle is a recursion over them, and smoothers are applied in
+defect-correction form (multigrid_impl.hh:66-82).  Here every callable
+is jit-safe on bucketed block vectors and the whole cycle jits into one
+XLA program.
+
+The setup factory mirrors MultigridSetup
+(iterationsteps/solversetup.hh:70-218): p-levels halve the max degree
+down to 1 (per element: min(k_e, order)), then h-levels follow the mesh
+hierarchy; coarse matrices are Galerkin products; the coarse solve is a
+dense Cholesky (replacing the reference's rank-local Gauss-Seidel loop —
+on TPU a small dense solve is cheaper than a sequential sweep).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.linalg import blockvector as bv
+from hpdg_tpu.linalg import blockmatrix as bm
+from hpdg_tpu.transfer import p_transfer, h_transfer
+from hpdg_tpu.solvers import smoothers as sm
+
+
+@dataclass
+class Level:
+    """Operations of one multigrid level (LevelOperations analog)."""
+
+    apply: Callable  # x -> A x
+    pre_smooth: Callable  # (x, b) -> x  (one step)
+    post_smooth: Callable
+    restrict: Callable | None = None  # residual -> coarser (None on coarsest)
+    prolong: Callable | None = None  # coarser correction -> this level
+    pre_steps: int = 3
+    post_steps: int = 3
+
+
+def vcycle(levels: list, coarse_solve: Callable, x: dict, b: dict,
+           mu: int = 1) -> dict:
+    """One multigrid cycle on the finest level (multigrid_impl.hh:85-117).
+
+    levels[0] is the coarsest; coarse_solve(b) -> x solves level 0.
+    """
+
+    def run(l: int, x, b):
+        if l == 0:
+            return coarse_solve(b)
+        L = levels[l]
+        for _ in range(L.pre_steps):
+            x = L.pre_smooth(x, b)
+        r = bv.sub(b, L.apply(x))
+        rc = L.restrict(r)
+        xc = jax.tree.map(jnp.zeros_like, rc)
+        for _ in range(mu):
+            xc = run(l - 1, xc, rc)
+        x = bv.add(x, L.prolong(xc))
+        for _ in range(L.post_steps):
+            x = L.post_smooth(x, b)
+        return x
+
+    return run(len(levels) - 1, x, b)
+
+
+@dataclass
+class MultigridData:
+    """Matrices + transfers of the hierarchy (solversetup.hh:22-39 analog)."""
+
+    bases: list  # coarsest ... finest
+    matrices: list  # BlockSparseMatrix per level
+    transfers: list  # ElementTransfer: transfers[l] maps level l+1 -> level l
+
+
+def setup_hierarchy(basis: DGBasis, A: bm.BlockSparseMatrix,
+                    meshes: list | None = None, coarse_bases: list | None = None,
+                    dtype=jnp.float64) -> MultigridData:
+    """Build the p+h hierarchy with Galerkin coarse matrices.
+
+    p-levels: max degree halves each level down to 1
+    (solversetup.hh:71-108: pLevels = log2(maxDegree)).
+    h-levels: if ``meshes`` (coarse-to-fine list whose last entry is
+    basis.mesh) is given, grid transfers extend the hierarchy below p=1.
+    """
+    bases = [basis]
+    matrices = [A]
+    transfers = []
+
+    # ---- p-coarsening ----
+    order = basis.max_degree()
+    cur = basis
+    curA = A
+    while order > 1:
+        order = max(1, order // 2)
+        T = p_transfer(cur, order)
+        curA = T.galerkin(curA, dtype=dtype)
+        cur = T.coarse
+        bases.insert(0, cur)
+        matrices.insert(0, curA)
+        transfers.insert(0, T)
+        if order == 1:
+            break
+
+    # ---- h-coarsening ----
+    if meshes is not None:
+        fine_mesh_chain = list(meshes)
+        assert fine_mesh_chain[-1] is basis.mesh, \
+            "meshes must end with the basis' mesh"
+        for coarse_mesh in reversed(fine_mesh_chain[:-1]):
+            # h-levels run at the (uniform) degree left after p-coarsening
+            coarse_b = DGBasis(
+                coarse_mesh,
+                np.full(coarse_mesh.n_elements, cur.max_degree(),
+                        dtype=np.int32),
+                family=cur.family)
+            T = h_transfer(cur, coarse_b)
+            curA = T.galerkin(curA, dtype=dtype)
+            cur = coarse_b
+            bases.insert(0, cur)
+            matrices.insert(0, curA)
+            transfers.insert(0, T)
+
+    return MultigridData(bases=bases, matrices=matrices, transfers=transfers)
+
+
+def dense_coarse_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
+                        dtype=jnp.float64):
+    """Direct coarse solve via dense Cholesky, precomputed once.
+
+    Replaces the reference's coarse Gauss-Seidel loop
+    (solversetup.hh:207-215) — on TPU a small dense factorization
+    beats a sequential sweep.
+    """
+    Ad = bm.to_dense(A, basis)
+    Ad = 0.5 * (Ad + Ad.T)
+    chol = jnp.asarray(np.linalg.cholesky(Ad), dtype)
+
+    def solve(b: dict) -> dict:
+        bf_parts = []
+        # flatten in element order on device
+        flat = jnp.zeros(basis.ndof, dtype=dtype)
+        for p in basis.bucket_degrees:
+            elems = basis.bucket_elems[p]
+            bs = basis.n_local(p)
+            idx = basis.offsets[elems][:, None] + np.arange(bs)[None, :]
+            flat = flat.at[jnp.asarray(idx)].set(b[p])
+        y = jax.scipy.linalg.cho_solve((chol, True), flat)
+        out = {}
+        for p in basis.bucket_degrees:
+            elems = basis.bucket_elems[p]
+            bs = basis.n_local(p)
+            idx = basis.offsets[elems][:, None] + np.arange(bs)[None, :]
+            out[p] = y[jnp.asarray(idx)]
+        return out
+
+    return solve
+
+
+def gs_coarse_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
+                     iterations: int = 40):
+    """Colored block-GS coarse solve (the reference's choice,
+    solversetup.hh:207-215, with coloring instead of lexicographic order)."""
+    step = sm.colored_block_gs_step(A, basis)
+
+    def solve(b: dict) -> dict:
+        x = bv.zeros_like(b)
+        for _ in range(iterations):
+            x = step(x, b)
+        return x
+
+    return solve
+
+
+def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
+                     meshes: list | None = None,
+                     smoother: str = "gs", pre_steps: int = 3,
+                     post_steps: int = 3, jacobi_damping: float = 0.6,
+                     coarse: str = "auto", coarse_gs_iterations: int = 40,
+                     operator_factory=None, dtype=jnp.float64):
+    """Build the full hp-multigrid V-cycle step (x, b) -> x
+    (MultigridSetup::multigridSolver analog, solversetup.hh:198-218).
+
+    ``operator_factory``: optional callable (level_basis) -> matrix.  If
+    given, coarse-level operators are *re-assembled* on each level
+    instead of Galerkin-restricted.  Inherited (Galerkin) SIPG coarse
+    operators over-penalize by 2x per h-level and cost V-cycle level
+    independence (the issue the reference's experimental
+    dualdgmultigridstep.hh works around by damping the penalty matrix
+    per level); re-assembly restores h-independent convergence.
+    """
+    data = setup_hierarchy(basis, A, meshes=meshes, dtype=dtype)
+    if operator_factory is not None:
+        data.matrices = [operator_factory(bas) for bas in data.bases[:-1]] \
+            + [A]
+    levels = []
+    for l, (bas, M) in enumerate(zip(data.bases, data.matrices)):
+        apply = (lambda MM: lambda x: bm.matvec(MM, x))(M)
+        if smoother == "gs":
+            pre = sm.colored_block_gs_step(M, bas)
+            post = sm.colored_block_gs_step(M, bas, reverse=True)
+        elif smoother == "jacobi":
+            pre = post = sm.block_jacobi_step(M, omega=jacobi_damping)
+        else:
+            raise ValueError(smoother)
+        restrict = prolong = None
+        if l > 0:
+            T = data.transfers[l - 1]
+            restrict = (lambda TT: lambda r: TT.restrict(r, dtype=dtype))(T)
+            prolong = (lambda TT: lambda c: TT.prolong(c, dtype=dtype))(T)
+        levels.append(Level(apply=apply, pre_smooth=pre, post_smooth=post,
+                            restrict=restrict, prolong=prolong,
+                            pre_steps=pre_steps, post_steps=post_steps))
+
+    cb, cA = data.bases[0], data.matrices[0]
+    if coarse == "auto":
+        coarse = "dense" if cb.ndof <= 6000 else "gs"
+    if coarse == "dense":
+        coarse_solve = dense_coarse_solver(cb, cA, dtype=dtype)
+    else:
+        coarse_solve = gs_coarse_solver(cb, cA, iterations=coarse_gs_iterations)
+
+    def step(x: dict, b: dict) -> dict:
+        return vcycle(levels, coarse_solve, x, b)
+
+    return step, data

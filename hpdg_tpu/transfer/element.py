@@ -1,0 +1,218 @@
+"""Element-to-element transfer operators and Galerkin coarse matrices.
+
+One generic structure covers both of the reference's transfer flavors:
+
+* **p-transfer** (DGOrderTransfer, transferoperators/ordertransfer.hh:28-169):
+  every element maps to itself with a lower degree, block = nodal
+  interpolation high-p <- low-p (identity if unchanged);
+* **h-transfer** (DynamicBlockTransferOperator + the transfer assembler,
+  transferoperators/dynamicblocktransfer.hh:23-130,
+  assemblers/dgtodggridtransferassembler.hh:227-341): every fine element
+  maps to its parent, block = parent basis evaluated at the child's
+  nodes.
+
+In both cases each fine element has exactly ONE coarse partner, so the
+transfer is ``prolong = blockdiag-ish scatter`` / ``restrict = T^T`` and
+the Galerkin product RtAR (ordertransfer.hh:120-169,
+dynamicblocktransfer.hh:78-130) is a per-entry batched ``T_r^T A T_c``
+einsum plus a host-side symbolic pass for the coarse pattern.
+
+Fine elements are grouped by (fine degree, coarse degree, variant) —
+variant = child position for h-transfer — so each group shares one fixed
+interpolation tensor and everything batches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from hpdg_tpu.basis import tensor, lagrange
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.linalg.blockmatrix import (BlockPattern, BlockSparseMatrix,
+                                         zeros_values)
+
+
+@dataclass(frozen=True)
+class TGroup:
+    pf: int  # fine degree
+    pc: int  # coarse degree
+    fine_pos: np.ndarray  # positions in fine bucket pf
+    coarse_pos: np.ndarray  # positions in coarse bucket pc
+    T: np.ndarray  # (bs_f, bs_c) interpolation block (prolongation)
+
+
+@dataclass(frozen=True)
+class ElementTransfer:
+    fine: DGBasis
+    coarse: DGBasis
+    coarse_elem: np.ndarray  # (n_fine,) coarse partner of each fine element
+    groups: tuple  # of TGroup
+    group_of_fine: np.ndarray  # (n_fine,) group index
+
+    # ------------------------------------------------------------------
+    def prolong(self, xc: dict, dtype=jnp.float64) -> dict:
+        xf = {p: jnp.zeros((self.fine.bucket_size(p), self.fine.n_local(p)),
+                           dtype=dtype) for p in self.fine.bucket_degrees}
+        for g in self.groups:
+            vals = jnp.einsum("nj,ij->ni", xc[g.pc][jnp.asarray(g.coarse_pos)],
+                              jnp.asarray(g.T, dtype),
+                              preferred_element_type=dtype)
+            xf[g.pf] = xf[g.pf].at[jnp.asarray(g.fine_pos)].set(vals)
+        return xf
+
+    def restrict(self, rf: dict, dtype=jnp.float64) -> dict:
+        rc = {p: jnp.zeros((self.coarse.bucket_size(p), self.coarse.n_local(p)),
+                           dtype=dtype) for p in self.coarse.bucket_degrees}
+        for g in self.groups:
+            vals = jnp.einsum("ni,ij->nj", rf[g.pf][jnp.asarray(g.fine_pos)],
+                              jnp.asarray(g.T, dtype),
+                              preferred_element_type=dtype)
+            rc[g.pc] = rc[g.pc].at[jnp.asarray(g.coarse_pos)].add(vals)
+        return rc
+
+    # ------------------------------------------------------------------
+    def galerkin(self, A: BlockSparseMatrix, dtype=jnp.float64
+                 ) -> BlockSparseMatrix:
+        """Coarse matrix RtAR: symbolic pass on the host (coarse pattern +
+        static slot arrays), numeric pass on the device (batched
+        T_r^T A T_c einsums + scatter-add)."""
+        fine, coarse = self.fine, self.coarse
+        ngroups = len(self.groups)
+        # symbolic phase: map each fine entry to a coarse (bucket, row, col)
+        per_key = {}  # (prc, pcc) -> list of code arrays
+        work = []  # (fine key, subgroup sel, gri, gci, coarse key, codes)
+        for (pr, pc), (rows, cols) in A.pattern.entries.items():
+            relems = fine.bucket_elems[pr][rows]
+            celems = fine.bucket_elems[pc][cols]
+            gr = self.group_of_fine[relems]
+            gc = self.group_of_fine[celems]
+            gcodes = gr.astype(np.int64) * ngroups + gc
+            for gcode in np.unique(gcodes):
+                sel = np.where(gcodes == gcode)[0]
+                gri, gci = int(gcode) // ngroups, int(gcode) % ngroups
+                Gr, Gc = self.groups[gri], self.groups[gci]
+                key = (Gr.pc, Gc.pc)
+                crow = coarse.elem_bucket_pos[self.coarse_elem[relems[sel]]]
+                ccol = coarse.elem_bucket_pos[self.coarse_elem[celems[sel]]]
+                ncol = coarse.bucket_size(key[1])
+                codes = crow.astype(np.int64) * ncol + ccol
+                per_key.setdefault(key, []).append(codes)
+                work.append(((pr, pc), sel, gri, gci, key, codes))
+
+        # dedup coarse entries per key; diagonal-first layout
+        entries = {}
+        slotmaps = {}  # key -> (sorted_entry_codes, slot_of_sorted)
+        for key, code_lists in per_key.items():
+            nrow = coarse.bucket_size(key[0])
+            ncol = coarse.bucket_size(key[1])
+            codes = np.concatenate(code_lists)
+            if key[0] == key[1]:
+                diag = np.arange(nrow, dtype=np.int64) * ncol + np.arange(nrow)
+                codes = np.concatenate([diag, codes])
+            uniq = np.unique(codes)  # sorted
+            if key[0] == key[1]:
+                diag = np.arange(nrow, dtype=np.int64) * ncol + np.arange(nrow)
+                isdiag = np.isin(uniq, diag)
+                ordered = np.concatenate([diag, uniq[~isdiag]])
+            else:
+                ordered = uniq
+            entries[key] = ((ordered // ncol).astype(np.int32),
+                            (ordered % ncol).astype(np.int32))
+            # code -> slot map via searchsorted on the sorted codes
+            order = np.argsort(ordered, kind="stable")
+            slotmaps[key] = (ordered[order], order.astype(np.int32))
+
+        row_sizes = {p: coarse.bucket_size(p) for p in coarse.bucket_degrees}
+        pattern = BlockPattern(row_sizes, dict(row_sizes), entries,
+                               diag_first=True)
+        vals = zeros_values(pattern, fine.dim, dtype=dtype)
+        # numeric phase
+        for (fkey, sel, gri, gci, key, codes) in work:
+            Gr, Gc = self.groups[gri], self.groups[gci]
+            blocks = A.values[fkey][jnp.asarray(sel)]
+            tr = jnp.einsum("nij,ik,jl->nkl", blocks,
+                            jnp.asarray(Gr.T, dtype), jnp.asarray(Gc.T, dtype),
+                            preferred_element_type=dtype)
+            sorted_codes, order = slotmaps[key]
+            slots = order[np.searchsorted(sorted_codes, codes)]
+            vals[key] = vals[key].at[jnp.asarray(slots)].add(tr)
+        return BlockSparseMatrix(pattern, fine.dim, vals)
+
+
+# ---------------------------------------------------------------------------
+def p_coarse_degrees(degrees: np.ndarray, max_order: int) -> np.ndarray:
+    """Coarse degree map: min(k_e, max_order)
+    (DGOrderTransfer::setup, ordertransfer.hh:45-92)."""
+    return np.minimum(degrees, max_order).astype(np.int32)
+
+
+def _build_groups(fine: DGBasis, coarse: DGBasis, coarse_elem: np.ndarray,
+                  variant: np.ndarray, Tfun):
+    """Group fine elements by (pf, pc, variant); Tfun(pf, pc, var) -> T."""
+    keys = np.stack([fine.degrees, coarse.degrees[coarse_elem], variant],
+                    axis=-1)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    groups = []
+    group_of_fine = inv.astype(np.int32)
+    for gi, (pf, pc, var) in enumerate(uniq):
+        pf, pc, var = int(pf), int(pc), int(var)
+        fels = np.where(inv == gi)[0]
+        groups.append(TGroup(
+            pf=pf, pc=pc,
+            fine_pos=fine.elem_bucket_pos[fels],
+            coarse_pos=coarse.elem_bucket_pos[coarse_elem[fels]],
+            T=Tfun(pf, pc, var),
+        ))
+    return tuple(groups), group_of_fine
+
+
+def p_transfer(fine: DGBasis, max_order: int) -> ElementTransfer:
+    """p-coarsening transfer: coarse basis on the same mesh with degrees
+    min(k_e, max_order); block = nodal interpolation (exact embedding)."""
+    coarse = fine.with_degrees(p_coarse_degrees(fine.degrees, max_order))
+    n = fine.mesh.n_elements
+    coarse_elem = np.arange(n, dtype=np.int32)
+    variant = np.zeros(n, dtype=np.int32)
+
+    def Tfun(pf, pc, var):
+        return tensor.interpolation_matrix(pc, pf, fine.dim,
+                                           family=fine.family)
+
+    groups, gof = _build_groups(fine, coarse, coarse_elem, variant, Tfun)
+    return ElementTransfer(fine=fine, coarse=coarse, coarse_elem=coarse_elem,
+                           groups=groups, group_of_fine=gof)
+
+
+def h_transfer(fine: DGBasis, coarse: DGBasis) -> ElementTransfer:
+    """Grid transfer fine mesh -> parent mesh (dgtodggridtransferassembler
+    analog): block = coarse basis evaluated at the child's node positions
+    mapped into the parent reference cell."""
+    mesh = fine.mesh
+    if mesh.parent is None:
+        raise ValueError("fine mesh has no refinement hierarchy links")
+    coarse_elem = mesh.parent.astype(np.int32)
+    variant = mesh.child_pos.astype(np.int32)
+    dim = mesh.dim
+
+    def Tfun(pf, pc, var):
+        bits = np.array([(var >> (dim - 1 - a)) & 1 for a in range(dim)])
+        nodes_f = lagrange.nodes_1d(pf, fine.family)
+        mi = tensor.multiindices(pf, dim)
+        # child node in parent coords: (bit + x)/2 per axis
+        xp = 0.5 * (bits[None, :] + nodes_f[mi])  # (nl_f, dim)
+        nodes_c = lagrange.nodes_1d(pc, coarse.family)
+        cols = []
+        per_axis = [lagrange.lagrange_values(nodes_c, xp[:, a])
+                    for a in range(dim)]  # each (pc+1, nl_f)
+        mic = tensor.multiindices(pc, dim)
+        T = np.ones((len(mi), len(mic)))
+        for a in range(dim):
+            T = T * per_axis[a][mic[:, a], :].T
+        return T
+
+    groups, gof = _build_groups(fine, coarse, coarse_elem, variant, Tfun)
+    return ElementTransfer(fine=fine, coarse=coarse, coarse_elem=coarse_elem,
+                           groups=groups, group_of_fine=gof)
