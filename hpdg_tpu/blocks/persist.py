@@ -1,0 +1,122 @@
+"""State persistence across mesh/degree adaptation.
+
+Rebuild of the reference's adaptation checkpoint machinery:
+``SavedBasis`` / ``saveDegrees`` / ``updateDegrees`` /
+``interpolateIntoRefinedBasis`` (buildingblocks/persistentbasis.hh:12-74)
+with ``PersistentGridView`` + ``GridAdaptor``
+(functionspacebases/persistentgridview.hh, gridadaptor.hh:18-209)
+underneath.
+
+TPU-native shape: the "persistent grid view" is simply the old mesh's
+arrays (plain data, nothing to snapshot); re-interpolation groups the new
+elements by (old degree, new degree, affine map to the ancestor cell) and
+evaluates the old polynomial at the new node positions in one batched
+einsum per group — the batched analog of GridAdaptor's per-element
+LocalCoarseFunction climb (gridadaptor.hh:18-65).
+
+Checkpointing to disk falls out for free: a SavedState is a pytree of
+numpy arrays (degrees + flat coefficients), np.savez-able.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax.numpy as jnp
+
+from hpdg_tpu.basis import lagrange, tensor
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.linalg import blockvector as bv
+
+
+@dataclass(frozen=True)
+class SavedState:
+    basis: DGBasis
+    flat: np.ndarray  # flat coefficient vector (element order)
+
+
+def save_state(basis: DGBasis, x: dict) -> SavedState:
+    return SavedState(basis=basis, flat=bv.to_flat(basis, x))
+
+
+def _ancestor_chain(new_mesh, old_mesh):
+    """Per-new-element ancestor index in old_mesh (walk parent links)."""
+    if new_mesh is old_mesh:
+        return np.arange(new_mesh.n_elements, dtype=np.int32)
+    chain = []
+    m = new_mesh
+    while m is not None and m is not old_mesh:
+        if m.parent is None:
+            raise ValueError("new mesh is not a refinement of the saved mesh")
+        chain.append(m.parent)
+        m = m.parent_mesh
+    if m is not old_mesh:
+        raise ValueError("saved mesh not found in ancestor chain")
+    anc = chain[0]
+    for par in chain[1:]:
+        anc = par[anc]
+    return anc.astype(np.int32)
+
+
+def interpolate_to(saved: SavedState, new_basis: DGBasis,
+                   dtype=jnp.float64) -> dict:
+    """Re-interpolate the saved coefficients into the new basis
+    (interpolateIntoRefinedBasis analog).  Supports degree changes on the
+    same mesh and any number of uniform/local refinements of the saved
+    mesh (coarsening is not supported yet)."""
+    old = saved.basis
+    new_mesh = new_basis.mesh
+    anc = _ancestor_chain(new_mesh, old.mesh)
+
+    # affine map of each new element into its ancestor's reference cell
+    scale = new_mesh.extent / old.mesh.extent[anc]
+    shift = (new_mesh.lower - old.mesh.lower[anc]) / old.mesh.extent[anc]
+
+    # group by (p_new, p_old, quantized map)
+    q = np.rint(np.concatenate([scale, shift], axis=1) * 2**20).astype(np.int64)
+    keys = np.concatenate(
+        [new_basis.degrees[:, None], old.degrees[anc][:, None], q], axis=1)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+
+    out = {p: jnp.zeros((new_basis.bucket_size(p), new_basis.n_local(p)),
+                        dtype=dtype) for p in new_basis.bucket_degrees}
+    dim = new_mesh.dim
+    for gi in range(len(uniq)):
+        sel = np.where(inv == gi)[0]
+        pn = int(new_basis.degrees[sel[0]])
+        po = int(old.degrees[anc[sel[0]]])
+        sc, sh = scale[sel[0]], shift[sel[0]]
+        # new nodes mapped into the ancestor's reference coords
+        nodes_n = lagrange.nodes_1d(pn, new_basis.family)
+        mi = tensor.multiindices(pn, dim)
+        xo = sh[None, :] + nodes_n[mi] * sc[None, :]  # (nl_new, dim)
+        nodes_o = lagrange.nodes_1d(po, old.family)
+        per_axis = [lagrange.lagrange_values(nodes_o, xo[:, a])
+                    for a in range(dim)]
+        mio = tensor.multiindices(po, dim)
+        T = np.ones((len(mi), len(mio)))
+        for a in range(dim):
+            T = T * per_axis[a][mio[:, a], :].T
+        # gather old coefficients of the ancestors
+        bs_o = (po + 1) ** dim
+        idx = old.offsets[anc[sel]][:, None] + np.arange(bs_o)[None, :]
+        xold = jnp.asarray(saved.flat[idx], dtype)
+        vals = jnp.einsum("nj,ij->ni", xold, jnp.asarray(T, dtype),
+                          preferred_element_type=dtype)
+        pos = new_basis.elem_bucket_pos[sel]
+        out[pn] = out[pn].at[jnp.asarray(pos)].set(vals)
+    return out
+
+
+def save_degrees(basis: DGBasis) -> np.ndarray:
+    """Snapshot the degree map (saveDegrees, persistentbasis.hh:29-39)."""
+    return basis.degrees.copy()
+
+
+def degrees_after_refine(old_degrees: np.ndarray, new_mesh) -> np.ndarray:
+    """Carry per-element degrees to a refined mesh: children inherit the
+    parent's degree (updateDegrees analog, persistentbasis.hh:41-48)."""
+    if new_mesh.parent is None:
+        return old_degrees.copy()
+    return old_degrees[new_mesh.parent].astype(np.int32)

@@ -55,6 +55,7 @@ class Mesh:
     # refinement hierarchy links (None for a base mesh)
     parent: np.ndarray | None = None  # (n,) int32 index into the parent mesh
     child_pos: np.ndarray | None = None  # (n,) int32 in [0, 2^dim)
+    parent_mesh: "Mesh | None" = None  # the mesh ``parent`` indexes into
 
     @property
     def n_elements(self) -> int:
@@ -137,12 +138,13 @@ def _build_faces(lower: np.ndarray, extent: np.ndarray) -> tuple[Faces, Boundary
 
 
 def from_boxes(lower: np.ndarray, extent: np.ndarray, parent=None,
-               child_pos=None) -> Mesh:
+               child_pos=None, parent_mesh=None) -> Mesh:
     lower = np.asarray(lower, dtype=np.float64)
     extent = np.asarray(extent, dtype=np.float64)
     faces, bfaces = _build_faces(lower, extent)
     return Mesh(dim=lower.shape[1], lower=lower, extent=extent, faces=faces,
-                bfaces=bfaces, parent=parent, child_pos=child_pos)
+                bfaces=bfaces, parent=parent, child_pos=child_pos,
+                parent_mesh=parent_mesh)
 
 
 def structured(cells, lower=None, upper=None, mask=None) -> Mesh:
@@ -196,7 +198,7 @@ def refine(mesh: Mesh, marks: np.ndarray | None = None) -> Mesh:
     parent = np.repeat(np.arange(n, dtype=np.int32), nc)
     child_pos = np.tile(np.arange(nc, dtype=np.int32), n)
     return from_boxes(child_lower, child_extent, parent=parent,
-                      child_pos=child_pos)
+                      child_pos=child_pos, parent_mesh=mesh)
 
 
 def hierarchy(base: Mesh, levels: int) -> list[Mesh]:

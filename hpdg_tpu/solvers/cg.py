@@ -76,6 +76,8 @@ def loop_solve(step_fn, x0: dict, b: dict, matvec_fn=None, tol: float = 1e-8,
             norm_fn = lambda c: jnp.sqrt(jnp.abs(bv.dot(c, matvec_fn(c))))  # noqa: E731
         else:
             norm_fn = bv.norm
+    step_fn = jax.jit(step_fn)
+    norm_fn = jax.jit(norm_fn)
     x = x0
     history = []
     for k in range(maxiter):

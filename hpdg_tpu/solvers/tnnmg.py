@@ -1,0 +1,153 @@
+"""TNNMG: truncated nonsmooth Newton multigrid for obstacle problems.
+
+Rebuild of the reference's obstacle pipeline
+(buildingblocks/solve.hh:40-124 + iterationsteps/partnnmgstep.hh:29-232,
+which wraps dune-tnnmg): minimize J(x) = 1/2 x^T A x - b^T x subject to
+box constraints lo <= x <= up.  One TNNMG sweep is
+
+1. nonlinear (projected) block Gauss-Seidel pre-smoothing
+   (dune-tnnmg NonlinearGSStep + ScalarObstacleSolver analog; here a
+   colored sweep whose local solver is a projected scalar GS inside each
+   diagonal block — batched over all blocks of a color);
+2. truncation: dofs at an active obstacle are frozen
+   (partnnmgstep.hh:147-158);
+3. one linear multigrid step on the truncated defect problem;
+4. projection of the correction into the defect constraints;
+5. exact quadratic line search, NaN-guarded (partnnmgstep.hh:183-188).
+
+Energy monotonicity comes from (1) and (5); the TPU twist is that every
+stage is a fixed-shape batched kernel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.linalg import blockvector as bv
+from hpdg_tpu.linalg import blockmatrix as bm
+from hpdg_tpu.solvers import smoothers as sm
+
+
+def projected_block_gs_step(A: bm.BlockSparseMatrix, basis: DGBasis,
+                            lo: dict, up: dict, colors=None,
+                            inner_sweeps: int = 2):
+    """Colored block GS whose local solve is a projected scalar GS on the
+    diagonal block (the nested GSCore of dynamicblockgs.hh:17-40 plus
+    obstacle clamping = dune-tnnmg's ScalarObstacleSolver)."""
+    colors = sm.greedy_coloring(basis.mesh) if colors is None else colors
+    ncol = int(colors.max()) + 1
+    D = bm.extract_diagonal(A)
+    masks = {}
+    for p in basis.bucket_degrees:
+        cc = colors[basis.bucket_elems[p]]
+        masks[p] = [np.where(cc == c)[0].astype(np.int32) for c in range(ncol)]
+
+    def local_projected_gs(Dm, r, x0, lo_b, up_b):
+        """Solve argmin over the box of the local quadratic; Dm [n,bs,bs],
+        r = local block rhs (residual + Dm x0), x0 [n,bs] start."""
+        bs = Dm.shape[1]
+        y = x0
+
+        def one_sweep(y):
+            for i in range(bs):
+                # y_i = clip((r_i - sum_{j != i} D_ij y_j) / D_ii)
+                s = jnp.einsum("nj,nj->n", Dm[:, i, :], y) \
+                    - Dm[:, i, i] * y[:, i]
+                yi = (r[:, i] - s) / Dm[:, i, i]
+                yi = jnp.clip(yi, lo_b[:, i], up_b[:, i])
+                y = y.at[:, i].set(yi)
+            return y
+
+        for _ in range(inner_sweeps):
+            y = one_sweep(y)
+        return y
+
+    def step(x, b):
+        for c in range(ncol):
+            r = bv.sub(b, bm.matvec(A, x))
+            newx = {}
+            for p in x:
+                pos = masks[p][c]
+                if len(pos) == 0:
+                    newx[p] = x[p]
+                    continue
+                posj = jnp.asarray(pos)
+                Dm = D[p][posj]
+                x_loc = x[p][posj]
+                # local rhs: block residual + D x_loc (so the local solve
+                # recomputes the block unknowns from scratch)
+                r_loc = r[p][posj] + jnp.einsum("nij,nj->ni", Dm, x_loc)
+                y = local_projected_gs(Dm, r_loc, x_loc, lo[p][posj],
+                                       up[p][posj])
+                newx[p] = x[p].at[posj].set(y)
+            x = newx
+        return x
+
+    return step
+
+
+def solve_tnnmg(A: bm.BlockSparseMatrix, b: dict, basis: DGBasis,
+                lo: dict, up: dict, mg_step=None, x0: dict | None = None,
+                tol: float = 1e-9, maxiter: int = 100, pre_sweeps: int = 1,
+                active_eps: float = 1e-13, verbose: bool = False):
+    """Full TNNMG loop (solveObstacle analog, buildingblocks/solve.hh:40-124).
+
+    Returns (x, info) with per-iteration correction norms, damping
+    factors and truncated-dof counts (the reference's custom LoopSolver
+    criterion columns, solve.hh:101-119).
+    """
+    if mg_step is None:
+        from hpdg_tpu.solvers.multigrid import multigrid_solver
+        mg_step, _ = multigrid_solver(basis, A)
+    mg_step = jax.jit(mg_step)
+    smoother = jax.jit(projected_block_gs_step(A, basis, lo, up))
+    x = bv.zeros_like(b) if x0 is None else x0
+    # make the start feasible
+    x = jax.tree.map(jnp.clip, x, lo, up)
+
+    energy = lambda v: 0.5 * bv.dot(v, bm.matvec(A, v)) - bv.dot(b, v)  # noqa: E731
+    history = {"correction": [], "damping": [], "truncated": [],
+               "energy": []}
+    for it in range(maxiter):
+        x_old = x
+        for _ in range(pre_sweeps):
+            x = smoother(x, b)
+        # truncation masks: frozen where at an obstacle
+        free = {}
+        ntrunc = 0
+        for p in x:
+            tol_p = active_eps * (1 + jnp.abs(x[p]))
+            at_lo = jnp.isfinite(lo[p]) & (x[p] - lo[p] <= tol_p)
+            at_up = jnp.isfinite(up[p]) & (up[p] - x[p] <= tol_p)
+            free[p] = jnp.logical_not(at_lo | at_up)
+            ntrunc += int(jnp.sum(~free[p]))
+        r = bv.sub(b, bm.matvec(A, x))
+        r_masked = {p: jnp.where(free[p], r[p], 0.0) for p in r}
+        c = mg_step(bv.zeros_like(b), r_masked)
+        c = {p: jnp.where(free[p], c[p], 0.0) for p in c}
+        # project the trial point into the constraints
+        c = jax.tree.map(lambda cc, xx, ll, uu: jnp.clip(xx + cc, ll, uu) - xx,
+                         c, x, lo, up)
+        # exact quadratic line search on [0, 1], NaN-guarded
+        cAc = bv.dot(c, bm.matvec(A, c))
+        rc = bv.dot(r, c)
+        alpha = jnp.where(cAc > 0, rc / cAc, 1.0)
+        alpha = jnp.clip(jnp.nan_to_num(alpha, nan=0.0), 0.0, 1.0)
+        x = bv.axpy(alpha, c, x)
+        corr = float(bv.norm(bv.sub(x, x_old)))
+        history["correction"].append(corr)
+        history["damping"].append(float(alpha))
+        history["truncated"].append(ntrunc)
+        history["energy"].append(float(energy(x)))
+        if verbose:
+            print(f"tnnmg it={it} corr={corr:.3e} alpha={float(alpha):.3f} "
+                  f"trunc={ntrunc}")
+        if corr < tol:
+            break
+    history["iterations"] = len(history["correction"])
+    return x, history

@@ -1,0 +1,82 @@
+"""Obstacle problems via TNNMG (BASELINE config 5)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from hpdg_tpu import mesh as hmesh
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.blocks import api
+from hpdg_tpu.linalg import blockmatrix as bm, blockvector as bv
+from hpdg_tpu.solvers.tnnmg import projected_block_gs_step, solve_tnnmg
+
+
+def setup_problem(n=4, p=2):
+    m = hmesh.structured((n, n), lower=(-1, -1), upper=(1, 1))
+    basis = DGBasis(m, np.full(m.n_elements, p))
+    A = api.laplace(basis, penalty=2.0, dirichlet=True)
+    # constant downward load pushes the membrane into the lower obstacle
+    b = api.l2_functional(basis, lambda x: -8.0 + 0.0 * x[..., 0])
+    lo, up = api.constant_bounds(basis, lower=-0.2)
+    return basis, A, b, lo, up
+
+
+def energy(A, b, x):
+    return float(0.5 * bv.dot(x, bm.matvec(A, x)) - bv.dot(b, x))
+
+
+def test_projected_gs_respects_bounds_and_decreases_energy():
+    basis, A, b, lo, up = setup_problem(3, 2)
+    step = projected_block_gs_step(A, basis, lo, up)
+    x = bv.zeros_like(b)
+    e_prev = energy(A, b, x)
+    for _ in range(10):
+        x = step(x, b)
+        e = energy(A, b, x)
+        assert e <= e_prev + 1e-12
+        e_prev = e
+    for p in x:
+        assert np.all(np.asarray(x[p]) >= np.asarray(lo[p]) - 1e-12)
+
+
+def test_tnnmg_converges_and_activates_obstacle():
+    basis, A, b, lo, up = setup_problem(4, 2)
+    x, info = api.solve_obstacle(basis, A, b, lo, up, tol=1e-10, maxiter=60)
+    # energy decreased monotonically
+    en = info["energy"]
+    assert all(b2 <= a2 + 1e-10 for a2, b2 in zip(en, en[1:]))
+    # contact zone exists: some dofs sit at the obstacle
+    assert max(info["truncated"]) > 0
+    # feasibility
+    for p in x:
+        assert np.all(np.asarray(x[p]) >= np.asarray(lo[p]) - 1e-10)
+    # complementarity: residual <= 0 at active lower-obstacle dofs (pushing
+    # down), ~0 at free dofs
+    r = bv.sub(b, bm.matvec(A, x))
+    for p in x:
+        xa, la, ra = (np.asarray(x[p]), np.asarray(lo[p]), np.asarray(r[p]))
+        active = xa - la < 1e-9
+        assert np.all(ra[active] <= 1e-7)
+        assert np.max(np.abs(ra[~active])) < 1e-6
+
+
+def test_tnnmg_matches_long_projected_gs():
+    basis, A, b, lo, up = setup_problem(3, 1)
+    x_t, _ = api.solve_obstacle(basis, A, b, lo, up, tol=1e-12, maxiter=200)
+    step = projected_block_gs_step(A, basis, lo, up, inner_sweeps=3)
+    x_gs = bv.zeros_like(b)
+    import jax as _jax
+    step = _jax.jit(step)
+    for _ in range(3000):
+        x_gs = step(x_gs, b)
+    d = float(bv.norm(bv.sub(x_t, x_gs)))
+    assert d < 1e-7, d
+
+
+def test_unconstrained_tnnmg_equals_linear_solve():
+    basis, A, b, lo, up = setup_problem(3, 2)
+    lo, up = api.constant_bounds(basis)  # infinite bounds
+    x_t, info = api.solve_obstacle(basis, A, b, lo, up, tol=1e-11,
+                                   maxiter=100)
+    x_l, _ = api.solve_linear(basis, A, b, tol=1e-12, maxiter=100)
+    assert float(bv.norm(bv.sub(x_t, x_l))) < 1e-7
+    assert max(info["truncated"]) == 0
