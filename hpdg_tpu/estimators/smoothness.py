@@ -39,14 +39,18 @@ def smoothness_indicator(basis: DGBasis, x: dict) -> np.ndarray:
             C = np.kron(C, C1)
         coeffs = np.asarray(x[p]) @ C.T  # (n, n_local) modal coefficients
         mi = tensor.multiindices(p, dim)
-        deg = mi.sum(axis=1)  # |k|_1
-        # least-squares slope of log|c| vs deg, skipping deg 0
-        sel = deg > 0
-        d = deg[sel].astype(np.float64)
-        logc = np.log(np.maximum(np.abs(coeffs[:, sel]), 1e-300))
-        dbar = d.mean()
-        denom = ((d - dbar) ** 2).sum()
-        slope = ((logc - logc.mean(axis=1, keepdims=True))
-                 @ (d - dbar)) / max(denom, 1e-300)
-        out[basis.bucket_elems[p]] = np.exp(slope)  # e^{-m}, m = -slope
+        deg = mi.sum(axis=1).astype(np.float64)  # |k|_1
+        # reference semantics (smoothnessindicator.hh:28-41): fit
+        # y = |log|c||  against |k|_1 over ALL indices; return e^{-slope};
+        # NaN slope (e.g. from zero coefficients) counts as smooth -> 0.
+        with np.errstate(divide="ignore"):
+            y = np.abs(np.log(np.abs(coeffs)))
+        dbar = deg.mean()
+        denom = ((deg - dbar) ** 2).sum()
+        with np.errstate(invalid="ignore"):
+            slope = ((y - y.mean(axis=1, keepdims=True))
+                     @ (deg - dbar)) / denom
+            ind = np.exp(-slope)
+        ind = np.where(np.isnan(slope), 0.0, ind)
+        out[basis.bucket_elems[p]] = ind
     return out
