@@ -1,0 +1,163 @@
+"""Benchmark: 3D SIPG Poisson p=4 on one TPU chip (BASELINE headline).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+* metric/value: assembled DOF/s for the 3D SIPG p=4 stiffness matrix
+  (bulk + faces + Dirichlet), jitted with a traced geometry scale so XLA
+  cannot constant-fold the assembly.
+* vs_baseline: ratio against the single-core C++ reference implementing
+  the dune-hpdg assembly algorithm generalized to 3D
+  (cpp/baseline_sipg3d.cc, verified to produce the identical operator to
+  3e-15); its DOF/s is cached in cpp/baseline_result.json and re-measured
+  here if the binary is available.
+* extra sub-metrics (matrix-free apply DOF/s, multigrid time-to-1e-8)
+  go to stderr so stdout stays a single JSON line.
+"""
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+REPO = Path(__file__).resolve().parent
+
+
+def _force(out):
+    """Fetch one scalar from a pytree output — forces the whole executable
+    to have completed (outputs materialize together), unlike
+    block_until_ready which can return at enqueue time over the axon
+    tunnel."""
+    leaf = jax.tree.leaves(out)[0]
+    return float(leaf.reshape(-1)[0])
+
+
+def timeit(fn, *args, reps: int = 20):
+    """Steady-state seconds per call: `reps` async dispatches back to back
+    (they serialize on the device), one final host fetch.  The single
+    fetch's tunnel RTT is amortized into the result (slightly
+    pessimistic, i.e. conservative for DOF/s claims)."""
+    _force(fn(*args))  # compile + warm
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = fn(*args)
+    _force(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def cpp_baseline_dofs_per_s() -> float:
+    cache = REPO / "cpp" / "baseline_result.json"
+    exe = REPO / "cpp" / "baseline_sipg3d"
+    src = REPO / "cpp" / "baseline_sipg3d.cc"
+    try:
+        if not exe.exists() and src.exists():
+            subprocess.run(["g++", "-O3", "-march=native", "-std=c++17",
+                            "-o", str(exe), str(src)], check=True, timeout=120)
+        if exe.exists():
+            out = subprocess.run([str(exe), "8"], capture_output=True,
+                                 text=True, timeout=300, check=True)
+            res = json.loads(out.stdout.strip())
+            cache.write_text(json.dumps(res))
+            return float(res["dofs_per_s"])
+    except Exception as e:  # fall back to the cached measurement
+        log(f"# cpp baseline re-measure failed ({e}); using cache")
+    if cache.exists():
+        return float(json.loads(cache.read_text())["dofs_per_s"])
+    return float("nan")
+
+
+def main():
+    from hpdg_tpu import mesh as hmesh
+    from hpdg_tpu.basis.dgbasis import DGBasis
+    from hpdg_tpu.assemble import assemble_laplace, build_plan
+    from hpdg_tpu.matrixfree import sipg_operator
+
+    dtype = jnp.float32
+    p, n = 4, 12
+    mesh = hmesh.structured((n, n, n))
+    basis = DGBasis(mesh, np.full(mesh.n_elements, p))
+    plan = build_plan(basis)
+    ndof = basis.ndof
+    log(f"# assembly bench: {n}^3 hexes, p={p}, {ndof} dofs on "
+        f"{jax.devices()[0]}")
+
+    asm = jax.jit(lambda s: assemble_laplace(
+        basis, penalty=2.0, dirichlet=True, plan=plan, dtype=dtype,
+        geom_scale=s).values)
+    t_asm = timeit(asm, jnp.float32(1.0))
+    asm_rate = ndof / t_asm
+    log(f"# assembly: {t_asm*1e3:.2f} ms -> {asm_rate:,.0f} DOF/s")
+
+    # ---- extra: matrix-free sum-factorized apply ----
+    try:
+        n2 = 16
+        mesh2 = hmesh.structured((n2, n2, n2))
+        basis2 = DGBasis(mesh2, np.full(mesh2.n_elements, p))
+        op = jax.jit(sipg_operator(basis2, penalty=2.0, dirichlet=True,
+                                   dtype=dtype))
+        x = {p: jnp.asarray(np.random.default_rng(1).standard_normal(
+            (mesh2.n_elements, (p + 1) ** 3)), dtype)}
+        t_ap = timeit(op, x)
+        log(f"# matrix-free apply ({n2}^3, {basis2.ndof} dofs): "
+            f"{t_ap*1e3:.2f} ms -> {basis2.ndof/t_ap:,.0f} DOF/s")
+    except Exception as e:
+        log(f"# matrix-free bench failed: {e}")
+
+    # ---- extra: multigrid time to 1e-8 relative residual ----
+    try:
+        from hpdg_tpu.solvers.multigrid import multigrid_solver
+        from hpdg_tpu.linalg import blockmatrix as bm, blockvector as bvv
+        from hpdg_tpu.assemble import l2_functional
+        mg_dtype = jnp.float64
+        A = assemble_laplace(basis, penalty=2.0, dirichlet=True, plan=plan,
+                             dtype=mg_dtype)
+        factory = lambda bas: assemble_laplace(  # noqa: E731
+            bas, penalty=2.0, dirichlet=True, dtype=mg_dtype)
+        step, _ = multigrid_solver(basis, A, operator_factory=factory,
+                                   dtype=mg_dtype)
+        f = lambda x: (2 * jnp.pi**2  # noqa: E731
+                       * jnp.sin(jnp.pi * x[..., 0])
+                       * jnp.sin(jnp.pi * x[..., 1])
+                       * jnp.sin(jnp.pi * x[..., 2]))
+        b = l2_functional(basis, f, dtype=mg_dtype)
+        jstep = jax.jit(step)
+        x0 = bvv.zeros_like(b)
+        jax.block_until_ready(jstep(x0, b))  # compile
+        nb = float(bvv.norm(b))
+        x = x0
+        t0 = time.perf_counter()
+        cycles = 0
+        while cycles < 50:
+            x = jstep(x, b)
+            cycles += 1
+            r = float(bvv.norm(bvv.sub(b, bm.matvec(A, x))))
+            if r <= 1e-8 * nb:
+                break
+        jax.block_until_ready(x)
+        t_mg = time.perf_counter() - t0
+        log(f"# multigrid: rel residual {r/nb:.2e} after {cycles} cycles, "
+            f"{t_mg:.3f} s ({ndof} dofs)")
+    except Exception as e:
+        log(f"# multigrid bench failed: {e}")
+
+    base = cpp_baseline_dofs_per_s()
+    vs = asm_rate / base if base == base else None
+    print(json.dumps({
+        "metric": "3d_sipg_p4_assembled_dofs_per_s",
+        "value": round(asm_rate, 1),
+        "unit": "DOF/s",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

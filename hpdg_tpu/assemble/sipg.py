@@ -37,17 +37,26 @@ def _sym(M):
 
 def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                      dirichlet: bool = False, diffusion=None,
-                     dtype=jnp.float64, plan: AssemblyPlan | None = None
-                     ) -> BlockSparseMatrix:
+                     dtype=jnp.float64, plan: AssemblyPlan | None = None,
+                     geom_scale=None) -> BlockSparseMatrix:
     """Assemble the (optionally variable-coefficient) SIPG stiffness matrix.
 
     ``diffusion``: optional vectorized scalar coefficient ``K(x)`` taking
     an array ``(..., dim)`` of physical points.  The analog of
     BuildingBlocks::laplace (buildingblocks/matrices.hh:29-89).
+
+    ``geom_scale``: optional (possibly traced) scalar s; assembles the
+    operator of the mesh with all extents multiplied by s.  For the
+    Laplacian, every consistency coefficient scales by s^(dim-2) and the
+    penalty part is scale-free, so a traced ``geom_scale`` makes the
+    whole assembly a real (non-constant-foldable) jitted computation —
+    used by bench.py and by uniform-rescaling use cases.
     """
     plan = plan or build_plan(basis)
     mesh = basis.mesh
     dim = mesh.dim
+    gs = 1.0 if geom_scale is None else geom_scale
+    gpow = gs ** (dim - 2)
     vals = zeros_values(plan.pattern, dim, dtype=dtype)
 
     # ---------------- bulk ----------------
@@ -60,16 +69,17 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
         invh2 = detJ[:, None] / ext**2  # (n, dim): detJ / h_a^2
         if diffusion is None:
             S = np.einsum("q,aiq,ajq->aij", w, G, G)
-            bulk = jnp.einsum("ea,aij->eij", jnp.asarray(invh2, dtype),
-                              jnp.asarray(S, dtype))
+            bulk = gpow * jnp.einsum("ea,aij->eij", jnp.asarray(invh2, dtype),
+                                     jnp.asarray(S, dtype))
         else:
             x = (mesh.lower[elems][:, None, :]
                  + vt["points"][None, :, :] * ext[:, None, :])
             k = jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
             kw = k * jnp.asarray(w, dtype)[None, :]
-            bulk = jnp.einsum("eq,ea,aiq,ajq->eij", kw,
-                              jnp.asarray(invh2, dtype),
-                              jnp.asarray(G, dtype), jnp.asarray(G, dtype))
+            bulk = gpow * jnp.einsum("eq,ea,aiq,ajq->eij", kw,
+                                     jnp.asarray(invh2, dtype),
+                                     jnp.asarray(G, dtype),
+                                     jnp.asarray(G, dtype))
         n = basis.bucket_size(p)
         vals[(p, p)] = vals[(p, p)].at[:n].add(bulk)
 
@@ -84,8 +94,8 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
         Vi, Di = fin["V"], fin["Dn"]
         Vo, Do = fout["V"], fout["Dn"]
         pen = penalty * pmax**2
-        c_in = jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_in, dtype)
-        c_out = jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_out, dtype)
+        c_in = gpow * jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_in, dtype)
+        c_out = gpow * jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_out, dtype)
 
         if diffusion is None:
             AVDi = np.einsum("iq,q,jq->ij", Vi, w, Di)
@@ -143,7 +153,7 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             ft = tensor.face_tables(p, dim, ax, side, p + 2, family=basis.family)
             w, V, D = ft["weights"], ft["V"], ft["Dn"]
             pen = penalty * p**2
-            c = jnp.asarray(-sign * bg.fmeas * bg.inv_h, dtype)
+            c = gpow * jnp.asarray(-sign * bg.fmeas * bg.inv_h, dtype)
             if diffusion is None:
                 AVD = np.einsum("iq,q,jq->ij", V, w, D)
                 BVV = np.einsum("iq,q,jq->ij", V, w, V)

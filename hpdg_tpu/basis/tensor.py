@@ -79,7 +79,9 @@ def face_tables(p: int, dim: int, axis: int, side: int, nq1: int,
       ``V``        (n_local, nqf)  value trace,
       ``Dn``       (n_local, nqf)  *reference* normal-axis derivative trace
                    (d/dx_axis, unsigned; multiply by ±1/h_axis for the
-                   physical outward-normal derivative).
+                   physical outward-normal derivative),
+      ``Dall``     (dim, n_local, nqf)  reference derivative traces along
+                   EVERY axis (needed for traction terms in elasticity).
     """
     t = lagrange.tables(p, nq1, family=family, quad_family=quad_family)
     tang = [a for a in range(dim) if a != axis]
@@ -99,7 +101,17 @@ def face_tables(p: int, dim: int, axis: int, side: int, nq1: int,
             d_mats.append(t.values)
     V = _outer_flatten(v_mats)
     Dn = _outer_flatten(d_mats)
-    return {"points": pts, "weights": w, "V": V, "Dn": Dn, "t1d": t}
+    Dall = np.zeros((dim,) + V.shape)
+    for b in range(dim):
+        mats = []
+        for a in range(dim):
+            if a == axis:
+                mats.append((end_d if a == b else end_v)[:, None])
+            else:
+                mats.append(t.derivatives if a == b else t.values)
+        Dall[b] = _outer_flatten(mats)
+    return {"points": pts, "weights": w, "V": V, "Dn": Dn, "Dall": Dall,
+            "t1d": t}
 
 
 @functools.lru_cache(maxsize=None)

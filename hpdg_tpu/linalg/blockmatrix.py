@@ -148,13 +148,14 @@ def extract_diagonal(A: BlockSparseMatrix) -> dict:
 def to_dense(A: BlockSparseMatrix, basis_row, basis_col=None) -> np.ndarray:
     """Flat dense matrix in element order (host, for tests/oracle diff)."""
     basis_col = basis_col or basis_row
-    M = np.zeros((basis_row.ndof, basis_col.ndof))
+    cr, cc = A.block_shape
+    M = np.zeros((basis_row.ndof * cr, basis_col.ndof * cc))
     for (pr, pc), (rows, cols) in A.pattern.entries.items():
         vals = np.asarray(A.values[(pr, pc)])
         relems = basis_row.bucket_elems[pr][rows]
         celems = basis_col.bucket_elems[pc][cols]
-        ro = basis_row.offsets[relems]
-        co = basis_col.offsets[celems]
+        ro = basis_row.offsets[relems] * cr
+        co = basis_col.offsets[celems] * cc
         br, bc = vals.shape[1], vals.shape[2]
         for k in range(len(rows)):
             M[ro[k]:ro[k] + br, co[k]:co[k] + bc] += vals[k]

@@ -23,31 +23,35 @@ from hpdg_tpu.basis.dgbasis import DGBasis
 # A BlockVector is just: dict[int, jnp.ndarray]  (degree -> [n_p, bs_p])
 
 
-def zeros(basis: DGBasis, dtype=jnp.float64) -> dict:
+def zeros(basis: DGBasis, dtype=jnp.float64, ncomp: int = 1) -> dict:
+    """ncomp > 1: vector-valued block vector (component-major per element)."""
     return {
-        p: jnp.zeros((basis.bucket_size(p), basis.n_local(p)), dtype=dtype)
+        p: jnp.zeros((basis.bucket_size(p), ncomp * basis.n_local(p)),
+                     dtype=dtype)
         for p in basis.bucket_degrees
     }
 
 
-def from_flat(basis: DGBasis, flat: np.ndarray, dtype=None) -> dict:
+def from_flat(basis: DGBasis, flat: np.ndarray, dtype=None,
+              ncomp: int = 1) -> dict:
     flat = np.asarray(flat)
     dtype = dtype or flat.dtype
     out = {}
     for p in basis.bucket_degrees:
         elems = basis.bucket_elems[p]
-        bs = basis.n_local(p)
-        idx = basis.offsets[elems][:, None] + np.arange(bs)[None, :]
+        bs = ncomp * basis.n_local(p)
+        idx = ncomp * basis.offsets[elems][:, None] + np.arange(bs)[None, :]
         out[p] = jnp.asarray(flat[idx], dtype=dtype)
     return out
 
 
-def to_flat(basis: DGBasis, x: dict) -> np.ndarray:
-    flat = np.zeros(basis.ndof, dtype=np.asarray(x[basis.bucket_degrees[0]]).dtype)
+def to_flat(basis: DGBasis, x: dict, ncomp: int = 1) -> np.ndarray:
+    flat = np.zeros(ncomp * basis.ndof,
+                    dtype=np.asarray(x[basis.bucket_degrees[0]]).dtype)
     for p in basis.bucket_degrees:
         elems = basis.bucket_elems[p]
-        bs = basis.n_local(p)
-        idx = basis.offsets[elems][:, None] + np.arange(bs)[None, :]
+        bs = ncomp * basis.n_local(p)
+        idx = ncomp * basis.offsets[elems][:, None] + np.arange(bs)[None, :]
         flat[idx] = np.asarray(x[p])
     return flat
 
@@ -83,13 +87,15 @@ def zeros_like(x: dict) -> dict:
     return jax.tree.map(jnp.zeros_like, x)
 
 
-def random(basis: DGBasis, seed: int = 1887, dtype=jnp.float64) -> dict:
+def random(basis: DGBasis, seed: int = 1887, dtype=jnp.float64,
+           ncomp: int = 1) -> dict:
     """Deterministic pseudo-random vector (fixed seed 1887, mirroring the
     reference's test fixture test/randomvector.hh:11-24)."""
     rng = np.random.default_rng(seed)
     return {
         p: jnp.asarray(
-            rng.standard_normal((basis.bucket_size(p), basis.n_local(p))),
+            rng.standard_normal((basis.bucket_size(p),
+                                 ncomp * basis.n_local(p))),
             dtype=dtype,
         )
         for p in basis.bucket_degrees

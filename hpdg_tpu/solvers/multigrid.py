@@ -139,27 +139,29 @@ def dense_coarse_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
     (solversetup.hh:207-215) — on TPU a small dense factorization
     beats a sequential sweep.
     """
+    ncomp = A.block_shape[0]
     Ad = bm.to_dense(A, basis)
     Ad = 0.5 * (Ad + Ad.T)
-    chol = jnp.asarray(np.linalg.cholesky(Ad), dtype)
+    try:
+        fac = jnp.asarray(np.linalg.cholesky(Ad), dtype)
+        solve_dense = lambda f: jax.scipy.linalg.cho_solve((fac, True), f)  # noqa: E731
+    except np.linalg.LinAlgError:
+        # not SPD (e.g. under-penalized SIPG): fall back to a dense inverse
+        inv = jnp.asarray(np.linalg.inv(Ad), dtype)
+        solve_dense = lambda f: inv @ f  # noqa: E731
+
+    def idx_of(p):
+        elems = basis.bucket_elems[p]
+        bs = ncomp * basis.n_local(p)
+        return ncomp * basis.offsets[elems][:, None] + np.arange(bs)[None, :]
 
     def solve(b: dict) -> dict:
-        bf_parts = []
         # flatten in element order on device
-        flat = jnp.zeros(basis.ndof, dtype=dtype)
+        flat = jnp.zeros(ncomp * basis.ndof, dtype=dtype)
         for p in basis.bucket_degrees:
-            elems = basis.bucket_elems[p]
-            bs = basis.n_local(p)
-            idx = basis.offsets[elems][:, None] + np.arange(bs)[None, :]
-            flat = flat.at[jnp.asarray(idx)].set(b[p])
-        y = jax.scipy.linalg.cho_solve((chol, True), flat)
-        out = {}
-        for p in basis.bucket_degrees:
-            elems = basis.bucket_elems[p]
-            bs = basis.n_local(p)
-            idx = basis.offsets[elems][:, None] + np.arange(bs)[None, :]
-            out[p] = y[jnp.asarray(idx)]
-        return out
+            flat = flat.at[jnp.asarray(idx_of(p))].set(b[p])
+        y = solve_dense(flat)
+        return {p: y[jnp.asarray(idx_of(p))] for p in basis.bucket_degrees}
 
     return solve
 
@@ -167,14 +169,13 @@ def dense_coarse_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
 def gs_coarse_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
                      iterations: int = 40):
     """Colored block-GS coarse solve (the reference's choice,
-    solversetup.hh:207-215, with coloring instead of lexicographic order)."""
+    solversetup.hh:207-215, with coloring instead of lexicographic order).
+    Rolled as a lax.fori_loop so the XLA program stays small."""
     step = sm.colored_block_gs_step(A, basis)
 
     def solve(b: dict) -> dict:
         x = bv.zeros_like(b)
-        for _ in range(iterations):
-            x = step(x, b)
-        return x
+        return jax.lax.fori_loop(0, iterations, lambda i, xx: step(xx, b), x)
 
     return solve
 
@@ -211,10 +212,13 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
         else:
             raise ValueError(smoother)
         restrict = prolong = None
+        ncomp = A.block_shape[0]
         if l > 0:
             T = data.transfers[l - 1]
-            restrict = (lambda TT: lambda r: TT.restrict(r, dtype=dtype))(T)
-            prolong = (lambda TT: lambda c: TT.prolong(c, dtype=dtype))(T)
+            restrict = (lambda TT: lambda r: TT.restrict(
+                r, dtype=dtype, ncomp=ncomp))(T)
+            prolong = (lambda TT: lambda c: TT.prolong(
+                c, dtype=dtype, ncomp=ncomp))(T)
         levels.append(Level(apply=apply, pre_smooth=pre, post_smooth=post,
                             restrict=restrict, prolong=prolong,
                             pre_steps=pre_steps, post_steps=post_steps))

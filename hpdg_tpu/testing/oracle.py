@@ -227,3 +227,122 @@ def dirichlet_rhs(basis: DGBasis, g, penalty: float = 2.0) -> np.ndarray:
             xphys = mesh.lower[e] + x * h
             b[o:o + n] += tw[q] * fmeas * g(xphys) * (mu * v - dn)
     return b
+
+
+# ---------------------------------------------------------------------------
+# Linear elasticity (vector-valued) oracle.  Local dof ordering:
+# component-major, dof = c * (p+1)^dim + i  (component slowest).
+# ---------------------------------------------------------------------------
+
+def elasticity_matrix(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
+                      penalty: float = 2.0, dirichlet: bool = False
+                      ) -> np.ndarray:
+    """Dense SIPG matrix for linear elasticity:
+    a(u,v) = ∫ 2 mu eps(u):eps(v) + lam div u div v  + SIPG face terms with
+    traction averages {sigma(u) n} and vector jumps, penalty
+    sigma_0 max(p)^2/|f| [u].[v]."""
+    mesh = basis.mesh
+    dim = mesh.dim
+    nd = basis.ndof * dim
+    A = np.zeros((nd, nd))
+
+    def offs(e):
+        return basis.offsets[e] * dim, basis.block_sizes[e]
+
+    def sigma_n(G, e_comp, ax, h):
+        """(sigma(phi_j e_comp) n)_b for all j, b; G = ref grads (nl, dim),
+        already physical.  n = +e_ax (sign applied by caller)."""
+        nl = G.shape[0]
+        out = np.zeros((dim, nl))
+        for b in range(dim):
+            out[b] = mu * ((b == e_comp) * G[:, ax] + (e_comp == ax) * G[:, b])
+            out[b] += lam * (b == ax) * G[:, e_comp]
+        return out
+
+    # bulk
+    for e in range(mesh.n_elements):
+        p = int(basis.degrees[e])
+        nodes = lagrange.nodes_1d(p, basis.family)
+        qn, qw = quadrature.gauss_lobatto_for_order(2 * p)
+        pts, w = quadrature.tensor_rule(qn, qw, dim)
+        h = mesh.extent[e]
+        detJ = np.prod(h)
+        o, nl = offs(e)
+        for q in range(len(w)):
+            G = _grad_phi(nodes, pts[q], h)  # (nl, dim) physical grads
+            z = w[q] * detJ
+            for c in range(dim):
+                for ec in range(dim):
+                    blk = (mu * (c == ec) * (G @ G.T)
+                           + mu * np.outer(G[:, ec], G[:, c])
+                           + lam * np.outer(G[:, c], G[:, ec]))
+                    A[o + c * nl:o + (c + 1) * nl,
+                      o + ec * nl:o + (ec + 1) * nl] += z * blk
+
+    # interior faces
+    for f in range(len(mesh.faces)):
+        ei, eo = int(mesh.faces.inside[f]), int(mesh.faces.outside[f])
+        ax = int(mesh.faces.axis[f])
+        pi, po = int(basis.degrees[ei]), int(basis.degrees[eo])
+        pmax = max(pi, po)
+        qn, qw = quadrature.gauss_lobatto_for_order(2 * pmax)
+        tpts, tw = quadrature.tensor_rule(qn, qw, dim - 1)
+        nodes_i = lagrange.nodes_1d(pi, basis.family)
+        nodes_o = lagrange.nodes_1d(po, basis.family)
+        hi, ho = mesh.extent[ei], mesh.extent[eo]
+        fmeas = np.prod(np.delete(hi, ax))
+        pen = penalty * pmax**2 / fmeas
+        o1, n1 = offs(ei)
+        o2, n2 = offs(eo)
+        for q in range(len(tw)):
+            xi = _face_point(tpts[q], ax, 1, dim)
+            xo = _face_point(tpts[q], ax, 0, dim)
+            vi = _phi(nodes_i, xi)
+            vo = _phi(nodes_o, xo)
+            Gi = _grad_phi(nodes_i, xi, hi)
+            Go = _grad_phi(nodes_o, xo, ho)
+            z = tw[q] * fmeas
+            # sides: (value vec, sigma_n rows, jump sign)
+            sides = [(vi, Gi, +1.0, o1, n1), (vo, Go, -1.0, o2, n2)]
+            for (vA, GA, sA, oA, nA) in sides:          # test side
+                for (vB, GB, sB, oB, nB) in sides:      # trial side
+                    for c in range(dim):                # test component
+                        for ec in range(dim):           # trial component
+                            snB = sigma_n(GB, ec, ax, None)[c]  # (nlB,)
+                            snA = sigma_n(GA, c, ax, None)[ec]  # (nlA,)
+                            blk = (-0.5 * sA * np.outer(vA, snB)
+                                   - 0.5 * sB * np.outer(snA, vB)
+                                   + pen * (c == ec) * sA * sB
+                                   * np.outer(vA, vB))
+                            A[oA + c * nA:oA + (c + 1) * nA,
+                              oB + ec * nB:oB + (ec + 1) * nB] += z * blk
+
+    # Dirichlet boundary
+    if dirichlet:
+        for f in range(len(mesh.bfaces)):
+            e = int(mesh.bfaces.elem[f])
+            ax = int(mesh.bfaces.axis[f])
+            side = int(mesh.bfaces.side[f])
+            sgn = 1.0 if side == 1 else -1.0
+            p = int(basis.degrees[e])
+            qn, qw = quadrature.gauss_lobatto_for_order(2 * p)
+            tpts, tw = quadrature.tensor_rule(qn, qw, dim - 1)
+            nodes = lagrange.nodes_1d(p, basis.family)
+            h = mesh.extent[e]
+            fmeas = np.prod(np.delete(h, ax))
+            pen = penalty * p**2 / fmeas
+            o, nl = offs(e)
+            for q in range(len(tw)):
+                x = _face_point(tpts[q], ax, side, dim)
+                v = _phi(nodes, x)
+                G = sgn * _grad_phi(nodes, x, h)  # signed: sigma(u).n outward
+                z = tw[q] * fmeas
+                for c in range(dim):
+                    for ec in range(dim):
+                        snB = sigma_n(G, ec, ax, None)[c]
+                        snA = sigma_n(G, c, ax, None)[ec]
+                        blk = (-np.outer(v, snB) - np.outer(snA, v)
+                               + pen * (c == ec) * np.outer(v, v))
+                        A[o + c * nl:o + (c + 1) * nl,
+                          o + ec * nl:o + (ec + 1) * nl] += z * blk
+    return A

@@ -53,23 +53,31 @@ class ElementTransfer:
     group_of_fine: np.ndarray  # (n_fine,) group index
 
     # ------------------------------------------------------------------
-    def prolong(self, xc: dict, dtype=jnp.float64) -> dict:
-        xf = {p: jnp.zeros((self.fine.bucket_size(p), self.fine.n_local(p)),
+    def prolong(self, xc: dict, dtype=jnp.float64, ncomp: int = 1) -> dict:
+        """ncomp > 1: vector-valued (component-major) coefficients — the
+        transfer block acts on the node index of every component."""
+        xf = {p: jnp.zeros((self.fine.bucket_size(p),
+                            ncomp * self.fine.n_local(p)),
                            dtype=dtype) for p in self.fine.bucket_degrees}
         for g in self.groups:
-            vals = jnp.einsum("nj,ij->ni", xc[g.pc][jnp.asarray(g.coarse_pos)],
-                              jnp.asarray(g.T, dtype),
+            xloc = xc[g.pc][jnp.asarray(g.coarse_pos)]
+            xloc = xloc.reshape(xloc.shape[0], ncomp, -1)
+            vals = jnp.einsum("ncj,ij->nci", xloc, jnp.asarray(g.T, dtype),
                               preferred_element_type=dtype)
+            vals = vals.reshape(vals.shape[0], -1)
             xf[g.pf] = xf[g.pf].at[jnp.asarray(g.fine_pos)].set(vals)
         return xf
 
-    def restrict(self, rf: dict, dtype=jnp.float64) -> dict:
-        rc = {p: jnp.zeros((self.coarse.bucket_size(p), self.coarse.n_local(p)),
+    def restrict(self, rf: dict, dtype=jnp.float64, ncomp: int = 1) -> dict:
+        rc = {p: jnp.zeros((self.coarse.bucket_size(p),
+                            ncomp * self.coarse.n_local(p)),
                            dtype=dtype) for p in self.coarse.bucket_degrees}
         for g in self.groups:
-            vals = jnp.einsum("ni,ij->nj", rf[g.pf][jnp.asarray(g.fine_pos)],
-                              jnp.asarray(g.T, dtype),
+            rloc = rf[g.pf][jnp.asarray(g.fine_pos)]
+            rloc = rloc.reshape(rloc.shape[0], ncomp, -1)
+            vals = jnp.einsum("nci,ij->ncj", rloc, jnp.asarray(g.T, dtype),
                               preferred_element_type=dtype)
+            vals = vals.reshape(vals.shape[0], -1)
             rc[g.pc] = rc[g.pc].at[jnp.asarray(g.coarse_pos)].add(vals)
         return rc
 
@@ -128,18 +136,24 @@ class ElementTransfer:
         row_sizes = {p: coarse.bucket_size(p) for p in coarse.bucket_degrees}
         pattern = BlockPattern(row_sizes, dict(row_sizes), entries,
                                diag_first=True)
-        vals = zeros_values(pattern, fine.dim, dtype=dtype)
+        vals = zeros_values(pattern, fine.dim, block_shape=A.block_shape,
+                            dtype=dtype)
         # numeric phase
         for (fkey, sel, gri, gci, key, codes) in work:
             Gr, Gc = self.groups[gri], self.groups[gci]
             blocks = A.values[fkey][jnp.asarray(sel)]
-            tr = jnp.einsum("nij,ik,jl->nkl", blocks,
+            nb = blocks.shape[0]
+            cr, cc = A.block_shape
+            blocks = blocks.reshape(nb, cr, Gr.T.shape[0], cc, Gc.T.shape[0])
+            tr = jnp.einsum("naibj,ik,jl->nakbl", blocks,
                             jnp.asarray(Gr.T, dtype), jnp.asarray(Gc.T, dtype),
                             preferred_element_type=dtype)
+            tr = tr.reshape(nb, cr * Gr.T.shape[1], cc * Gc.T.shape[1])
             sorted_codes, order = slotmaps[key]
             slots = order[np.searchsorted(sorted_codes, codes)]
             vals[key] = vals[key].at[jnp.asarray(slots)].add(tr)
-        return BlockSparseMatrix(pattern, fine.dim, vals)
+        return BlockSparseMatrix(pattern, fine.dim, vals,
+                                 block_shape=A.block_shape)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,73 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh: the sharded
+matrix-free SIPG apply must agree with the single-device operator, and
+the sharded PCG must converge."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hpdg_tpu import mesh as hmesh
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.matrixfree import sipg_operator
+from hpdg_tpu.parallel.sharded import (build_sharded_poisson, pcg_step,
+                                       init_state, pcg_solve)
+from hpdg_tpu.linalg import blockvector as bv
+
+
+@pytest.mark.parametrize("cells,p", [((8, 3), 2), ((8, 4), 1), ((8, 2, 2), 2)])
+def test_sharded_apply_matches_serial(cells, p):
+    ndev = len(jax.devices())
+    assert ndev == 8
+    prob = build_sharded_poisson(cells, p, penalty=2.0, dirichlet=True)
+    # serial reference on the full global mesh
+    gmesh = hmesh.structured(cells)
+    gbasis = DGBasis(gmesh, np.full(gmesh.n_elements, p))
+    op = sipg_operator(gbasis, penalty=2.0, dirichlet=True)
+
+    rng = np.random.default_rng(1887)
+    bs = (p + 1) ** len(cells)
+    xg = rng.standard_normal((gmesh.n_elements, bs))
+    x_sharded = jax.device_put(jnp.asarray(xg), prob.sharding)
+    y_sharded = np.asarray(prob.apply(x_sharded))
+    y_serial = np.asarray(op({p: jnp.asarray(xg)})[p])
+    assert np.allclose(y_sharded, y_serial, atol=1e-11), \
+        np.abs(y_sharded - y_serial).max()
+
+
+def test_sharded_apply_single_device_fallback():
+    # ndev divides cells[0]=8; also exercise mask path with 8 devices and
+    # Neumann (dirichlet=False)
+    prob = build_sharded_poisson((8, 3), 2, penalty=2.0, dirichlet=False)
+    gmesh = hmesh.structured((8, 3))
+    gbasis = DGBasis(gmesh, np.full(24, 2))
+    op = sipg_operator(gbasis, penalty=2.0, dirichlet=False)
+    xg = np.random.default_rng(3).standard_normal((24, 9))
+    x_sharded = jax.device_put(jnp.asarray(xg), prob.sharding)
+    y = np.asarray(prob.apply(x_sharded))
+    yref = np.asarray(op({2: jnp.asarray(xg)})[2])
+    assert np.allclose(y, yref, atol=1e-11)
+
+
+def test_sharded_pcg_converges():
+    p = 2
+    prob = build_sharded_poisson((8, 4), p, penalty=2.0, dirichlet=True)
+    gmesh = hmesh.structured((8, 4))
+    gbasis = DGBasis(gmesh, np.full(32, p))
+    from hpdg_tpu.blocks import api
+    b_dict = api.l2_functional(
+        gbasis, lambda x: 2 * jnp.pi**2 * jnp.sin(jnp.pi * x[..., 0])
+        * jnp.sin(jnp.pi * x[..., 1]))
+    b = jax.device_put(b_dict[p], prob.sharding)
+    x, rn = pcg_solve(prob, b, iters=200)
+    rnorm = float(rn)
+    assert rnorm < 1e-9 * float(jnp.linalg.norm(b)) * 1e3
+    # sharded solution matches the serial solve
+    from hpdg_tpu.assemble import assemble_laplace
+    from hpdg_tpu.solvers import pcg as serial_pcg, smoothers
+    from hpdg_tpu.linalg import blockmatrix as bm
+    A = assemble_laplace(gbasis, penalty=2.0, dirichlet=True)
+    M = smoothers.block_jacobi_preconditioner(A)
+    xs, _ = serial_pcg(lambda v: bm.matvec(A, v), b_dict, precond=M,
+                       tol=1e-12, maxiter=500)
+    assert np.allclose(np.asarray(x), np.asarray(xs[p]), atol=1e-7)
