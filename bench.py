@@ -22,7 +22,9 @@ from pathlib import Path
 
 import numpy as np
 import jax
-import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)  # f64 for the MG sub-benchmark
+import jax.numpy as jnp  # noqa: E402
 
 REPO = Path(__file__).resolve().parent
 

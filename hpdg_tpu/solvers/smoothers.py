@@ -126,3 +126,107 @@ def richardson(step_fn, sweeps: int):
         return x
 
     return multi
+
+
+# ---------------------------------------------------------------------------
+# L1-regularized smoothing (the parallel-safe smoother, l1smoother.hh:20-145)
+# ---------------------------------------------------------------------------
+
+def l1_shifts(A: BlockSparseMatrix, ghost_slots: dict) -> dict:
+    """Per-scalar-row diagonal shifts d_i = sum over ghost-coupling blocks
+    of the row l1-norms (l1smoother.hh:31-57).
+
+    ghost_slots[(pr, pc)] = int array of slots in that value bucket whose
+    COLUMN partner lives on another shard (or is otherwise 'ghost').
+    Returns p -> [n_p, br] shift vectors.
+    """
+    out = {p: jnp.zeros((A.pattern.row_sizes[p],
+                         A.values[(p, p)].shape[1]),
+                        dtype=A.values[(p, p)].dtype)
+           for p in A.pattern.row_sizes}
+    for (pr, pc), slots in ghost_slots.items():
+        rows, _ = A.pattern.entries[(pr, pc)]
+        blocks = A.values[(pr, pc)][jnp.asarray(slots)]
+        contrib = jnp.sum(jnp.abs(blocks), axis=2)  # row l1-norms
+        out[pr] = out[pr].at[jnp.asarray(rows[slots])].add(contrib)
+    return out
+
+
+def l1_jacobi_step(A: BlockSparseMatrix, shifts: dict, omega: float = 1.0):
+    """Damped block Jacobi on (D + diag(shift)) — convergent under any
+    partitioning, the TPU analog of the reference's L1Smoother used on
+    every parallel multigrid level (parmgsetup.hh:184-195)."""
+    D = extract_diagonal(A)
+    Dinv = {}
+    for p, d in D.items():
+        br = d.shape[1]
+        eye = jnp.eye(br, dtype=d.dtype)
+        Dinv[p] = jnp.linalg.inv(d + shifts[p][:, :, None] * eye[None])
+
+    def step(x, b):
+        r = bv.sub(b, matvec(A, x))
+        upd = {p: jnp.einsum("nij,nj->ni", Dinv[p], r[p],
+                             preferred_element_type=r[p].dtype) for p in r}
+        return bv.axpy(omega, upd, x)
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Exact lexicographic block Gauss-Seidel (parity smoother)
+# ---------------------------------------------------------------------------
+
+def lexicographic_block_gs_step(A: BlockSparseMatrix, basis):
+    """Sequential block GS in element order, exactly matching the
+    reference's DynamicBlockGS sweep (dynamicblockgs.hh:94-126).
+
+    Sequential-by-construction (a lax.scan over block rows with padded
+    per-row gather), so it is SLOW on TPU — provided for residual-history
+    parity against the reference; production smoothers are the colored
+    variants above.  Uniform-degree bases only (one bucket).
+    """
+    if len(basis.bucket_degrees) != 1:
+        raise NotImplementedError("lexicographic GS: uniform degree only")
+    p = basis.bucket_degrees[0]
+    rows, cols = A.pattern.entries[(p, p)]
+    n = A.pattern.row_sizes[p]
+    # padded per-row structure
+    order = np.argsort(rows, kind="stable")
+    maxnnz = int(np.bincount(rows, minlength=n).max())
+    slot_pad = np.zeros((n, maxnnz), dtype=np.int32)
+    col_pad = np.zeros((n, maxnnz), dtype=np.int32)
+    mask_pad = np.zeros((n, maxnnz))
+    fill = np.zeros(n, dtype=np.int32)
+    for s in order:
+        r = rows[s]
+        slot_pad[r, fill[r]] = s
+        col_pad[r, fill[r]] = cols[s]
+        mask_pad[r, fill[r]] = 1.0
+        fill[r] += 1
+    diag = np.array([A.pattern.slot(p, p, r, r) for r in range(n)],
+                    dtype=np.int32)
+    vals = A.values[(p, p)]
+    Dinv = jnp.linalg.inv(vals[jnp.asarray(diag)])
+    slot_pad = jnp.asarray(slot_pad)
+    col_pad = jnp.asarray(col_pad)
+    mask_pad = jnp.asarray(mask_pad)
+
+    def step(x, b):
+        xb = x[p]
+
+        def body(xb, r):
+            blocks = vals[slot_pad[r]]            # (k, bs, bs)
+            xg = xb[col_pad[r]]                   # (k, bs)
+            ax = jnp.einsum("kij,kj->i", blocks * mask_pad[r][:, None, None],
+                            xg)
+            # add back the diagonal contribution so the local solve is
+            # a full re-solve of row r (dynamicblockgs.hh:94-126)
+            dblk = vals[jnp.asarray(diag)[r]]
+            res = b[p][r] - ax + dblk @ xb[r]
+            xnew = Dinv[r] @ res
+            return xb.at[r].set(xnew), None
+
+        xb, _ = jax.lax.scan(body, xb, jnp.arange(n))
+        return {p: xb}
+
+    return step
