@@ -21,7 +21,8 @@ import jax.numpy as jnp
 
 from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
-from hpdg_tpu.assemble.plan import AssemblyPlan, build_plan
+from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
+                                    face_group_tables)
 from hpdg_tpu.linalg.blockmatrix import BlockSparseMatrix, zeros_values
 
 
@@ -64,9 +65,7 @@ def assemble_elasticity(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
     for fg in plan.face_groups:
         pi, po, ax = fg.p_in, fg.p_out, fg.axis
         pmax = max(pi, po)
-        nq1 = pmax + 2
-        fin = tensor.face_tables(pi, d, ax, 1, nq1, family=basis.family)
-        fout = tensor.face_tables(po, d, ax, 0, nq1, family=basis.family)
+        fin, fout = face_group_tables(basis, fg, pmax + 2)
         w = fin["weights"]
         pen = penalty * pmax**2
         ein = mesh.faces.inside[fg.face_ids]

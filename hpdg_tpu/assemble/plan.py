@@ -30,12 +30,24 @@ class FaceGroup:
     face_ids: np.ndarray  # indices into mesh.faces
     in_pos: np.ndarray  # bucket positions of inside elements
     out_pos: np.ndarray
-    fmeas: np.ndarray  # face measures
+    fmeas: np.ndarray  # face measures (of the intersection = fine face)
     inv_h_in: np.ndarray  # 1 / extent[inside, axis]
     inv_h_out: np.ndarray
     slot12: np.ndarray  # slots into values[(p_in, p_out)]
     slot21: np.ndarray  # slots into values[(p_out, p_in)]
     # M11 slot == in_pos (diagonal), M22 slot == out_pos.
+    nc_code: int = 0  # 0 conforming; else hanging-node sub-face code
+
+    def tang_maps(self, dim: int):
+        """(tang_map_in, tang_map_out) for tensor.face_tables."""
+        if self.nc_code == 0:
+            return None, None
+        nt = dim - 1
+        sub = (self.nc_code - 1) % (2**nt)
+        coarse_out = (self.nc_code - 1) // (2**nt)
+        bits = [(sub >> (nt - 1 - t)) & 1 for t in range(nt)]
+        m = tuple((0.5 * b, 0.5) for b in bits)
+        return (None, m) if coarse_out else (m, None)
 
 
 @dataclass(frozen=True)
@@ -77,11 +89,12 @@ def build_plan(basis: DGBasis) -> AssemblyPlan:
     face_groups = []
     if nf:
         keys = np.stack(
-            [deg[faces.inside], deg[faces.outside], faces.axis], axis=-1
+            [deg[faces.inside], deg[faces.outside], faces.axis,
+             faces.nc_code], axis=-1
         )
         uniq, inv = np.unique(keys, axis=0, return_inverse=True)
-        for g, (pi, po, ax) in enumerate(uniq):
-            pi, po, ax = int(pi), int(po), int(ax)
+        for g, (pi, po, ax, ncc) in enumerate(uniq):
+            pi, po, ax, ncc = int(pi), int(po), int(ax), int(ncc)
             fids = np.where(inv == g)[0].astype(np.int32)
             ein = faces.inside[fids]
             eout = faces.outside[fids]
@@ -106,7 +119,7 @@ def build_plan(basis: DGBasis) -> AssemblyPlan:
                 fmeas=fmeas_all[fids],
                 inv_h_in=1.0 / mesh.extent[ein, ax],
                 inv_h_out=1.0 / mesh.extent[eout, ax],
-                slot12=slot12, slot21=slot21,
+                slot12=slot12, slot21=slot21, nc_code=ncc,
             ))
 
     bmeas_all = mesh.bface_measure()
@@ -135,3 +148,34 @@ def build_plan(basis: DGBasis) -> AssemblyPlan:
     return AssemblyPlan(basis=basis, pattern=pattern,
                         face_groups=tuple(face_groups),
                         boundary_groups=tuple(boundary_groups))
+
+
+def face_group_tables(basis, fg: FaceGroup, nq1: int):
+    """Trace tables for both sides of a face group, with the hanging-node
+    sub-face mapping applied to the coarse side (if any)."""
+    from hpdg_tpu.basis import tensor
+    dim = basis.mesh.dim
+    tm_in, tm_out = fg.tang_maps(dim)
+    fin = tensor.face_tables(fg.p_in, dim, fg.axis, 1, nq1,
+                             family=basis.family, tang_map=tm_in)
+    fout = tensor.face_tables(fg.p_out, dim, fg.axis, 0, nq1,
+                              family=basis.family, tang_map=tm_out)
+    return fin, fout
+
+
+def face_phys_points(basis, fg: FaceGroup, pts: np.ndarray) -> np.ndarray:
+    """Physical quadrature points of a face group: on the intersection
+    (= the fine face for non-conforming pairs).  (nf, nq, dim)."""
+    mesh = basis.mesh
+    dim = mesh.dim
+    ein = mesh.faces.inside[fg.face_ids]
+    eout = mesh.faces.outside[fg.face_ids]
+    lo = np.maximum(mesh.lower[ein], mesh.lower[eout])
+    ext = np.minimum(mesh.extent[ein], mesh.extent[eout])
+    lo[:, fg.axis] = mesh.lower[eout][:, fg.axis]  # the face plane
+    nq = len(pts)
+    x = np.repeat(lo[:, None, :], nq, axis=1)
+    tang = [a for a in range(dim) if a != fg.axis]
+    for t, a in enumerate(tang):
+        x[:, :, a] += pts[None, :, t] * ext[:, a][:, None]
+    return x

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 
 from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
-from hpdg_tpu.assemble.plan import AssemblyPlan, build_plan
+from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
+                                    face_group_tables, face_phys_points)
 from hpdg_tpu.linalg.blockmatrix import BlockSparseMatrix, zeros_values
 
 
@@ -88,8 +89,7 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
         pi, po, ax = fg.p_in, fg.p_out, fg.axis
         pmax = max(pi, po)
         nq1 = pmax + 2
-        fin = tensor.face_tables(pi, dim, ax, 1, nq1, family=basis.family)
-        fout = tensor.face_tables(po, dim, ax, 0, nq1, family=basis.family)
+        fin, fout = face_group_tables(basis, fg, nq1)
         w = fin["weights"]
         Vi, Di = fin["V"], fin["Dn"]
         Vo, Do = fout["V"], fout["Dn"]
@@ -114,14 +114,8 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             M21 = (c_out[:, None, None] * J(X1.T)
                    - c_in[:, None, None] * J(X2.T) - pen * J(X3.T))
         else:
-            # physical face quad points (same from both sides, conforming)
-            ein = mesh.faces.inside[fg.face_ids]
-            lo = mesh.lower[ein].copy()
-            lo[:, ax] += mesh.extent[ein, ax]  # face plane
-            tang = [a for a in range(dim) if a != ax]
-            x = np.repeat(lo[:, None, :], len(w), axis=1)
-            for t, a in enumerate(tang):
-                x[:, :, a] += fin["points"][None, :, t] * mesh.extent[ein, a][:, None]
+            # physical face quad points (on the intersection)
+            x = face_phys_points(basis, fg, fin["points"])
             k = jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)  # (nf, q)
             J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
             wj = J(w)

@@ -69,7 +69,8 @@ def volume_tables(p: int, dim: int, nq1: int, family: str = "lobatto",
 
 @functools.lru_cache(maxsize=None)
 def face_tables(p: int, dim: int, axis: int, side: int, nq1: int,
-                family: str = "lobatto", quad_family: str = "lobatto"):
+                family: str = "lobatto", quad_family: str = "lobatto",
+                tang_map: tuple | None = None):
     """Trace tables on the face {x_axis = side} of [0,1]^dim.
 
     The face is parametrized by the remaining dims in their natural
@@ -82,6 +83,13 @@ def face_tables(p: int, dim: int, axis: int, side: int, nq1: int,
                    physical outward-normal derivative),
       ``Dall``     (dim, n_local, nqf)  reference derivative traces along
                    EVERY axis (needed for traction terms in elasticity).
+
+    ``tang_map``: optional per-tangential-axis (offset, scale) pairs; the
+    tables are then evaluated at the mapped points offset + scale * t —
+    the sub-face re-evaluation for non-conforming (hanging-node) faces
+    (the reference's nonConformingMatrices,
+    gausslobattoipdgassembler.hh:444-462).  Quadrature weights stay those
+    of the (fine) face the quadrature lives on.
     """
     t = lagrange.tables(p, nq1, family=family, quad_family=quad_family)
     tang = [a for a in range(dim) if a != axis]
@@ -89,26 +97,40 @@ def face_tables(p: int, dim: int, axis: int, side: int, nq1: int,
         pts, w = quadrature.tensor_rule(t.qnodes, t.qweights, len(tang))
     else:
         pts, w = np.zeros((1, 0)), np.ones(1)
+    nodes = lagrange.nodes_1d(p, family)
+    tang_tabs = []
+    for ti in range(len(tang)):
+        if tang_map is None:
+            tang_tabs.append((t.values, t.derivatives))
+        else:
+            off, sc = tang_map[ti]
+            xq = off + sc * t.qnodes
+            tang_tabs.append((lagrange.lagrange_values(nodes, xq),
+                              lagrange.lagrange_derivatives(nodes, xq)))
     end_v = t.at1 if side == 1 else t.at0
     end_d = t.dat1 if side == 1 else t.dat0
     v_mats, d_mats = [], []
+    ti = 0
     for a in range(dim):
         if a == axis:
             v_mats.append(end_v[:, None])
             d_mats.append(end_d[:, None])
         else:
-            v_mats.append(t.values)
-            d_mats.append(t.values)
+            v_mats.append(tang_tabs[ti][0])
+            d_mats.append(tang_tabs[ti][0])
+            ti += 1
     V = _outer_flatten(v_mats)
     Dn = _outer_flatten(d_mats)
     Dall = np.zeros((dim,) + V.shape)
     for b in range(dim):
         mats = []
+        ti = 0
         for a in range(dim):
             if a == axis:
                 mats.append((end_d if a == b else end_v)[:, None])
             else:
-                mats.append(t.derivatives if a == b else t.values)
+                mats.append(tang_tabs[ti][1] if a == b else tang_tabs[ti][0])
+                ti += 1
         Dall[b] = _outer_flatten(mats)
     return {"points": pts, "weights": w, "V": V, "Dn": Dn, "Dall": Dall,
             "t1d": t}

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
-from hpdg_tpu.assemble.plan import AssemblyPlan, build_plan
+from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
+                                    face_group_tables)
 
 
 def _sym(M):
@@ -42,11 +43,7 @@ def sipg_diagonal_blocks(basis: DGBasis, penalty: float = 2.0,
 
     for fg in plan.face_groups:
         pmax = max(fg.p_in, fg.p_out)
-        nq1 = pmax + 2
-        fin = tensor.face_tables(fg.p_in, dim, fg.axis, 1, nq1,
-                                 family=basis.family)
-        fout = tensor.face_tables(fg.p_out, dim, fg.axis, 0, nq1,
-                                  family=basis.family)
+        fin, fout = face_group_tables(basis, fg, pmax + 2)
         w = fin["weights"]
         pen = penalty * pmax**2
         AVDi = np.einsum("iq,q,jq->ij", fin["V"], w, fin["Dn"])

@@ -15,7 +15,8 @@ import jax.numpy as jnp
 
 from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
-from hpdg_tpu.assemble.plan import AssemblyPlan, build_plan
+from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
+                                    face_group_tables)
 from hpdg_tpu.matrixfree.sumfact import _fwd_spec, _chain
 
 
@@ -52,10 +53,7 @@ def ipdg_local_norm(basis: DGBasis, penalty: float = 2.0,
         # interior faces: sigma max(p)^2/(2|f|) ∫ [x]^2 to both elements
         for fg in plan.face_groups:
             pmax = max(fg.p_in, fg.p_out)
-            fin = tensor.face_tables(fg.p_in, dim, fg.axis, 1, pmax + 2,
-                                     family=basis.family)
-            fout = tensor.face_tables(fg.p_out, dim, fg.axis, 0, pmax + 2,
-                                      family=basis.family)
+            fin, fout = face_group_tables(basis, fg, pmax + 2)
             u_in = x[fg.p_in][jnp.asarray(fg.in_pos)]
             u_out = x[fg.p_out][jnp.asarray(fg.out_pos)]
             jump = u_in @ jnp.asarray(fin["V"], dtype) - \

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
-from hpdg_tpu.assemble.plan import AssemblyPlan, build_plan
+from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
+                                    face_group_tables, face_phys_points)
 from hpdg_tpu.linalg import blockvector as bv
 
 _LETTERS = "ijkl"
@@ -123,30 +124,15 @@ def mass_operator(basis: DGBasis, dtype=jnp.float64):
 
 def _face_prep(basis: DGBasis, plan: AssemblyPlan, dtype):
     """Static per-face-group data for the SIPG skeleton terms."""
-    dim = basis.dim
     groups = []
     for fg in plan.face_groups:
         pmax = max(fg.p_in, fg.p_out)
-        nq1 = pmax + 2
-        fin = tensor.face_tables(fg.p_in, dim, fg.axis, 1, nq1, family=basis.family)
-        fout = tensor.face_tables(fg.p_out, dim, fg.axis, 0, nq1, family=basis.family)
+        fin, fout = face_group_tables(basis, fg, pmax + 2)
         groups.append(dict(
             fg=fg, w=fin["weights"], Vi=fin["V"], Di=fin["Dn"],
             Vo=fout["V"], Do=fout["Dn"], pmax=pmax, pts=fin["points"],
         ))
     return groups
-
-
-def _face_phys_points(basis, fg, pts, nq):
-    mesh = basis.mesh
-    ein = mesh.faces.inside[fg.face_ids]
-    lo = mesh.lower[ein].copy()
-    lo[:, fg.axis] += mesh.extent[ein, fg.axis]
-    tang = [a for a in range(basis.dim) if a != fg.axis]
-    x = np.repeat(lo[:, None, :], nq, axis=1)
-    for t, a in enumerate(tang):
-        x[:, :, a] += pts[None, :, t] * mesh.extent[ein, a][:, None]
-    return x
 
 
 def sipg_operator(basis: DGBasis, penalty: float = 2.0,
@@ -170,7 +156,7 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
         g["z"] = fg.fmeas  # |f| * w_q applied via w
         g["pen_w"] = penalty * g["pmax"] ** 2 * g["w"]  # mu*|f|*w = pen*w
         if diffusion is not None:
-            g["xq"] = _face_phys_points(basis, fg, g["pts"], len(g["w"]))
+            g["xq"] = face_phys_points(basis, fg, g["pts"])
 
     bgroups = []
     if dirichlet:

@@ -25,11 +25,25 @@ import numpy as np
 
 @dataclass(frozen=True)
 class Faces:
-    """Interior conforming faces. Normal = +e_axis, inside on the low side."""
+    """Interior faces.  Normal = +e_axis, inside on the low side.
+
+    ``nc_code`` encodes non-conforming (hanging-node) faces from 2:1
+    refinement: 0 = conforming; otherwise
+    ``1 + subpos + 2^(dim-1) * coarse_is_outside`` where ``subpos`` is
+    the binary sub-face position over the tangential axes (natural
+    order, last fastest) of the FINE face within the COARSE face.  The
+    face geometry (quadrature domain) is always the fine (small) face.
+    """
 
     inside: np.ndarray  # (nf,) int32 element index
     outside: np.ndarray  # (nf,) int32
     axis: np.ndarray  # (nf,) int32 normal axis
+    nc_code: np.ndarray = None  # (nf,) int32, 0 = conforming
+
+    def __post_init__(self):
+        if self.nc_code is None:
+            object.__setattr__(self, "nc_code",
+                               np.zeros(len(self.inside), dtype=np.int32))
 
     def __len__(self):
         return len(self.inside)
@@ -66,8 +80,10 @@ class Mesh:
         return np.prod(self.extent, axis=1)
 
     def face_measure(self) -> np.ndarray:
-        """Measure of each interior face (length in 2D, area in 3D)."""
-        ext = self.extent[self.faces.inside]
+        """Measure of each interior face = measure of the intersection
+        (the FINE face for non-conforming pairs): length in 2D, area 3D."""
+        ext = np.minimum(self.extent[self.faces.inside],
+                         self.extent[self.faces.outside])
         mask = np.ones_like(ext, dtype=bool)
         mask[np.arange(len(self.faces)), self.faces.axis] = False
         return np.where(mask, ext, 1.0).prod(axis=1)
@@ -88,7 +104,7 @@ def _build_faces(lower: np.ndarray, extent: np.ndarray) -> tuple[Faces, Boundary
     tol = extent.min() * 1e-6
     scale = 1.0 / tol
 
-    ins, outs, axs = [], [], []
+    ins, outs, axs, ncs = [], [], [], []
     be, ba, bs = [], [], []
     for axis in range(dim):
         tang = [a for a in range(dim) if a != axis]
@@ -110,7 +126,6 @@ def _build_faces(lower: np.ndarray, extent: np.ndarray) -> tuple[Faces, Boundary
                                       return_counts=True)
         order = np.argsort(inv, kind="stable")
         # walk groups: count==2 -> interior (one from each half), count==1 -> boundary
-        cc = counts[inv[order]]
         grp_starts = np.concatenate([[0], np.cumsum(counts)])
         two = counts == 2
         # for interior groups the two members are (elem_low from first half, elem_high from second half)
@@ -121,19 +136,67 @@ def _build_faces(lower: np.ndarray, extent: np.ndarray) -> tuple[Faces, Boundary
         lo = np.where(m0 < n, m0, m1)
         hi = np.where(m0 < n, m1, m0)
         if len(lo):
-            assert (lo < n).all() and (hi >= n).all(), "non-conforming mesh?"
+            assert (lo < n).all() and (hi >= n).all(), \
+                "two coincident faces on the same side"
         ins.append(lo.astype(np.int32))
         outs.append((hi - n).astype(np.int32))
         axs.append(np.full(len(lo), axis, dtype=np.int32))
+        ncs.append(np.zeros(len(lo), dtype=np.int32))
+
+        # ---- leftovers: try 2:1 non-conforming matches, else boundary ----
         one = counts == 1
         starts1 = grp_starts[:-1][one]
         mb = order[starts1]
-        be.append((mb % n).astype(np.int32))
-        ba.append(np.full(len(mb), axis, dtype=np.int32))
-        bs.append((mb < n).astype(np.int32))  # first half = high face
+        # record: (entry id, plane key, tang lower keys, tang ext keys)
+        plane = keys[mb, 0]
+        tlow = keys[mb, 1::2]
+        text = keys[mb, 2::2]
+        # big-face lookup: (plane, half, lower..., ext...) -> leftover idx
+        lookup = {}
+        for k in range(len(mb)):
+            half = 0 if mb[k] < n else 1
+            lookup[(plane[k], half) + tuple(tlow[k]) + tuple(text[k])] = k
+        matched = np.zeros(len(mb), dtype=bool)  # matched as the small side
+        used_big = np.zeros(len(mb), dtype=bool)  # used as the coarse side
+        nt = len(tang)
+        for k in range(len(mb)):
+            half = 0 if mb[k] < n else 1
+            # small face: look for a containing big face on the OTHER half
+            # (a big face pairs with up to 2^(dim-1) small faces)
+            for sub in range(2**nt):
+                bits = [(sub >> (nt - 1 - t)) & 1 for t in range(nt)]
+                big_low = tuple(tlow[k, t] - bits[t] * text[k, t]
+                                for t in range(nt))
+                big_ext = tuple(2 * text[k, t] for t in range(nt))
+                kk = lookup.get((plane[k], 1 - half) + big_low + big_ext)
+                if kk is not None:
+                    matched[k] = True
+                    used_big[kk] = True
+                    small, big = mb[k], mb[kk]
+                    if half == 0:  # small is the high face of a low elem
+                        e_in, e_out = small, big - n
+                        coarse_is_outside = 1
+                    else:
+                        e_in, e_out = big, small - n
+                        coarse_is_outside = 0
+                    code = 1 + sub + (2**nt) * coarse_is_outside
+                    ins.append(np.array([e_in % n], dtype=np.int32))
+                    outs.append(np.array([e_out % n], dtype=np.int32))
+                    axs.append(np.array([axis], dtype=np.int32))
+                    ncs.append(np.array([code], dtype=np.int32))
+                    break
+        for k in range(len(mb)):
+            if not matched[k] and not used_big[k]:
+                be.append(np.array([mb[k] % n], dtype=np.int32))
+                ba.append(np.array([axis], dtype=np.int32))
+                bs.append(np.array([1 if mb[k] < n else 0], dtype=np.int32))
 
-    faces = Faces(np.concatenate(ins), np.concatenate(outs), np.concatenate(axs))
-    bfaces = BoundaryFaces(np.concatenate(be), np.concatenate(ba), np.concatenate(bs))
+    faces = Faces(np.concatenate(ins), np.concatenate(outs),
+                  np.concatenate(axs), np.concatenate(ncs))
+    bfaces = BoundaryFaces(
+        np.concatenate(be) if be else np.zeros(0, np.int32),
+        np.concatenate(ba) if ba else np.zeros(0, np.int32),
+        np.concatenate(bs) if bs else np.zeros(0, np.int32))
     return faces, bfaces
 
 

@@ -88,7 +88,7 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
             x = mesh.lower[e] + pts[q] * h
             A[o:o + n, o:o + n] += w[q] * detJ * K(x) * (G @ G.T)
 
-    # ---- interior faces ----
+    # ---- interior faces (geometry-driven: handles hanging nodes too) ----
     for f in range(len(mesh.faces)):
         ei, eo = int(mesh.faces.inside[f]), int(mesh.faces.outside[f])
         ax = int(mesh.faces.axis[f])
@@ -102,19 +102,28 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
         nodes_i = lagrange.nodes_1d(pi, basis.family)
         nodes_o = lagrange.nodes_1d(po, basis.family)
         hi, ho = mesh.extent[ei], mesh.extent[eo]
-        fmeas = np.prod(np.delete(hi, ax))
+        # intersection (the fine face for 2:1 non-conforming pairs)
+        ilo = np.maximum(mesh.lower[ei], mesh.lower[eo])
+        iext = np.minimum(hi, ho)
+        fmeas = np.prod(np.delete(iext, ax))
         mu = penalty * pmax**2 / fmeas
         oi, no = basis.offsets[ei], basis.block_sizes[ei]
         oo, mo = basis.offsets[eo], basis.block_sizes[eo]
+        tang = [a for a in range(dim) if a != ax]
         for q in range(len(tw)):
-            xi = _face_point(tpts[q], ax, 1, dim)
-            xo = _face_point(tpts[q], ax, 0, dim)
+            xphys = np.zeros(dim)
+            xphys[ax] = mesh.lower[eo][ax]  # face plane
+            for t, a in enumerate(tang):
+                xphys[a] = ilo[a] + tpts[q][t] * iext[a]
+            xi = (xphys - mesh.lower[ei]) / hi
+            xi[ax] = 1.0
+            xo = (xphys - mesh.lower[eo]) / ho
+            xo[ax] = 0.0
             vi = _phi(nodes_i, xi)
             vo = _phi(nodes_o, xo)
             # physical normal derivative, normal = +e_ax
             dni = _grad_phi(nodes_i, xi, hi)[:, ax]
             dno = _grad_phi(nodes_o, xo, ho)[:, ax]
-            xphys = mesh.lower[ei] + xi * hi
             k = K(xphys)
             z = tw[q] * fmeas
             M11 = -0.5 * k * (np.outer(vi, dni) + np.outer(dni, vi)) + mu * np.outer(vi, vi)

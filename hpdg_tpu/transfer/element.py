@@ -212,11 +212,14 @@ def h_transfer(fine: DGBasis, coarse: DGBasis) -> ElementTransfer:
     dim = mesh.dim
 
     def Tfun(pf, pc, var):
-        bits = np.array([(var >> (dim - 1 - a)) & 1 for a in range(dim)])
         nodes_f = lagrange.nodes_1d(pf, fine.family)
         mi = tensor.multiindices(pf, dim)
-        # child node in parent coords: (bit + x)/2 per axis
-        xp = 0.5 * (bits[None, :] + nodes_f[mi])  # (nl_f, dim)
+        if var < 0:  # kept (unrefined) element: identity geometry
+            xp = nodes_f[mi].astype(np.float64)
+        else:
+            bits = np.array([(var >> (dim - 1 - a)) & 1 for a in range(dim)])
+            # child node in parent coords: (bit + x)/2 per axis
+            xp = 0.5 * (bits[None, :] + nodes_f[mi])  # (nl_f, dim)
         nodes_c = lagrange.nodes_1d(pc, coarse.family)
         cols = []
         per_axis = [lagrange.lagrange_values(nodes_c, xp[:, a])
