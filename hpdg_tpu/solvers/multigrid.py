@@ -225,9 +225,23 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
 
     cb, cA = data.bases[0], data.matrices[0]
     if coarse == "auto":
-        coarse = "dense" if cb.ndof <= 6000 else "gs"
+        coarse = "dense" if cb.ndof * cA.block_shape[0] <= 6000 else "gs"
     if coarse == "dense":
         coarse_solve = dense_coarse_solver(cb, cA, dtype=dtype)
+    elif coarse == "dgcg":
+        # DG->CG conforming coarse path (solversetup_dgcg.hh analog):
+        # GS sweeps around an exact solve in the CG-P1 subspace
+        from hpdg_tpu.transfer.dgtocg import cg_coarse_solver
+        cgc = cg_coarse_solver(cb, cA, dtype=dtype)
+        gs = sm.colored_block_gs_step(cA, cb)
+
+        def coarse_solve(b: dict) -> dict:
+            x = gs(bv.zeros_like(b), b)
+            r = bv.sub(b, bm.matvec(cA, x))
+            x = bv.add(x, cgc(r))
+            for _ in range(2):
+                x = gs(x, b)
+            return x
     else:
         coarse_solve = gs_coarse_solver(cb, cA, iterations=coarse_gs_iterations)
 

@@ -31,8 +31,13 @@ from hpdg_tpu.linalg.blockmatrix import BlockSparseMatrix, extract_diagonal, mat
 
 
 def inverse_diagonal_blocks(A: BlockSparseMatrix) -> dict:
-    """p -> [n_p, bs, bs] inverses of the diagonal blocks."""
-    return {p: jnp.linalg.inv(d) for p, d in extract_diagonal(A).items()}
+    """p -> [n_p, bs, bs] inverses of the diagonal blocks.
+
+    Computed on the host (setup-time precomputation; f64 LU doesn't
+    compile on all TPU generations) and shipped as device constants.
+    """
+    return {p: jnp.asarray(np.linalg.inv(np.asarray(d)), d.dtype)
+            for p, d in extract_diagonal(A).items()}
 
 
 def apply_blockdiag(Dinv: dict, x: dict) -> dict:
@@ -160,8 +165,8 @@ def l1_jacobi_step(A: BlockSparseMatrix, shifts: dict, omega: float = 1.0):
     Dinv = {}
     for p, d in D.items():
         br = d.shape[1]
-        eye = jnp.eye(br, dtype=d.dtype)
-        Dinv[p] = jnp.linalg.inv(d + shifts[p][:, :, None] * eye[None])
+        shifted = np.asarray(d) + np.asarray(shifts[p])[:, :, None] * np.eye(br)
+        Dinv[p] = jnp.asarray(np.linalg.inv(shifted), d.dtype)
 
     def step(x, b):
         r = bv.sub(b, matvec(A, x))
@@ -206,7 +211,8 @@ def lexicographic_block_gs_step(A: BlockSparseMatrix, basis):
     diag = np.array([A.pattern.slot(p, p, r, r) for r in range(n)],
                     dtype=np.int32)
     vals = A.values[(p, p)]
-    Dinv = jnp.linalg.inv(vals[jnp.asarray(diag)])
+    Dinv = jnp.asarray(np.linalg.inv(np.asarray(vals[jnp.asarray(diag)])),
+                       vals.dtype)
     slot_pad = jnp.asarray(slot_pad)
     col_pad = jnp.asarray(col_pad)
     mask_pad = jnp.asarray(mask_pad)

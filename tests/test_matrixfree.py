@@ -159,3 +159,16 @@ def test_ipdg_local_norm_sums_to_energy():
             jump = vi @ xf[oi:oi + ni] - vo @ xf[oo:oo + no]
             total += tw[q] * fmeas * mu * jump**2
     assert np.isclose(float(jnp.sum(eta)), total, rtol=1e-12)
+
+
+def test_uniform_operator_matches_assembled():
+    from hpdg_tpu.matrixfree.uniform import uniform_sipg_operator
+    for dim, cells in [(2, (4, 4)), (3, (3, 3, 3))]:
+        m = hmesh.structured(cells)
+        basis = DGBasis(m, np.full(m.n_elements, 3 if dim == 2 else 2))
+        for dirichlet in (False, True):
+            A = assemble_laplace(basis, penalty=2.0, dirichlet=dirichlet)
+            op = uniform_sipg_operator(basis, penalty=2.0,
+                                       dirichlet=dirichlet)
+            x = bv.random(basis)
+            assert rel_err(op(x), bm.matvec(A, x), basis) < 1e-12, (dim, dirichlet)
