@@ -201,10 +201,30 @@ def _build_faces(lower: np.ndarray, extent: np.ndarray) -> tuple[Faces, Boundary
 
 
 def from_boxes(lower: np.ndarray, extent: np.ndarray, parent=None,
-               child_pos=None, parent_mesh=None) -> Mesh:
+               child_pos=None, parent_mesh=None,
+               topology: str = "auto") -> Mesh:
+    """topology: 'auto' (native C++ kernel for large meshes when
+    available), 'native', or 'python'."""
     lower = np.asarray(lower, dtype=np.float64)
     extent = np.asarray(extent, dtype=np.float64)
-    faces, bfaces = _build_faces(lower, extent)
+    import os
+    n = lower.shape[0]
+    use_native = topology == "native" or (
+        topology == "auto"
+        and os.environ.get("HPDG_NATIVE_TOPOLOGY", "1") != "0"
+        and n >= 4096)
+    faces = bfaces = None
+    if use_native:
+        from hpdg_tpu import native
+        res = native.build_faces(lower, extent, float(extent.min() * 1e-6))
+        if res is not None:
+            fi, fo, fa, fn, be, ba, bs = res
+            faces = Faces(fi, fo, fa, fn)
+            bfaces = BoundaryFaces(be, ba, bs)
+        elif topology == "native":
+            raise RuntimeError("native topology kernel unavailable")
+    if faces is None:
+        faces, bfaces = _build_faces(lower, extent)
     return Mesh(dim=lower.shape[1], lower=lower, extent=extent, faces=faces,
                 bfaces=bfaces, parent=parent, child_pos=child_pos,
                 parent_mesh=parent_mesh)

@@ -1,0 +1,89 @@
+"""Native (C++) runtime kernels, bound via ctypes.
+
+The compute path of hpdg_tpu is JAX/XLA on the TPU; the host-side
+runtime around it — mesh-topology construction (the grid "graph
+builder") — has a native C++ implementation (cpp/meshkit.cc), compiled
+on demand into this package.  Pure-numpy fallbacks exist for every
+native kernel, so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_HERE = Path(__file__).resolve().parent
+_REPO = _HERE.parent.parent
+_SRC = _REPO / "cpp" / "meshkit.cc"
+_LIB = _HERE / "libmeshkit.so"
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        if (not _LIB.exists()
+                or _LIB.stat().st_mtime < _SRC.stat().st_mtime):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                 "-fPIC", "-o", str(_LIB), str(_SRC)],
+                check=True, capture_output=True, timeout=120)
+        lib = ctypes.CDLL(str(_LIB))
+        lib.hpdg_build_faces.restype = ctypes.c_int
+        lib.hpdg_build_faces.argtypes = [
+            ctypes.c_int64, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.float64), np.ctypeslib.ndpointer(np.float64),
+            ctypes.c_double,
+            np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int32),
+            np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
+        ]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def build_faces(lower: np.ndarray, extent: np.ndarray, tol: float):
+    """Native face matcher; returns (inside, outside, axis, nc_code,
+    b_elem, b_axis, b_side) or None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n, dim = lower.shape
+    lower = np.ascontiguousarray(lower, dtype=np.float64)
+    extent = np.ascontiguousarray(extent, dtype=np.float64)
+    cap_f = dim * n
+    cap_b = 2 * dim * n
+    f_in = np.empty(cap_f, np.int32)
+    f_out = np.empty(cap_f, np.int32)
+    f_ax = np.empty(cap_f, np.int32)
+    f_nc = np.empty(cap_f, np.int32)
+    b_el = np.empty(cap_b, np.int32)
+    b_ax = np.empty(cap_b, np.int32)
+    b_sd = np.empty(cap_b, np.int32)
+    nf = np.zeros(1, np.int64)
+    nbf = np.zeros(1, np.int64)
+    rc = lib.hpdg_build_faces(n, dim, lower, extent, tol, f_in, f_out, f_ax,
+                              f_nc, b_el, b_ax, b_sd, nf, nbf)
+    if rc != 0:
+        return None
+    k, m = int(nf[0]), int(nbf[0])
+    return (f_in[:k].copy(), f_out[:k].copy(), f_ax[:k].copy(),
+            f_nc[:k].copy(), b_el[:m].copy(), b_ax[:m].copy(),
+            b_sd[:m].copy())

@@ -172,3 +172,46 @@ def test_uniform_operator_matches_assembled():
                                        dirichlet=dirichlet)
             x = bv.random(basis)
             assert rel_err(op(x), bm.matvec(A, x), basis) < 1e-12, (dim, dirichlet)
+
+
+def test_heat_diagonal_blocks():
+    from hpdg_tpu.matrixfree.jacobi import (heat_diagonal_blocks,
+                                            mass_diagonal_blocks)
+    from hpdg_tpu.assemble import assemble_mass
+    m = hmesh.structured((3, 2))
+    basis = DGBasis(m, np.array([1, 2, 3, 2, 1, 2]))
+    H = heat_diagonal_blocks(basis, penalty=2.0, mass_coef=2.5,
+                             dirichlet=True)
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True)
+    M = assemble_mass(basis)
+    DA = bm.extract_diagonal(A)
+    DM = bm.extract_diagonal(M)
+    for p in basis.bucket_degrees:
+        assert np.allclose(np.asarray(H[p]),
+                           2.5 * np.asarray(DM[p]) + np.asarray(DA[p]),
+                           atol=1e-12)
+
+
+def test_matrix_free_projected_jacobi_feasible_and_converges():
+    from hpdg_tpu.matrixfree.jacobi import matrix_free_block_projected_jacobi
+    from hpdg_tpu.blocks import api
+    import jax
+    m = hmesh.structured((3, 3), lower=(-1, -1), upper=(1, 1))
+    basis = DGBasis(m, np.full(9, 2))
+    plan = build_plan(basis)
+    op = mf.sipg_operator(basis, penalty=2.0, dirichlet=True, plan=plan)
+    D = mf.sipg_diagonal_blocks(basis, penalty=2.0, dirichlet=True, plan=plan)
+    b = api.l2_functional(basis, lambda x: -8.0 + 0.0 * x[..., 0])
+    lo, up = api.constant_bounds(basis, lower=-0.15)
+    step = jax.jit(matrix_free_block_projected_jacobi(op, D, lo, up,
+                                                      omega=0.8))
+    x = bv.zeros(basis)
+    for _ in range(300):
+        x = step(x, b)
+    for p in x:
+        assert np.all(np.asarray(x[p]) >= np.asarray(lo[p]) - 1e-12)
+    # KKT-ish: free dofs have small residual
+    r = bv.sub(b, op(x))
+    for p in x:
+        free = np.asarray(x[p]) > np.asarray(lo[p]) + 1e-9
+        assert np.abs(np.asarray(r[p])[free]).max() < 2e-2
