@@ -65,7 +65,7 @@ def ipdg_local_norm(basis: DGBasis, penalty: float = 2.0,
             eout = jnp.asarray(mesh.faces.outside[fg.face_ids])
             eta = eta.at[ein].add(contrib).at[eout].add(contrib)
         if dirichlet:
-            for bg in plan.boundary_groups:
+            for bg in plan.boundary_groups:  # noqa: E301
                 ft = tensor.face_tables(bg.p, dim, bg.axis, bg.side,
                                         bg.p + 2, family=basis.family)
                 u = x[bg.p][jnp.asarray(bg.pos)]
@@ -74,6 +74,39 @@ def ipdg_local_norm(basis: DGBasis, penalty: float = 2.0,
                 contrib = penalty * bg.p**2 * jnp.sum(w[None] * tr**2, axis=1)
                 elems = jnp.asarray(mesh.bfaces.elem[bg.face_ids])
                 eta = eta.at[elems].add(contrib)
+        return eta
+
+    return apply
+
+
+def jump_indicator(basis: DGBasis, penalty: float = 2.0,
+                   dtype=jnp.float64, plan: AssemblyPlan | None = None):
+    """Per-element *jump-only* indicator: eta_e^2 = sum over the element's
+    faces of sigma max(p)^2/(2|f|) ∫_f [x]^2.
+
+    The inter-element jumps of a DG approximation vanish for the exact
+    solution, so the scaled jump energy is a practical a-posteriori
+    error surrogate (the skeleton part of IPDGLocalNorm,
+    ipdglocalnorm.hh:6-16) — usable even at p=1 where hierarchic
+    p-surrogates are empty.  Returns apply(x) -> (n_elements,).
+    """
+    plan = plan or build_plan(basis)
+    mesh = basis.mesh
+
+    def apply(x):
+        eta = jnp.zeros(mesh.n_elements, dtype=dtype)
+        for fg in plan.face_groups:
+            pmax = max(fg.p_in, fg.p_out)
+            fin, fout = face_group_tables(basis, fg, pmax + 2)
+            u_in = x[fg.p_in][jnp.asarray(fg.in_pos)]
+            u_out = x[fg.p_out][jnp.asarray(fg.out_pos)]
+            jump = u_in @ jnp.asarray(fin["V"], dtype) - \
+                u_out @ jnp.asarray(fout["V"], dtype)
+            w = jnp.asarray(fin["weights"], dtype)
+            contrib = 0.5 * penalty * pmax**2 * jnp.sum(w[None] * jump**2,
+                                                        axis=1)
+            eta = eta.at[jnp.asarray(mesh.faces.inside[fg.face_ids])].add(contrib)
+            eta = eta.at[jnp.asarray(mesh.faces.outside[fg.face_ids])].add(contrib)
         return eta
 
     return apply
