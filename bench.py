@@ -22,9 +22,7 @@ from pathlib import Path
 
 import numpy as np
 import jax
-
-jax.config.update("jax_enable_x64", True)  # f64 for the MG sub-benchmark
-import jax.numpy as jnp  # noqa: E402
+import jax.numpy as jnp
 
 REPO = Path(__file__).resolve().parent
 

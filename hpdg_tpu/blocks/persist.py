@@ -120,3 +120,21 @@ def degrees_after_refine(old_degrees: np.ndarray, new_mesh) -> np.ndarray:
     if new_mesh.parent is None:
         return old_degrees.copy()
     return old_degrees[new_mesh.parent].astype(np.int32)
+
+
+def save_npz(path: str, saved: SavedState):
+    """Checkpoint a solver/adaptation state to disk (mesh geometry +
+    degree map + coefficients) — the serialization the reference never
+    had (SURVEY.md §5.4); everything is plain arrays."""
+    m = saved.basis.mesh
+    np.savez(path, lower=m.lower, extent=m.extent,
+             degrees=saved.basis.degrees, flat=saved.flat,
+             family=np.array(saved.basis.family))
+
+
+def load_npz(path: str) -> SavedState:
+    from hpdg_tpu.mesh.structured import from_boxes
+    d = np.load(path)
+    mesh = from_boxes(d["lower"], d["extent"])
+    basis = DGBasis(mesh, d["degrees"], family=str(d["family"]))
+    return SavedState(basis=basis, flat=d["flat"])

@@ -79,6 +79,17 @@ class MultigridData:
     matrices: list  # BlockSparseMatrix per level
     transfers: list  # ElementTransfer: transfers[l] maps level l+1 -> level l
 
+    def renew(self, A_fine: "bm.BlockSparseMatrix", dtype=jnp.float64):
+        """Re-Galerkin-restrict all coarse matrices after the fine matrix
+        changed (renewMatrixHierachy, solversetup.hh:151-157) — e.g. for
+        the truncated systems inside a TNNMG loop."""
+        self.matrices[-1] = A_fine
+        cur = A_fine
+        for l in range(len(self.transfers) - 1, -1, -1):
+            cur = self.transfers[l].galerkin(cur, dtype=dtype)
+            self.matrices[l] = cur
+        return self
+
 
 def setup_hierarchy(basis: DGBasis, A: bm.BlockSparseMatrix,
                     meshes: list | None = None, coarse_bases: list | None = None,

@@ -106,3 +106,39 @@ def test_p_adaptive_loop_lshape():
     assert err2 < 0.7 * err1, (err1, err2)
     # warm start is usable (finite, right shape) and close-ish to x2
     assert float(bv.norm(x0)) > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from hpdg_tpu.blocks.persist import save_npz, load_npz
+    m = hmesh.structured((3, 2))
+    basis = DGBasis(m, np.array([1, 2, 3, 2, 1, 2]))
+    x = api.interpolate(basis, lambda p: p[..., 0] * p[..., 1] + 1)
+    saved = save_state(basis, x)
+    path = str(tmp_path / "state.npz")
+    save_npz(path, saved)
+    loaded = load_npz(path)
+    assert np.allclose(loaded.flat, saved.flat)
+    assert tuple(loaded.basis.degrees) == tuple(basis.degrees)
+    # usable for re-interpolation (on the reloaded mesh object)
+    nb = loaded.basis.with_degrees(np.full(6, 3))
+    xn = interpolate_to(loaded, nb)
+    err = float(l2_error(nb, xn, lambda p: p[..., 0] * p[..., 1] + 1))
+    assert err < 1e-12
+
+
+def test_renew_hierarchy():
+    from hpdg_tpu.solvers.multigrid import setup_hierarchy
+    from hpdg_tpu.linalg import blockmatrix as bm
+    import jax.numpy as jnp
+    m = hmesh.structured((2, 2))
+    basis = DGBasis(m, np.full(4, 4))
+    A = api.laplace(basis, penalty=2.0, dirichlet=True)
+    data = setup_hierarchy(basis, A)
+    coarse_before = np.asarray(data.matrices[0].values[(1, 1)])
+    # scale the fine matrix by 2 and renew: all levels must scale by 2
+    A2 = bm.BlockSparseMatrix(A.pattern, A.dim,
+                              {k: 2.0 * v for k, v in A.values.items()},
+                              A.block_shape)
+    data.renew(A2)
+    coarse_after = np.asarray(data.matrices[0].values[(1, 1)])
+    assert np.allclose(coarse_after, 2.0 * coarse_before, atol=1e-11)

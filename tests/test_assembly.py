@@ -152,3 +152,32 @@ def test_matvec_vs_dense():
     yt = bm.matvec_t(A, x)
     ytf = bv.to_flat(basis, yt)
     assert np.allclose(ytf, Ad.T @ bv.to_flat(basis, x), atol=1e-11)
+
+
+def test_gauss_legendre_family_end_to_end():
+    """The Gauss-Legendre-node basis family (dynamicdgqkgausslegendrebasis
+    analog): nodes exclude the endpoints, so traces are dense — exercises
+    the generic trace path."""
+    m = hmesh.structured((2, 2))
+    basis = DGBasis(m, np.array([1, 2, 2, 3]), family="legendre")
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True)
+    Ad = bm.to_dense(A, basis)
+    Aref = oracle.sipg_matrix(basis, penalty=2.0, dirichlet=True)
+    assert frob_close(Ad, Aref)
+    # matrix-free too
+    from hpdg_tpu import matrixfree as mf
+    op = mf.sipg_operator(basis, penalty=2.0, dirichlet=True)
+    x = bv.random(basis)
+    y = bm.matvec(A, x)
+    assert np.allclose(bv.to_flat(basis, op(x)), bv.to_flat(basis, y),
+                       atol=1e-11)
+
+
+def test_kronrod_family_nodes():
+    """Gauss-Kronrod-node family (qkgausskronrod.hh analog)."""
+    m = hmesh.structured((2, 1))
+    basis = DGBasis(m, np.array([2, 2]), family="kronrod")
+    A = assemble_laplace(basis, penalty=2.0)
+    Ad = bm.to_dense(A, basis)
+    Aref = oracle.sipg_matrix(basis, penalty=2.0)
+    assert frob_close(Ad, Aref)
