@@ -52,20 +52,25 @@ def vcycle(levels: list, coarse_solve: Callable, x: dict, b: dict,
     levels[0] is the coarsest; coarse_solve(b) -> x solves level 0.
     """
 
+    def sweeps(smooth, steps, x, b):
+        # rolled (fori_loop) so the smoother body appears once per level
+        # in the XLA program instead of `steps` times
+        if steps <= 1:
+            return smooth(x, b) if steps == 1 else x
+        return jax.lax.fori_loop(0, steps, lambda i, xx: smooth(xx, b), x)
+
     def run(l: int, x, b):
         if l == 0:
             return coarse_solve(b)
         L = levels[l]
-        for _ in range(L.pre_steps):
-            x = L.pre_smooth(x, b)
+        x = sweeps(L.pre_smooth, L.pre_steps, x, b)
         r = bv.sub(b, L.apply(x))
         rc = L.restrict(r)
         xc = jax.tree.map(jnp.zeros_like, rc)
         for _ in range(mu):
             xc = run(l - 1, xc, rc)
         x = bv.add(x, L.prolong(xc))
-        for _ in range(L.post_steps):
-            x = L.post_smooth(x, b)
+        x = sweeps(L.post_smooth, L.post_steps, x, b)
         return x
 
     return run(len(levels) - 1, x, b)
