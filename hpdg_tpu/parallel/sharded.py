@@ -242,15 +242,20 @@ def pcg_step(prob: ShardedPoisson):
     'training step' of this framework.  All reductions become psums over
     the device mesh; the operator apply does halo ppermutes."""
 
+    def safe_div(a, b):
+        # CG run for a FIXED iteration count reaches rz -> 0; guard the
+        # divisions so converged iterations become no-ops instead of NaNs
+        return jnp.where(jnp.abs(b) > 0, a / jnp.where(b == 0, 1.0, b), 0.0)
+
     def step(state):
         x, r, z, pvec, rz = state
         Ap = prob.apply(pvec)
-        alpha = rz / jnp.vdot(pvec, Ap)
+        alpha = safe_div(rz, jnp.vdot(pvec, Ap))
         x = x + alpha * pvec
         r = r - alpha * Ap
         z = prob.precond(r)
         rz_new = jnp.vdot(r, z)
-        beta = rz_new / rz
+        beta = safe_div(rz_new, rz)
         pvec = z + beta * pvec
         return x, r, z, pvec, rz_new
 
