@@ -133,8 +133,15 @@ def main():
                        * jnp.sin(jnp.pi * x[..., 1])
                        * jnp.sin(jnp.pi * x[..., 2]))
         b = l2_functional(basis, f, dtype=dtype)
-        jstep = jax.jit(step)
+        # hoist the level matrices (100s of MB) out of the program: jit of
+        # the raw closure embeds them as HLO constants and blows the
+        # remote-compile request limit; closure_convert turns them into
+        # ordinary arguments.
         x0 = bvv.zeros_like(b)
+        conv, consts = jax.closure_convert(lambda xx, bb: step(xx, bb),
+                                           x0, b)
+        jconv = jax.jit(conv)
+        jstep = lambda xx, bb: jconv(xx, bb, *consts)  # noqa: E731
         jax.block_until_ready(jstep(x0, b))  # compile
         nb = float(bvv.norm(b))
         # measure the contraction rate over a few cycles (f32 floor ~1e-6)

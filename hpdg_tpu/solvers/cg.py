@@ -60,6 +60,21 @@ def pcg(matvec_fn, b: dict, x0: dict | None = None, precond=None,
     return x, {"iterations": k, "residuals": hist}
 
 
+def jit_step(step_fn, x, b):
+    """jit an (x, b) -> x iteration step with its captured arrays hoisted
+    to arguments (jax.closure_convert).  Plain jit embeds closure arrays
+    — e.g. hundreds of MB of multigrid level matrices — as HLO
+    *constants*, which breaks large-program compiles (and bloats every
+    recompile); converting makes them ordinary buffers."""
+    try:
+        conv, consts = jax.closure_convert(lambda xx, bb: step_fn(xx, bb),
+                                           x, b)
+        jconv = jax.jit(conv)
+        return lambda xx, bb: jconv(xx, bb, *consts)
+    except Exception:
+        return jax.jit(step_fn)
+
+
 def loop_solve(step_fn, x0: dict, b: dict, matvec_fn=None, tol: float = 1e-8,
                maxiter: int = 100, norm_fn=None):
     """dune-solvers ``LoopSolver`` analog: iterate an IterationStep
@@ -76,7 +91,7 @@ def loop_solve(step_fn, x0: dict, b: dict, matvec_fn=None, tol: float = 1e-8,
             norm_fn = lambda c: jnp.sqrt(jnp.abs(bv.dot(c, matvec_fn(c))))  # noqa: E731
         else:
             norm_fn = bv.norm
-    step_fn = jax.jit(step_fn)
+    step_fn = jit_step(step_fn, x0, b)
     norm_fn = jax.jit(norm_fn)
     x = x0
     history = []
