@@ -74,3 +74,31 @@ def dirichlet_rhs(basis: DGBasis, g, penalty: float = 2.0,
                                 jnp.asarray(D, dtype)))
         out[p] = out[p].at[jnp.asarray(bg.pos)].add(contrib)
     return out
+
+
+def neumann_rhs(basis: DGBasis, g, dtype=jnp.float64,
+                plan: AssemblyPlan | None = None) -> dict:
+    """Neumann boundary functional b_i = ∫_bdry g v_i (the non-Dirichlet
+    branch of the reference's boundary assembler,
+    ipdgboundaryassembler.hh:62-75)."""
+    plan = plan or build_plan(basis)
+    mesh = basis.mesh
+    dim = mesh.dim
+    out = bv.zeros(basis, dtype=dtype)
+    for bg in plan.boundary_groups:
+        p, ax, side = bg.p, bg.axis, bg.side
+        ft = tensor.face_tables(p, dim, ax, side, p + 2, family=basis.family)
+        w, V = ft["weights"], ft["V"]
+        elems = mesh.bfaces.elem[bg.face_ids]
+        lo = mesh.lower[elems].copy()
+        if side == 1:
+            lo[:, ax] += mesh.extent[elems, ax]
+        tang = [a for a in range(dim) if a != ax]
+        x = np.repeat(lo[:, None, :], len(w), axis=1)
+        for t, a in enumerate(tang):
+            x[:, :, a] += ft["points"][None, :, t] * mesh.extent[elems, a][:, None]
+        gv = jnp.asarray(g(jnp.asarray(x, dtype)), dtype)
+        zw = jnp.asarray(bg.fmeas, dtype)[:, None] * jnp.asarray(w, dtype)[None]
+        contrib = jnp.einsum("fq,iq->fi", gv * zw, jnp.asarray(V, dtype))
+        out[p] = out[p].at[jnp.asarray(bg.pos)].add(contrib)
+    return out

@@ -170,3 +170,47 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             vals[(p, p)] = vals[(p, p)].at[jnp.asarray(bg.pos)].add(M)
 
     return BlockSparseMatrix(plan.pattern, dim, vals)
+
+
+def assemble_penalty_only(basis: DGBasis, penalty: float = 2.0,
+                          dirichlet: bool = False, dtype=jnp.float64,
+                          plan: AssemblyPlan | None = None
+                          ) -> BlockSparseMatrix:
+    """Only the penalty (jump-mass) part of the SIPG form:
+    sigma max(p)^2/|f| ∫ [u][v] — the reference's penalty-only edge
+    assembler (variableipdg.hh:367-470) and face-mass variant
+    (weightedfacemassassembler.hh).  Used by the penalty-damped (dual)
+    multigrid hierarchy."""
+    plan = plan or build_plan(basis)
+    dim = basis.mesh.dim
+    vals = zeros_values(plan.pattern, dim, dtype=dtype)
+    for fg in plan.face_groups:
+        pi, po = fg.p_in, fg.p_out
+        pmax = max(pi, po)
+        fin, fout = face_group_tables(basis, fg, pmax + 2)
+        w = fin["weights"]
+        pen = penalty * pmax**2
+        nf = len(fg.face_ids)
+        BVVi = np.einsum("iq,q,jq->ij", fin["V"], w, fin["V"])
+        BVVo = np.einsum("iq,q,jq->ij", fout["V"], w, fout["V"])
+        X3 = np.einsum("iq,q,jq->ij", fin["V"], w, fout["V"])
+        J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+        vals[(pi, pi)] = vals[(pi, pi)].at[jnp.asarray(fg.in_pos)].add(
+            jnp.broadcast_to(pen * J(BVVi), (nf,) + BVVi.shape))
+        vals[(po, po)] = vals[(po, po)].at[jnp.asarray(fg.out_pos)].add(
+            jnp.broadcast_to(pen * J(BVVo), (nf,) + BVVo.shape))
+        vals[(pi, po)] = vals[(pi, po)].at[jnp.asarray(fg.slot12)].add(
+            jnp.broadcast_to(-pen * J(X3), (nf,) + X3.shape))
+        vals[(po, pi)] = vals[(po, pi)].at[jnp.asarray(fg.slot21)].add(
+            jnp.broadcast_to(-pen * J(X3.T), (nf,) + X3.T.shape))
+    if dirichlet:
+        for bg in plan.boundary_groups:
+            p = bg.p
+            ft = tensor.face_tables(p, dim, bg.axis, bg.side, p + 2,
+                                    family=basis.family)
+            BVV = np.einsum("iq,q,jq->ij", ft["V"], ft["weights"], ft["V"])
+            nf = len(bg.face_ids)
+            vals[(p, p)] = vals[(p, p)].at[jnp.asarray(bg.pos)].add(
+                jnp.broadcast_to(penalty * p**2 * jnp.asarray(BVV, dtype),
+                                 (nf,) + BVV.shape))
+    return BlockSparseMatrix(plan.pattern, dim, vals)

@@ -160,3 +160,11 @@ def to_dense(A: BlockSparseMatrix, basis_row, basis_col=None) -> np.ndarray:
         for k in range(len(rows)):
             M[ro[k]:ro[k] + br, co[k]:co[k] + bc] += vals[k]
     return M
+
+
+def add_scaled(A: BlockSparseMatrix, B: BlockSparseMatrix, beta
+               ) -> BlockSparseMatrix:
+    """A + beta * B for matrices with structurally identical patterns
+    (same plan / same deterministic Galerkin construction)."""
+    vals = {k: A.values[k] + beta * B.values[k] for k in A.values}
+    return BlockSparseMatrix(A.pattern, A.dim, vals, A.block_shape)

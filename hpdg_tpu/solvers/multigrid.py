@@ -201,7 +201,8 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
                      smoother: str = "gs", pre_steps: int = 3,
                      post_steps: int = 3, jacobi_damping: float = 0.6,
                      coarse: str = "auto", coarse_gs_iterations: int = 40,
-                     operator_factory=None, dtype=jnp.float64):
+                     operator_factory=None, penalty_matrix=None,
+                     penalty_damping: float = 1.0, dtype=jnp.float64):
     """Build the full hp-multigrid V-cycle step (x, b) -> x
     (MultigridSetup::multigridSolver analog, solversetup.hh:198-218).
 
@@ -213,7 +214,22 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
     dualdgmultigridstep.hh works around by damping the penalty matrix
     per level); re-assembly restores h-independent convergence.
     """
-    data = setup_hierarchy(basis, A, meshes=meshes, dtype=dtype)
+    if penalty_matrix is not None and penalty_damping != 1.0:
+        # penalty-damped ("dual") hierarchy, dualdgmultigridstep.hh analog:
+        # split A = A_cons + A_pen, Galerkin-restrict both, and damp the
+        # penalty part by alpha^(level distance) — counteracting the 2x
+        # per-h-level over-penalization of inherited SIPG coarse operators
+        A_cons = bm.add_scaled(A, penalty_matrix, -1.0)
+        data = setup_hierarchy(basis, A_cons, meshes=meshes, dtype=dtype)
+        datap = setup_hierarchy(basis, penalty_matrix, meshes=meshes,
+                                dtype=dtype)
+        L = len(data.matrices) - 1
+        data.matrices = [
+            bm.add_scaled(mc, mp, penalty_damping ** (L - l))
+            for l, (mc, mp) in enumerate(zip(data.matrices, datap.matrices))
+        ]
+    else:
+        data = setup_hierarchy(basis, A, meshes=meshes, dtype=dtype)
     if operator_factory is not None:
         data.matrices = [operator_factory(bas) for bas in data.bases[:-1]] \
             + [A]
