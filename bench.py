@@ -116,23 +116,38 @@ def main():
     # f32 on the TPU compute path (f64 hits pathologically slow remote
     # compiles on this TPU generation); the V-cycle contraction rate is
     # dtype-independent, so time-to-1e-8 = cycles(1e-8) * time/cycle with
-    # the rate measured over the first f32 cycles.
+    # the rate measured over the first f32 cycles.  Guarded by a hard
+    # alarm so a slow remote compile can never stall the whole bench.
+    import signal
+
+    class _BenchTimeout(Exception):
+        pass
+
+    def _alarm(sig, frame):
+        raise _BenchTimeout("multigrid sub-bench timed out")
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(900)
     try:
         import math
         from hpdg_tpu.solvers.multigrid import multigrid_solver
         from hpdg_tpu.linalg import blockmatrix as bm, blockvector as bvv
         from hpdg_tpu.assemble import l2_functional
-        A32 = assemble_laplace(basis, penalty=2.0, dirichlet=True, plan=plan,
-                               dtype=dtype)
+        nmg = 8
+        mesh_mg = hmesh.structured((nmg, nmg, nmg))
+        basis_mg = DGBasis(mesh_mg, np.full(mesh_mg.n_elements, p))
+        plan_mg = build_plan(basis_mg)
+        A32 = assemble_laplace(basis_mg, penalty=2.0, dirichlet=True,
+                               plan=plan_mg, dtype=dtype)
         factory = lambda bas: assemble_laplace(  # noqa: E731
             bas, penalty=2.0, dirichlet=True, dtype=dtype)
-        step, _ = multigrid_solver(basis, A32, operator_factory=factory,
+        step, _ = multigrid_solver(basis_mg, A32, operator_factory=factory,
                                    dtype=dtype)
         f = lambda x: (2 * jnp.pi**2  # noqa: E731
                        * jnp.sin(jnp.pi * x[..., 0])
                        * jnp.sin(jnp.pi * x[..., 1])
                        * jnp.sin(jnp.pi * x[..., 2]))
-        b = l2_functional(basis, f, dtype=dtype)
+        b = l2_functional(basis_mg, f, dtype=dtype)
         # hoist the level matrices (100s of MB) out of the program: jit of
         # the raw closure embeds them as HLO constants and blows the
         # remote-compile request limit; closure_convert turns them into
@@ -155,10 +170,12 @@ def main():
         t_cycle = timeit(lambda v: jstep(v, b), x0, reps=5)
         log(f"# multigrid: rate/cycle {rate:.3f}, {t_cycle*1e3:.1f} ms/cycle"
             f" -> time-to-1e-8 ~ {cycles_needed * t_cycle:.3f} s"
-            f" ({cycles_needed} cycles, {ndof} dofs,"
+            f" ({cycles_needed} cycles, {basis_mg.ndof} dofs,"
             f" measured f32 rel residual {res[-1]/nb:.2e})")
     except Exception as e:
         log(f"# multigrid bench failed: {e}")
+    finally:
+        signal.alarm(0)
 
     base = cpp_baseline_dofs_per_s()
     vs = asm_rate / base if base == base else None
