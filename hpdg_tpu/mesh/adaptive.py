@@ -21,9 +21,11 @@ from hpdg_tpu.mesh.structured import Mesh, from_boxes
 
 
 def _levels(mesh: Mesh) -> np.ndarray:
-    """Refinement level per element, inferred from extents (uniform base)."""
-    h0 = mesh.extent.max()
-    lev = np.rint(np.log2(h0 / mesh.extent[:, 0])).astype(np.int32)
+    """Refinement level per element, inferred from volumes relative to the
+    coarsest element (robust to anisotropic base meshes)."""
+    vol = mesh.volumes
+    dim = mesh.dim
+    lev = np.rint(np.log2(vol.max() / vol) / dim).astype(np.int32)
     return lev
 
 

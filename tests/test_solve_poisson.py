@@ -111,3 +111,33 @@ def test_inhomogeneous_dirichlet():
                maxiter=2000)
     err = float(l2_error(basis, x, g))
     assert err < 1e-8, err
+
+
+def test_h1_seminorm_error_rate():
+    from hpdg_tpu.estimators import h1_seminorm_error
+    errs = []
+    for n in [4, 8]:
+        basis, x, _ = solve_poisson(n, 2)
+        ge = lambda p: jnp.stack(
+            [jnp.pi * jnp.cos(jnp.pi * p[..., 0]) * jnp.sin(jnp.pi * p[..., 1]),
+             jnp.pi * jnp.sin(jnp.pi * p[..., 0]) * jnp.cos(jnp.pi * p[..., 1])],
+            axis=-1)
+        errs.append(float(h1_seminorm_error(basis, x, ge)))
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 1.7, (errs, rate)  # H1 rate = p = 2
+
+
+def test_block_jacobi_preconditioning_accelerates_cg():
+    """testdgblockjacobi.cc analog: the block-Jacobi-preconditioned Krylov
+    solve needs far fewer iterations than the unpreconditioned one."""
+    m = hmesh.structured((6, 6))
+    basis = DGBasis(m, np.full(36, 3))
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True)
+    b = l2_functional(basis, f_rhs)
+    M = smoothers.block_jacobi_preconditioner(A)
+    _, info_p = pcg(lambda v: bm.matvec(A, v), b, precond=M, tol=1e-10,
+                    maxiter=5000)
+    _, info_n = pcg(lambda v: bm.matvec(A, v), b, precond=None, tol=1e-10,
+                    maxiter=5000)
+    assert int(info_p["iterations"]) < 0.5 * int(info_n["iterations"]), \
+        (int(info_p["iterations"]), int(info_n["iterations"]))
