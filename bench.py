@@ -149,14 +149,13 @@ def main():
                        * jnp.sin(jnp.pi * x[..., 2]))
         b = l2_functional(basis_mg, f, dtype=dtype)
         # hoist the level matrices (100s of MB) out of the program: jit of
-        # the raw closure embeds them as HLO constants and blows the
-        # remote-compile request limit; closure_convert turns them into
-        # ordinary arguments.
+        # the raw closure embeds them as HLO constants (688 MB of program
+        # text!) and blows the remote-compile request limit.
+        from hpdg_tpu.solvers.cg import hoist_constants
         x0 = bvv.zeros_like(b)
-        conv, consts = jax.closure_convert(lambda xx, bb: step(xx, bb),
-                                           x0, b)
-        jconv = jax.jit(conv)
-        jstep = lambda xx, bb: jconv(xx, bb, *consts)  # noqa: E731
+        g, consts = hoist_constants(lambda xx, bb: step(xx, bb), x0, b)
+        jg = jax.jit(g)
+        jstep = lambda xx, bb: jg(consts, xx, bb)  # noqa: E731
         jax.block_until_ready(jstep(x0, b))  # compile
         nb = float(bvv.norm(b))
         # measure the contraction rate over a few cycles (f32 floor ~1e-6)

@@ -60,17 +60,45 @@ def pcg(matvec_fn, b: dict, x0: dict | None = None, precond=None,
     return x, {"iterations": k, "residuals": hist}
 
 
+def hoist_constants(fn, *example_args):
+    """Return (g, consts) with g(consts, *args) == fn(*args) and all of
+    fn's closed-over arrays turned into explicit inputs.
+
+    Plain jit embeds closure arrays — e.g. hundreds of MB of multigrid
+    level matrices — as HLO *constants*: the program text carries the
+    bytes (breaking remote-compile size limits and bloating every
+    recompile).  Tracing once with make_jaxpr exposes the jaxpr consts;
+    evaluating the jaxpr with them passed as arguments keeps the program
+    small and the arrays as ordinary device buffers."""
+    flat_ex, in_tree = jax.tree.flatten(example_args)
+    out_tree_box = []
+
+    def flat_fn(*flat):
+        args = jax.tree.unflatten(in_tree, flat)
+        out = fn(*args)
+        flat_out, out_tree = jax.tree.flatten(out)
+        out_tree_box.append(out_tree)
+        return flat_out
+
+    closed = jax.make_jaxpr(flat_fn)(*flat_ex)
+    out_tree = out_tree_box[0]
+    consts = closed.consts
+
+    def g(consts, *args):
+        flat = jax.tree.leaves(args)
+        out_flat = jax.core.eval_jaxpr(closed.jaxpr, consts, *flat)
+        return jax.tree.unflatten(out_tree, out_flat)
+
+    return g, consts
+
+
 def jit_step(step_fn, x, b):
     """jit an (x, b) -> x iteration step with its captured arrays hoisted
-    to arguments (jax.closure_convert).  Plain jit embeds closure arrays
-    — e.g. hundreds of MB of multigrid level matrices — as HLO
-    *constants*, which breaks large-program compiles (and bloats every
-    recompile); converting makes them ordinary buffers."""
+    to arguments (see hoist_constants)."""
     try:
-        conv, consts = jax.closure_convert(lambda xx, bb: step_fn(xx, bb),
-                                           x, b)
-        jconv = jax.jit(conv)
-        return lambda xx, bb: jconv(xx, bb, *consts)
+        g, consts = hoist_constants(step_fn, x, b)
+        jg = jax.jit(g)
+        return lambda xx, bb: jg(consts, xx, bb)
     except Exception:
         return jax.jit(step_fn)
 
