@@ -22,7 +22,12 @@ from pathlib import Path
 
 import numpy as np
 import jax
-import jax.numpy as jnp
+
+# TPU f32 matmuls default to bf16-input passes — numerically too sloppy
+# for FEM operators (the multigrid contraction even diverges).  All
+# reported numbers use honest full-f32 precision.
+jax.config.update("jax_default_matmul_precision", "highest")
+import jax.numpy as jnp  # noqa: E402
 
 REPO = Path(__file__).resolve().parent
 

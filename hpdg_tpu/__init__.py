@@ -24,7 +24,20 @@ Design pillars (TPU-first, not a port):
   layer (parallel/communicationhpdg.hh).
 """
 
-from hpdg_tpu import quadrature
-from hpdg_tpu.basis import lagrange, legendre
+import os as _os
+
+import jax as _jax
+
+# On TPU, f32 matmuls default to bf16-input passes.  For finite-element
+# operators that is not a performance knob but a correctness bug: the
+# multigrid contraction rate collapses (it can even diverge) and the
+# 1e-11-class differential tests against the oracle become meaningless.
+# Make honest f32 the framework default; opt out with
+# HPDG_ALLOW_BF16_MATMUL=1 if you know what you are doing.
+if _os.environ.get("HPDG_ALLOW_BF16_MATMUL", "0") != "1":
+    _jax.config.update("jax_default_matmul_precision", "highest")
+
+from hpdg_tpu import quadrature  # noqa: E402
+from hpdg_tpu.basis import lagrange, legendre  # noqa: E402
 
 __version__ = "0.1.0"
