@@ -117,6 +117,17 @@ def main():
     except Exception as e:
         log(f"# matrix-free bench failed: {e}")
 
+    # ---- extra: fused Pallas uniform-SIPG apply ----
+    try:
+        from hpdg_tpu.ops.pallas_uniform import pallas_uniform_sipg_operator
+        pal = jax.jit(pallas_uniform_sipg_operator(basis2, penalty=2.0,
+                                                   dirichlet=True))
+        t_pal = timeit(pal, x)
+        log(f"# pallas fused apply ({n2}^3): {t_pal*1e3:.2f} ms -> "
+            f"{basis2.ndof/t_pal:,.0f} DOF/s")
+    except Exception as e:
+        log(f"# pallas bench failed: {e}")
+
     # ---- extra: multigrid time to 1e-8 relative residual ----
     # f32 on the TPU compute path (f64 hits pathologically slow remote
     # compiles on this TPU generation); the V-cycle contraction rate is

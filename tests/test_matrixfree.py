@@ -215,3 +215,24 @@ def test_matrix_free_projected_jacobi_feasible_and_converges():
     for p in x:
         free = np.asarray(x[p]) > np.asarray(lo[p]) + 1e-9
         assert np.abs(np.asarray(r[p])[free]).max() < 2e-2
+
+
+def test_pallas_uniform_kernel_interpret():
+    """Pallas fused uniform-SIPG kernel vs the XLA uniform operator
+    (interpret mode on CPU; the same kernel runs compiled on TPU)."""
+    from hpdg_tpu.matrixfree.uniform import uniform_sipg_operator
+    from hpdg_tpu.ops.pallas_uniform import pallas_uniform_sipg_operator
+    p, n = 2, 4
+    m = hmesh.structured((n, n, n))
+    basis = DGBasis(m, np.full(m.n_elements, p))
+    x = {p: jnp.asarray(np.random.default_rng(1).standard_normal(
+        (m.n_elements, (p + 1) ** 3)), jnp.float32)}
+    for dirichlet in (True, False):
+        ref = uniform_sipg_operator(basis, penalty=2.0, dirichlet=dirichlet,
+                                    dtype=jnp.float32)
+        pal = pallas_uniform_sipg_operator(basis, penalty=2.0,
+                                           dirichlet=dirichlet,
+                                           interpret=True)
+        y1, y2 = ref(x)[p], pal(x)[p]
+        scale = float(jnp.abs(y1).max())
+        assert float(jnp.abs(y1 - y2).max()) < 1e-5 * scale
