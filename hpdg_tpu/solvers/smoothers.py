@@ -236,3 +236,51 @@ def lexicographic_block_gs_step(A: BlockSparseMatrix, basis):
         return {p: xb}
 
     return step
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev polynomial smoothing (matvec-only; beyond the reference)
+# ---------------------------------------------------------------------------
+
+def estimate_rho(apply_fn, precond_fn, x_like: dict, iters: int = 15) -> float:
+    """Power-iteration estimate of rho(M^-1 A) (host loop at setup time)."""
+    import numpy as _np
+    rng = _np.random.default_rng(1887)
+    v = {p: jnp.asarray(rng.standard_normal(_np.asarray(x_like[p]).shape),
+                        _np.asarray(x_like[p]).dtype) for p in x_like}
+    nrm = 1.0
+    for _ in range(iters):
+        w = precond_fn(apply_fn(v))
+        nrm = float(bv.norm(w))
+        v = bv.scale(1.0 / max(nrm, 1e-30), w)
+    return nrm
+
+
+def chebyshev_smoother(apply_fn, precond_fn, lmax: float,
+                       degree: int = 3, lmin_frac: float = 0.3):
+    """Chebyshev(degree) smoother for the preconditioned operator M^-1 A,
+    targeting the upper eigenvalue band [lmin_frac*lmax, lmax] (the
+    standard smoothing window).  Only needs operator applies — the ideal
+    TPU smoother for matrix-free multigrid (no sequential sweeps, no
+    assembled matrix).  Returns an (x, b) -> x iteration step.
+    """
+    theta = 0.5 * (lmax * lmin_frac + lmax)
+    delta = 0.5 * (lmax - lmax * lmin_frac)
+
+    def step(x, b):
+        # standard Chebyshev recurrence on the residual polynomial
+        r = precond_fn(bv.sub(b, apply_fn(x)))
+        d = bv.scale(1.0 / theta, r)
+        sigma = theta / delta
+        rho_old = 1.0 / sigma
+        x = bv.add(x, d)
+        for _ in range(degree - 1):
+            r = precond_fn(bv.sub(b, apply_fn(x)))
+            rho_new = 1.0 / (2.0 * sigma - rho_old)
+            d = bv.axpy(rho_new * rho_old, d,
+                        bv.scale(2.0 * rho_new / delta, r))
+            rho_old = rho_new
+            x = bv.add(x, d)
+        return x
+
+    return step

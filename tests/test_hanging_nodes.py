@@ -29,7 +29,7 @@ def test_local_refine_faces_2d():
     f = refine_local(m, marks)
     assert f.n_elements == 7  # 4 children + 3 kept
     assert np.isclose(f.volumes.sum(), 1.0)
-    # non-conforming faces: element 0's右/上 neighbors each see 2 small faces
+    # non-conforming faces: element 0'sright/top neighbors each see 2 small faces
     nc = f.faces.nc_code > 0
     assert nc.sum() == 4  # 2 per coarse neighbor relation... (2 sides x 2)
     # every nc face pairs a small and a big element
@@ -133,3 +133,22 @@ def test_h_adaptive_solve_converges():
     x2, _ = api.solve_linear(basis2, A2, b2, tol=1e-10, maxiter=60)
     err2 = float(l2_error(basis2, x2, u))
     assert err2 < err1, (err1, err2)
+
+
+def test_mg_with_hanging_node_h_level():
+    """h-multigrid across a locally refined (hanging-node) mesh: the
+    h-transfer handles kept elements (identity) and children alike."""
+    from hpdg_tpu.solvers.multigrid import multigrid_solver
+    from hpdg_tpu.solvers.cg import loop_solve
+    mc = hmesh.structured((2, 2))
+    mf_ = refine_local(mc, np.array([True, True, False, False]))
+    basis = DGBasis(mf_, np.full(mf_.n_elements, 2))
+    A = api.laplace(basis, penalty=2.0, dirichlet=True)
+    b = api.l2_functional(basis, lambda x: 1.0 + 0 * x[..., 0])
+    step, data = multigrid_solver(basis, A, meshes=[mc, mf_])
+    assert data.bases[0].mesh.n_elements == 4
+    x, info = loop_solve(step, bv.zeros(basis), b,
+                         matvec_fn=lambda v: bm.matvec(A, v),
+                         tol=1e-9, maxiter=40)
+    r = float(bv.norm(bv.sub(b, bm.matvec(A, x))))
+    assert r < 1e-7, info["iterations"]

@@ -114,3 +114,60 @@ def test_mg_convergence_rate_is_h_independent():
             counts.append(info["iterations"])
     assert counts_fact[1] <= counts_fact[0] + 1, counts_fact
     assert counts_gal[1] <= 2 * counts_gal[0], counts_gal
+
+
+def test_chebyshev_smoothed_matrixfree_mg():
+    """Fully matrix-free multigrid: sum-factorized applies + Chebyshev
+    smoothing on block-Jacobi-preconditioned operators (no assembled
+    matrices above the coarse level)."""
+    from hpdg_tpu import matrixfree as mf
+    from hpdg_tpu.solvers import smoothers as sm
+    from hpdg_tpu.solvers.multigrid import Level, vcycle, dense_coarse_solver
+    from hpdg_tpu.transfer import p_transfer
+    from hpdg_tpu.assemble import build_plan
+
+    m = hmesh.structured((4, 4))
+    basis = DGBasis(m, np.full(16, 4))
+    plan = build_plan(basis)
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True, plan=plan)
+    b = l2_functional(basis, f_rhs)
+
+    # build levels p=4 -> 2 -> 1, all operators matrix-free
+    levels = []
+    bases, transfers = [basis], []
+    while bases[0].max_degree() > 1:
+        T = p_transfer(bases[0], max(1, bases[0].max_degree() // 2))
+        bases.insert(0, T.coarse)
+        transfers.insert(0, T)
+    ops, pcs = [], []
+    for bas in bases:
+        planl = build_plan(bas)
+        op = mf.sipg_operator(bas, penalty=2.0, dirichlet=True, plan=planl)
+        D = mf.sipg_diagonal_blocks(bas, penalty=2.0, dirichlet=True,
+                                    plan=planl)
+        Dinv = {p: jnp.asarray(np.linalg.inv(np.asarray(d))) for p, d in D.items()}
+        pc = lambda r, Dinv=Dinv: sm.apply_blockdiag(Dinv, r)
+        ops.append(op)
+        pcs.append(pc)
+    import jax.numpy as jnp2
+    for l, bas in enumerate(bases):
+        xl = bv.zeros(bas)
+        rho = sm.estimate_rho(ops[l], pcs[l], xl)
+        smooth = sm.chebyshev_smoother(ops[l], pcs[l], lmax=1.05 * rho,
+                                       degree=3)
+        restrict = prolong = None
+        if l > 0:
+            T = transfers[l - 1]
+            restrict = (lambda TT: lambda r: TT.restrict(r))(T)
+            prolong = (lambda TT: lambda c: TT.prolong(c))(T)
+        levels.append(Level(apply=ops[l], pre_smooth=smooth,
+                            post_smooth=smooth, restrict=restrict,
+                            prolong=prolong, pre_steps=1, post_steps=1))
+    # coarse: assembled dense solve at p=1
+    Ac = assemble_laplace(bases[0], penalty=2.0, dirichlet=True)
+    csolve = dense_coarse_solver(bases[0], Ac)
+    x = bv.zeros(basis)
+    for _ in range(25):
+        x = vcycle(levels, csolve, x, b)
+    r = float(bv.norm(bv.sub(b, bm.matvec(A, x))))
+    assert r < 1e-8 * float(bv.norm(b)) * 100, r
