@@ -1,3 +1,4 @@
 """Meshes as precomputed connectivity arrays (TPU-native grid replacement)."""
 
-from hpdg_tpu.mesh.structured import Mesh, structured, refine, lshape  # noqa: F401
+from hpdg_tpu.mesh.structured import (Mesh, structured, refine, lshape,  # noqa: F401
+                                      hierarchy, from_boxes)

@@ -280,8 +280,14 @@ def refine(mesh: Mesh, marks: np.ndarray | None = None) -> Mesh:
     child_lower = (mesh.lower[:, None, :] + offset).reshape(-1, dim)
     parent = np.repeat(np.arange(n, dtype=np.int32), nc)
     child_pos = np.tile(np.arange(nc, dtype=np.int32), n)
-    return from_boxes(child_lower, child_extent, parent=parent,
-                      child_pos=child_pos, parent_mesh=mesh)
+    # re-number children in coordinate (lattice C-) order so uniformly
+    # refined hierarchies keep the lattice element numbering that the
+    # slab-sharded and Pallas stencil paths rely on
+    q = np.rint(child_lower / (child_extent.min() * 0.5)).astype(np.int64)
+    order = np.lexsort(tuple(q[:, a] for a in range(dim - 1, -1, -1)))
+    return from_boxes(child_lower[order], child_extent[order],
+                      parent=parent[order], child_pos=child_pos[order],
+                      parent_mesh=mesh)
 
 
 def hierarchy(base: Mesh, levels: int) -> list[Mesh]:

@@ -58,9 +58,20 @@ def pallas_uniform_sipg_operator(basis: DGBasis, penalty: float = 2.0,
     N = mesh.n_elements
     if n0 * n1 * n2 != N:
         raise ValueError("pallas uniform kernel: full structured grids only")
+    # verify lattice (C-order) element numbering — the stencil strides
+    # depend on it (structured() and uniform refine() guarantee it)
+    lat0 = np.rint((mesh.lower - mesh.lower.min(axis=0)) / h).astype(np.int64)
+    eid = lat0[:, 0] * (n1 * n2) + lat0[:, 1] * n2 + lat0[:, 2]
+    if not np.array_equal(eid, np.arange(N)):
+        raise ValueError("pallas uniform kernel: lattice element order "
+                         "required")
     bs = (p + 1) ** dim
     BS = _round_up(bs, 128)
     T = n1 * n2  # one x-slab per tile
+    if T % 8 != 0:
+        raise ValueError(
+            f"pallas uniform kernel: slab size {T} must be a multiple of 8 "
+            "(TPU sublane tiling); use the XLA uniform operator instead")
     strides = {0: n1 * n2, 1: n2, 2: 1}
 
     # ---- fixed matrices (reuse the uniform-operator construction) ----

@@ -286,6 +286,8 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
 def matrixfree_multigrid_solver(basis: DGBasis, penalty: float = 2.0,
                                 dirichlet: bool = True,
                                 cheby_degree: int = 3,
+                                use_pallas: bool = False,
+                                meshes: list | None = None,
                                 dtype=jnp.float64):
     """Fully matrix-free hp-multigrid for the SIPG Laplacian: every level
     applies the sum-factorized operator (no assembled matrices except the
@@ -302,17 +304,44 @@ def matrixfree_multigrid_solver(basis: DGBasis, penalty: float = 2.0,
     from hpdg_tpu.assemble.sipg import assemble_laplace
     from hpdg_tpu.transfer import p_transfer
 
+    from hpdg_tpu.transfer import h_transfer
+
     bases, transfers = [basis], []
     while bases[0].max_degree() > 1:
         T = p_transfer(bases[0], max(1, bases[0].max_degree() // 2))
         bases.insert(0, T.coarse)
         transfers.insert(0, T)
+    if meshes is not None:
+        assert meshes[-1] is basis.mesh
+        for coarse_mesh in reversed(list(meshes)[:-1]):
+            cb = DGBasis(coarse_mesh,
+                         np.full(coarse_mesh.n_elements,
+                                 bases[0].max_degree(), dtype=np.int32),
+                         family=basis.family)
+            T = h_transfer(bases[0], cb)
+            bases.insert(0, cb)
+            transfers.insert(0, T)
 
     levels = []
     for l, bas in enumerate(bases):
         planl = build_plan(bas)
-        op = mf.sipg_operator(bas, penalty=penalty, dirichlet=dirichlet,
-                              plan=planl, dtype=dtype)
+        op = None
+        if use_pallas:
+            # fused Pallas stencil apply (uniform full 3D grids, f32);
+            # levels too small for the TPU tiling fall back to the XLA
+            # stencil operator (still matrix-free)
+            try:
+                from hpdg_tpu.ops.pallas_uniform import \
+                    pallas_uniform_sipg_operator
+                op = pallas_uniform_sipg_operator(bas, penalty=penalty,
+                                                  dirichlet=dirichlet)
+            except ValueError:
+                from hpdg_tpu.matrixfree.uniform import uniform_sipg_operator
+                op = uniform_sipg_operator(bas, penalty=penalty,
+                                           dirichlet=dirichlet, dtype=dtype)
+        if op is None:
+            op = mf.sipg_operator(bas, penalty=penalty, dirichlet=dirichlet,
+                                  plan=planl, dtype=dtype)
         D = mf.sipg_diagonal_blocks(bas, penalty=penalty,
                                     dirichlet=dirichlet, plan=planl,
                                     dtype=dtype)
