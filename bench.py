@@ -149,8 +149,10 @@ def main():
         from hpdg_tpu.solvers.multigrid import multigrid_solver
         from hpdg_tpu.linalg import blockmatrix as bm, blockvector as bvv
         from hpdg_tpu.assemble import l2_functional
-        nmg = 8
-        mesh_mg = hmesh.structured((nmg, nmg, nmg))
+        # full hp-hierarchy on the headline mesh: 3^3 -> 6^3 -> 12^3 at
+        # p = 4 -> 2 -> 1 (h-levels below p=1), re-assembled level operators
+        meshes_mg = hmesh.hierarchy(hmesh.structured((3, 3, 3)), 2)
+        mesh_mg = meshes_mg[-1]
         basis_mg = DGBasis(mesh_mg, np.full(mesh_mg.n_elements, p))
         plan_mg = build_plan(basis_mg)
         A32 = assemble_laplace(basis_mg, penalty=2.0, dirichlet=True,
@@ -158,7 +160,7 @@ def main():
         factory = lambda bas: assemble_laplace(  # noqa: E731
             bas, penalty=2.0, dirichlet=True, dtype=dtype)
         step, _ = multigrid_solver(basis_mg, A32, operator_factory=factory,
-                                   dtype=dtype)
+                                   meshes=meshes_mg, dtype=dtype)
         f = lambda x: (2 * jnp.pi**2  # noqa: E731
                        * jnp.sin(jnp.pi * x[..., 0])
                        * jnp.sin(jnp.pi * x[..., 1])
