@@ -91,20 +91,49 @@ def projected_block_gs_step(A: bm.BlockSparseMatrix, basis: DGBasis,
     return step
 
 
+def truncated_matrix(A: bm.BlockSparseMatrix, free: dict
+                     ) -> bm.BlockSparseMatrix:
+    """Zero the rows/cols of non-free (active-obstacle) dofs and put a
+    unit diagonal there — dune-tnnmg's truncated linearization matrix."""
+    vals = {}
+    for (pr, pc), (rows, cols) in A.pattern.entries.items():
+        fr = free[pr][jnp.asarray(rows)].astype(A.values[(pr, pc)].dtype)
+        fc = free[pc][jnp.asarray(cols)].astype(A.values[(pr, pc)].dtype)
+        vals[(pr, pc)] = A.values[(pr, pc)] * fr[:, :, None] * fc[:, None, :]
+    for p in A.pattern.row_sizes:
+        n = A.pattern.row_sizes[p]
+        br = vals[(p, p)].shape[1]
+        eye = jnp.eye(br, dtype=vals[(p, p)].dtype)
+        inactive = 1.0 - free[p][:n].astype(vals[(p, p)].dtype)
+        vals[(p, p)] = vals[(p, p)].at[:n].add(
+            inactive[:, :, None] * eye[None])
+    return bm.BlockSparseMatrix(A.pattern, A.dim, vals, A.block_shape)
+
+
 def solve_tnnmg(A: bm.BlockSparseMatrix, b: dict, basis: DGBasis,
                 lo: dict, up: dict, mg_step=None, x0: dict | None = None,
                 tol: float = 1e-9, maxiter: int = 100, pre_sweeps: int = 1,
-                active_eps: float = 1e-13, verbose: bool = False):
+                active_eps: float = 1e-13, verbose: bool = False,
+                truncate_hierarchy: bool = False):
     """Full TNNMG loop (solveObstacle analog, buildingblocks/solve.hh:40-124).
 
     Returns (x, info) with per-iteration correction norms, damping
     factors and truncated-dof counts (the reference's custom LoopSolver
     criterion columns, solve.hh:101-119).
+
+    ``truncate_hierarchy=True`` rebuilds the multigrid hierarchy on the
+    TRUNCATED matrix every iteration (zeroed active rows/cols, unit
+    diagonal) and Galerkin-restricts it down all levels — the reference's
+    preprocess-per-iterate behavior (solversetup.hh:178-190 driven by
+    TNNMGStep).  The default applies the truncation masks only on the
+    fine level around an untruncated V-cycle (cheaper; the line search
+    keeps the iteration monotone either way).
     """
-    if mg_step is None:
+    if mg_step is None and not truncate_hierarchy:
         from hpdg_tpu.solvers.multigrid import multigrid_solver
         mg_step, _ = multigrid_solver(basis, A)
-    mg_step = jax.jit(mg_step)
+    if mg_step is not None:
+        mg_step = jax.jit(mg_step)
     smoother = jax.jit(projected_block_gs_step(A, basis, lo, up))
     x = bv.zeros_like(b) if x0 is None else x0
     # make the start feasible
@@ -128,7 +157,14 @@ def solve_tnnmg(A: bm.BlockSparseMatrix, b: dict, basis: DGBasis,
             ntrunc += int(jnp.sum(~free[p]))
         r = bv.sub(b, bm.matvec(A, x))
         r_masked = {p: jnp.where(free[p], r[p], 0.0) for p in r}
-        c = mg_step(bv.zeros_like(b), r_masked)
+        if truncate_hierarchy:
+            # reference-faithful: Galerkin hierarchy of the truncated matrix
+            from hpdg_tpu.solvers.multigrid import multigrid_solver
+            A_tr = truncated_matrix(A, free)
+            step_tr, _ = multigrid_solver(basis, A_tr)
+            c = step_tr(bv.zeros_like(b), r_masked)
+        else:
+            c = mg_step(bv.zeros_like(b), r_masked)
         c = {p: jnp.where(free[p], c[p], 0.0) for p in c}
         # project the trial point into the constraints
         c = jax.tree.map(lambda cc, xx, ll, uu: jnp.clip(xx + cc, ll, uu) - xx,

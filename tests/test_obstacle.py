@@ -80,3 +80,15 @@ def test_unconstrained_tnnmg_equals_linear_solve():
     x_l, _ = api.solve_linear(basis, A, b, tol=1e-12, maxiter=100)
     assert float(bv.norm(bv.sub(x_t, x_l))) < 1e-7
     assert max(info["truncated"]) == 0
+
+
+def test_tnnmg_truncated_hierarchy_option():
+    """Reference-faithful variant: Galerkin hierarchy of the truncated
+    matrix rebuilt per iteration (solversetup preprocess behavior)."""
+    basis, A, b, lo, up = setup_problem(3, 2)
+    x_t, info = solve_tnnmg(A, b, basis, lo, up, tol=1e-10, maxiter=40,
+                            truncate_hierarchy=True)
+    x_ref, _ = solve_tnnmg(A, b, basis, lo, up, tol=1e-11, maxiter=80)
+    assert float(bv.norm(bv.sub(x_t, x_ref))) < 1e-7
+    en = info["energy"]
+    assert all(b2 <= a2 + 1e-10 for a2, b2 in zip(en, en[1:]))
