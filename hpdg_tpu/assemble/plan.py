@@ -179,3 +179,32 @@ def face_phys_points(basis, fg: FaceGroup, pts: np.ndarray) -> np.ndarray:
     for t, a in enumerate(tang):
         x[:, :, a] += pts[None, :, t] * ext[:, a][:, None]
     return x
+
+
+def penalty_coef(fg: FaceGroup, penalty: float, pmax: int,
+                 scaling: str = "measure") -> np.ndarray:
+    """Per-face penalty coefficient c_f such that the penalty term is
+    c_f * sum_q w_q [u][v]  (i.e. c_f = mu_f * |f|).
+
+    scaling="measure": mu = sigma p^2 / |f| (the reference convention,
+    gausslobattoipdgassembler.hh:167) -> c_f = sigma p^2, constant.
+    scaling="normal": mu = sigma p^2 * mean(1/h_normal) of the two
+    elements -> c_f = sigma p^2 |f| mean(1/h_n).  Robust on anisotropic
+    elements, where the measure convention under-penalizes (the SIPG
+    matrix can become indefinite; see ROADMAP.md item 3).
+    """
+    if scaling == "measure":
+        return penalty * pmax**2 * np.ones(len(fg.face_ids))
+    if scaling == "normal":
+        hinv = 0.5 * (fg.inv_h_in + fg.inv_h_out)
+        return penalty * pmax**2 * fg.fmeas * hinv
+    raise ValueError(scaling)
+
+
+def boundary_penalty_coef(bg: BoundaryGroup, penalty: float,
+                          scaling: str = "measure") -> np.ndarray:
+    if scaling == "measure":
+        return penalty * bg.p**2 * np.ones(len(bg.face_ids))
+    if scaling == "normal":
+        return penalty * bg.p**2 * bg.fmeas * bg.inv_h
+    raise ValueError(scaling)

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
 from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
-                                    face_group_tables, face_phys_points)
+                                    face_group_tables, face_phys_points,
+                                    penalty_coef, boundary_penalty_coef)
 from hpdg_tpu.linalg.blockmatrix import BlockSparseMatrix, zeros_values
 
 
@@ -39,7 +40,8 @@ def _sym(M):
 def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                      dirichlet: bool = False, diffusion=None,
                      dtype=jnp.float64, plan: AssemblyPlan | None = None,
-                     geom_scale=None) -> BlockSparseMatrix:
+                     geom_scale=None,
+                     penalty_scaling: str = "measure") -> BlockSparseMatrix:
     """Assemble the (optionally variable-coefficient) SIPG stiffness matrix.
 
     ``diffusion``: optional vectorized scalar coefficient ``K(x)`` taking
@@ -93,7 +95,9 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
         w = fin["weights"]
         Vi, Di = fin["V"], fin["Dn"]
         Vo, Do = fout["V"], fout["Dn"]
-        pen = penalty * pmax**2
+        pen = jnp.asarray(
+            penalty_coef(fg, penalty, pmax, penalty_scaling),
+            dtype)[:, None, None]
         c_in = gpow * jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_in, dtype)
         c_out = gpow * jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_out, dtype)
 
@@ -146,7 +150,9 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             sign = 1.0 if side == 1 else -1.0
             ft = tensor.face_tables(p, dim, ax, side, p + 2, family=basis.family)
             w, V, D = ft["weights"], ft["V"], ft["Dn"]
-            pen = penalty * p**2
+            pen = jnp.asarray(
+                boundary_penalty_coef(bg, penalty, penalty_scaling),
+                dtype)[:, None, None]
             c = gpow * jnp.asarray(-sign * bg.fmeas * bg.inv_h, dtype)
             if diffusion is None:
                 AVD = np.einsum("iq,q,jq->ij", V, w, D)

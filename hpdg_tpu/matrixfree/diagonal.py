@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
 from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
-                                    face_group_tables)
+                                    face_group_tables, penalty_coef,
+                                    boundary_penalty_coef)
 
 
 def _sym(M):
@@ -25,6 +26,7 @@ def _sym(M):
 
 def sipg_diagonal_blocks(basis: DGBasis, penalty: float = 2.0,
                          dirichlet: bool = False, dtype=jnp.float64,
+                         penalty_scaling: str = "measure",
                          plan: AssemblyPlan | None = None) -> dict:
     """p -> [n_p, bs, bs] diagonal blocks of the SIPG operator."""
     plan = plan or build_plan(basis)
@@ -45,7 +47,8 @@ def sipg_diagonal_blocks(basis: DGBasis, penalty: float = 2.0,
         pmax = max(fg.p_in, fg.p_out)
         fin, fout = face_group_tables(basis, fg, pmax + 2)
         w = fin["weights"]
-        pen = penalty * pmax**2
+        pen = jnp.asarray(penalty_coef(fg, penalty, pmax, penalty_scaling),
+                          dtype)[:, None, None]
         AVDi = np.einsum("iq,q,jq->ij", fin["V"], w, fin["Dn"])
         BVVi = np.einsum("iq,q,jq->ij", fin["V"], w, fin["V"])
         AVDo = np.einsum("iq,q,jq->ij", fout["V"], w, fout["Dn"])
@@ -53,9 +56,9 @@ def sipg_diagonal_blocks(basis: DGBasis, penalty: float = 2.0,
         c_in = jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_in, dtype)
         c_out = jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_out, dtype)
         M11 = c_in[:, None, None] * jnp.asarray(_sym(AVDi), dtype) \
-            + pen * jnp.asarray(BVVi, dtype)
+            + pen * jnp.asarray(BVVi, dtype)[None]
         M22 = -c_out[:, None, None] * jnp.asarray(_sym(AVDo), dtype) \
-            + pen * jnp.asarray(BVVo, dtype)
+            + pen * jnp.asarray(BVVo, dtype)[None]
         out[fg.p_in] = out[fg.p_in].at[jnp.asarray(fg.in_pos)].add(M11)
         out[fg.p_out] = out[fg.p_out].at[jnp.asarray(fg.out_pos)].add(M22)
 
@@ -68,7 +71,10 @@ def sipg_diagonal_blocks(basis: DGBasis, penalty: float = 2.0,
             AVD = np.einsum("iq,q,jq->ij", ft["V"], w, ft["Dn"])
             BVV = np.einsum("iq,q,jq->ij", ft["V"], w, ft["V"])
             c = jnp.asarray(-sign * bg.fmeas * bg.inv_h, dtype)
+            penb = jnp.asarray(
+                boundary_penalty_coef(bg, penalty, penalty_scaling),
+                dtype)[:, None, None]
             M = c[:, None, None] * jnp.asarray(_sym(AVD), dtype) \
-                + penalty * bg.p**2 * jnp.asarray(BVV, dtype)
+                + penb * jnp.asarray(BVV, dtype)[None]
             out[bg.p] = out[bg.p].at[jnp.asarray(bg.pos)].add(M)
     return out

@@ -16,13 +16,15 @@ import jax.numpy as jnp
 from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
 from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
-                                    face_group_tables)
+                                    face_group_tables, penalty_coef,
+                                    boundary_penalty_coef)
 from hpdg_tpu.matrixfree.sumfact import _fwd_spec, _chain
 
 
 def ipdg_local_norm(basis: DGBasis, penalty: float = 2.0,
                     dirichlet: bool = False, dtype=jnp.float64,
-                    plan: AssemblyPlan | None = None):
+                    plan: AssemblyPlan | None = None,
+                    penalty_scaling: str = "measure"):
     """Returns apply(x) -> (n_elements,) array of eta_e^2 (flat element order)."""
     plan = plan or build_plan(basis)
     dim = basis.dim
@@ -59,8 +61,10 @@ def ipdg_local_norm(basis: DGBasis, penalty: float = 2.0,
             jump = u_in @ jnp.asarray(fin["V"], dtype) - \
                 u_out @ jnp.asarray(fout["V"], dtype)
             w = jnp.asarray(fin["weights"], dtype)
-            # mu/2 * |f| * w_q = penalty pmax^2 w_q / 2
-            contrib = 0.5 * penalty * pmax**2 * jnp.sum(w[None] * jump**2, axis=1)
+            # mu/2 * |f| * w_q = pen_f w_q / 2
+            penf = jnp.asarray(penalty_coef(fg, penalty, pmax,
+                                            penalty_scaling), dtype)
+            contrib = 0.5 * penf * jnp.sum(w[None] * jump**2, axis=1)
             ein = jnp.asarray(mesh.faces.inside[fg.face_ids])
             eout = jnp.asarray(mesh.faces.outside[fg.face_ids])
             eta = eta.at[ein].add(contrib).at[eout].add(contrib)
@@ -71,7 +75,9 @@ def ipdg_local_norm(basis: DGBasis, penalty: float = 2.0,
                 u = x[bg.p][jnp.asarray(bg.pos)]
                 tr = u @ jnp.asarray(ft["V"], dtype)
                 w = jnp.asarray(ft["weights"], dtype)
-                contrib = penalty * bg.p**2 * jnp.sum(w[None] * tr**2, axis=1)
+                penb = jnp.asarray(boundary_penalty_coef(
+                    bg, penalty, penalty_scaling), dtype)
+                contrib = penb * jnp.sum(w[None] * tr**2, axis=1)
                 elems = jnp.asarray(mesh.bfaces.elem[bg.face_ids])
                 eta = eta.at[elems].add(contrib)
         return eta
@@ -80,7 +86,8 @@ def ipdg_local_norm(basis: DGBasis, penalty: float = 2.0,
 
 
 def jump_indicator(basis: DGBasis, penalty: float = 2.0,
-                   dtype=jnp.float64, plan: AssemblyPlan | None = None):
+                   dtype=jnp.float64, plan: AssemblyPlan | None = None,
+                   penalty_scaling: str = "measure"):
     """Per-element *jump-only* indicator: eta_e^2 = sum over the element's
     faces of sigma max(p)^2/(2|f|) ∫_f [x]^2.
 
@@ -103,8 +110,9 @@ def jump_indicator(basis: DGBasis, penalty: float = 2.0,
             jump = u_in @ jnp.asarray(fin["V"], dtype) - \
                 u_out @ jnp.asarray(fout["V"], dtype)
             w = jnp.asarray(fin["weights"], dtype)
-            contrib = 0.5 * penalty * pmax**2 * jnp.sum(w[None] * jump**2,
-                                                        axis=1)
+            penf = jnp.asarray(penalty_coef(fg, penalty, pmax,
+                                            penalty_scaling), dtype)
+            contrib = 0.5 * penf * jnp.sum(w[None] * jump**2, axis=1)
             eta = eta.at[jnp.asarray(mesh.faces.inside[fg.face_ids])].add(contrib)
             eta = eta.at[jnp.asarray(mesh.faces.outside[fg.face_ids])].add(contrib)
         return eta

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
 from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
-                                    face_group_tables, face_phys_points)
+                                    face_group_tables, face_phys_points,
+                                    penalty_coef, boundary_penalty_coef)
 from hpdg_tpu.linalg import blockvector as bv
 
 _LETTERS = "ijkl"
@@ -137,7 +138,8 @@ def _face_prep(basis: DGBasis, plan: AssemblyPlan, dtype):
 
 def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                   dirichlet: bool = False, diffusion=None,
-                  dtype=jnp.float64, plan: AssemblyPlan | None = None):
+                  dtype=jnp.float64, plan: AssemblyPlan | None = None,
+                  penalty_scaling: str = "measure"):
     """Full matrix-free SIPG apply (bulk + skeleton + Dirichlet terms).
 
     Semantically identical to ``assemble_laplace(...)`` matvec; tested
@@ -154,7 +156,10 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
     for g in groups:
         fg = g["fg"]
         g["z"] = fg.fmeas  # |f| * w_q applied via w
-        g["pen_w"] = penalty * g["pmax"] ** 2 * g["w"]  # mu*|f|*w = pen*w
+        # mu*|f|*w = pen_f * w (pen_f per face)
+        g["pen_w"] = (penalty_coef(fg, penalty, g["pmax"],
+                                   penalty_scaling)[:, None]
+                      * g["w"][None, :])
         if diffusion is not None:
             g["xq"] = face_phys_points(basis, fg, g["pts"])
 
@@ -165,7 +170,9 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                                     family=basis.family)
             item = dict(bg=bg, w=ft["weights"], V=ft["V"], D=ft["Dn"],
                         sign=1.0 if bg.side == 1 else -1.0,
-                        pen_w=penalty * bg.p**2 * ft["weights"])
+                        pen_w=boundary_penalty_coef(
+                            bg, penalty, penalty_scaling)[:, None]
+                        * ft["weights"][None, :])
             if diffusion is not None:
                 elems = mesh.bfaces.elem[bg.face_ids]
                 lo = mesh.lower[elems].copy()
@@ -196,7 +203,7 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
             if diffusion is not None:
                 k = diffusion(jnp.asarray(g["xq"], dtype))
             zw = J(g["z"])[:, None] * J(g["w"])[None, :]  # |f| w_q
-            penw = J(g["pen_w"])[None, :]
+            penw = J(g["pen_w"])
             t1_in = zw * (-(k * avg)) + penw * jump
             t2_in = zw * (-0.5 * k * jump) * J(fg.inv_h_in)[:, None]
             t1_out = zw * (k * avg) - penw * jump
@@ -216,7 +223,7 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
             if diffusion is not None:
                 k = diffusion(jnp.asarray(g["xq"], dtype))
             zw = J(bg.fmeas)[:, None] * J(g["w"])[None, :]
-            penw = J(g["pen_w"])[None, :]
+            penw = J(g["pen_w"])
             t1 = zw * (-(k * dnq)) + penw * uq
             t2 = zw * (-(k * uq)) * (g["sign"] * J(bg.inv_h))[:, None]
             yb = t1 @ V.T + t2 @ D.T

@@ -59,7 +59,7 @@ def _face_point(tpt, axis, side, dim):
 
 
 def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
-                diffusion=None) -> np.ndarray:
+                diffusion=None, penalty_scaling: str = "measure") -> np.ndarray:
     """Dense SIPG stiffness matrix in the flat element-ordered layout.
 
     Matches the reference's conventions exactly
@@ -106,7 +106,10 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
         ilo = np.maximum(mesh.lower[ei], mesh.lower[eo])
         iext = np.minimum(hi, ho)
         fmeas = np.prod(np.delete(iext, ax))
-        mu = penalty * pmax**2 / fmeas
+        if penalty_scaling == "measure":
+            mu = penalty * pmax**2 / fmeas
+        else:  # "normal": mean inverse normal extent of the two elements
+            mu = penalty * pmax**2 * 0.5 * (1.0 / hi[ax] + 1.0 / ho[ax])
         oi, no = basis.offsets[ei], basis.block_sizes[ei]
         oo, mo = basis.offsets[eo], basis.block_sizes[eo]
         tang = [a for a in range(dim) if a != ax]
@@ -151,7 +154,10 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
             nodes = lagrange.nodes_1d(p, basis.family)
             h = mesh.extent[e]
             fmeas = np.prod(np.delete(h, ax))
-            mu = penalty * p**2 / fmeas
+            if penalty_scaling == "measure":
+                mu = penalty * p**2 / fmeas
+            else:
+                mu = penalty * p**2 / h[ax]
             o, n = basis.offsets[e], basis.block_sizes[e]
             for q in range(len(tw)):
                 x = _face_point(tpts[q], ax, side, dim)

@@ -181,3 +181,37 @@ def test_kronrod_family_nodes():
     Ad = bm.to_dense(A, basis)
     Aref = oracle.sipg_matrix(basis, penalty=2.0)
     assert frob_close(Ad, Aref)
+
+
+def test_normal_penalty_scaling_matches_oracle_and_restores_spd():
+    """penalty_scaling='normal' (beyond the reference): robust on
+    anisotropic elements, where the reference's face-measure convention
+    yields an INDEFINITE matrix at sigma_0 = 2."""
+    m = hmesh.structured((8, 4))  # 2:1 anisotropic cells
+    basis = DGBasis(m, np.full(32, 4))
+    A_m = assemble_laplace(basis, penalty=2.0, dirichlet=True)
+    A_n = assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                           penalty_scaling="normal")
+    # oracle differential for the new scaling
+    Aref = oracle.sipg_matrix(basis, penalty=2.0, dirichlet=True,
+                              penalty_scaling="normal")
+    assert frob_close(bm.to_dense(A_n, basis), Aref)
+    wm = np.linalg.eigvalsh(bm.to_dense(A_m, basis))
+    wn = np.linalg.eigvalsh(bm.to_dense(A_n, basis))
+    assert wm.min() < 0  # reference convention: indefinite here
+    assert wn.min() > 0  # normal scaling: SPD
+    # matrix-free operator honors the scaling too
+    from hpdg_tpu import matrixfree as mf
+    op = mf.sipg_operator(basis, penalty=2.0, dirichlet=True,
+                          penalty_scaling="normal")
+    x = bv.random(basis)
+    y = op(x)
+    yref = bm.matvec(A_n, x)
+    assert np.allclose(bv.to_flat(basis, y), bv.to_flat(basis, yref),
+                       atol=1e-11)
+    # diagonal blocks consistent
+    D = mf.sipg_diagonal_blocks(basis, penalty=2.0, dirichlet=True,
+                                penalty_scaling="normal")
+    Das = bm.extract_diagonal(A_n)
+    for p in basis.bucket_degrees:
+        assert np.allclose(np.asarray(D[p]), np.asarray(Das[p]), atol=1e-11)
