@@ -118,3 +118,24 @@ def test_elasticity_pcg_with_block_jacobi():
                  maxiter=2000)
     r = float(bv.norm(bv.sub(b, bm.matvec(A, x))))
     assert r < 1e-9 * float(bv.norm(b)) * 10
+
+
+def test_matrixfree_elasticity_matches_assembled():
+    from hpdg_tpu.matrixfree.elasticity import elasticity_operator
+    from hpdg_tpu.assemble import build_plan
+    for cells, degs in [((3, 2), np.array([1, 2, 2, 1, 2, 1])),
+                        ((2, 1, 1), np.array([2, 1]))]:
+        m = hmesh.structured(cells, upper=tuple(1.0 + 0.5 * np.arange(len(cells))))
+        basis = DGBasis(m, degs)
+        plan = build_plan(basis)
+        for dirichlet in (False, True):
+            A = assemble_elasticity(basis, mu=1.3, lam=0.7, penalty=2.0,
+                                    dirichlet=dirichlet, plan=plan)
+            op = elasticity_operator(basis, mu=1.3, lam=0.7, penalty=2.0,
+                                     dirichlet=dirichlet, plan=plan)
+            d = len(cells)
+            x = bv.random(basis, ncomp=d)
+            y = op(x)
+            yref = bm.matvec(A, x)
+            err = float(bv.norm(bv.sub(y, yref))) / float(bv.norm(yref))
+            assert err < 1e-12, (cells, dirichlet, err)
