@@ -220,3 +220,47 @@ def assemble_penalty_only(basis: DGBasis, penalty: float = 2.0,
                 jnp.broadcast_to(penalty * p**2 * jnp.asarray(BVV, dtype),
                                  (nf,) + BVV.shape))
     return BlockSparseMatrix(plan.pattern, dim, vals)
+
+
+def assemble_weighted_face_mass(basis: DGBasis, wfield: dict,
+                                penalty: float = 2.0, dtype=jnp.float64,
+                                plan: AssemblyPlan | None = None
+                                ) -> BlockSparseMatrix:
+    """Weighted face-mass form (weightedfacemassassembler.hh:76-115):
+    per interior face, with a discrete DG field w,
+
+      factor(q) = -2 [w](q) {grad w . n}(q) + penalty/|f| [w](q)^2
+      M_AB[i,j] += |f| w_q factor(q) * 0.5 * phi_i^A phi_j^B   (all pairs)
+
+    ``wfield`` is a bucketed coefficient vector of the same basis; its
+    traces and normal derivatives come from the same face tables as the
+    assembly (boundary faces are skipped — Neumann assumption, :39-40).
+    """
+    plan = plan or build_plan(basis)
+    dim = basis.mesh.dim
+    vals = zeros_values(plan.pattern, dim, dtype=dtype)
+    J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+    for fg in plan.face_groups:
+        pmax = max(fg.p_in, fg.p_out)
+        fin, fout = face_group_tables(basis, fg, pmax + 2)
+        w = J(fin["weights"])
+        Vi, Vo = J(fin["V"]), J(fout["V"])
+        w_in = wfield[fg.p_in][jnp.asarray(fg.in_pos)]
+        w_out = wfield[fg.p_out][jnp.asarray(fg.out_pos)]
+        jump = w_in @ Vi - w_out @ Vo  # (nf, q)
+        dn_in = (w_in @ J(fin["Dn"])) * J(fg.inv_h_in)[:, None]
+        dn_out = (w_out @ J(fout["Dn"])) * J(fg.inv_h_out)[:, None]
+        avg = 0.5 * (dn_in + dn_out)
+        fac = (-2.0 * jump * avg
+               + (penalty / J(fg.fmeas))[:, None] * jump**2)
+        zfac = 0.5 * J(fg.fmeas)[:, None] * w[None, :] * fac  # (nf, q)
+        M11 = jnp.einsum("fq,iq,jq->fij", zfac, Vi, Vi)
+        M12 = jnp.einsum("fq,iq,jq->fij", zfac, Vi, Vo)
+        M21 = jnp.einsum("fq,iq,jq->fij", zfac, Vo, Vi)
+        M22 = jnp.einsum("fq,iq,jq->fij", zfac, Vo, Vo)
+        pi, po = fg.p_in, fg.p_out
+        vals[(pi, pi)] = vals[(pi, pi)].at[jnp.asarray(fg.in_pos)].add(M11)
+        vals[(po, po)] = vals[(po, po)].at[jnp.asarray(fg.out_pos)].add(M22)
+        vals[(pi, po)] = vals[(pi, po)].at[jnp.asarray(fg.slot12)].add(M12)
+        vals[(po, pi)] = vals[(po, pi)].at[jnp.asarray(fg.slot21)].add(M21)
+    return BlockSparseMatrix(plan.pattern, dim, vals)
