@@ -138,3 +138,78 @@ def load_npz(path: str) -> SavedState:
     mesh = from_boxes(d["lower"], d["extent"])
     basis = DGBasis(mesh, d["degrees"], family=str(d["family"]))
     return SavedState(basis=basis, flat=d["flat"])
+
+
+def restrict_to_coarse(saved: SavedState, new_basis: DGBasis,
+                       dtype=jnp.float64) -> dict:
+    """Interpolate a saved fine-mesh state onto the PARENT mesh of the
+    saved mesh (coarsening direction of GridAdaptor: the old function is
+    only piecewise-polynomial on the children, so each coarse node is
+    evaluated in the child that contains it).
+
+    ``new_basis.mesh`` must be ``saved.basis.mesh.parent_mesh``.
+    """
+    old = saved.basis
+    fine_mesh = old.mesh
+    if new_basis.mesh is not fine_mesh.parent_mesh:
+        raise ValueError("new basis must live on the saved mesh's parent")
+    dim = fine_mesh.dim
+    nc = 2**dim
+
+    # children of each coarse element, ordered by child_pos
+    children = {}
+    for k in range(fine_mesh.n_elements):
+        pe = int(fine_mesh.parent[k])
+        cp = int(fine_mesh.child_pos[k])
+        children.setdefault(pe, {})[cp] = k
+    out = {p: jnp.zeros((new_basis.bucket_size(p), new_basis.n_local(p)),
+                        dtype=dtype) for p in new_basis.bucket_degrees}
+
+    # group coarse elements by (p_new, tuple of child degrees)
+    groups = {}
+    for e in range(new_basis.mesh.n_elements):
+        ch = children.get(e)
+        pn = int(new_basis.degrees[e])
+        if ch is None or len(ch) < nc or -1 in ch:
+            # element was never refined: identity/degree-change transfer
+            k = children[e][-1] if ch and -1 in ch else None
+            raise ValueError("restrict_to_coarse: coarse element without a "
+                             "full child set (mixed keep/coarsen meshes "
+                             "not supported yet)")
+        key = (pn,) + tuple(int(old.degrees[ch[c]]) for c in range(nc))
+        groups.setdefault(key, []).append(e)
+
+    for key, elems in groups.items():
+        pn, pchild = key[0], key[1:]
+        nodes_n = lagrange.nodes_1d(pn, new_basis.family)
+        mi = tensor.multiindices(pn, dim)
+        xref = nodes_n[mi]  # (nl_new, dim) in parent coords
+        # route each node to the child containing it
+        bits = np.minimum((xref >= 0.5).astype(int), 1)
+        cidx = np.zeros(len(mi), dtype=int)
+        for a in range(dim):
+            cidx = cidx * 2 + bits[:, a]
+        vals = jnp.zeros((len(elems), len(mi)), dtype)
+        elems_np = np.asarray(elems)
+        for c in range(nc):
+            sel = np.where(cidx == c)[0]
+            if not len(sel):
+                continue
+            po = pchild[c]
+            nodes_o = lagrange.nodes_1d(po, old.family)
+            xc = 2.0 * xref[sel] - bits[sel]  # child-local coords
+            per_axis = [lagrange.lagrange_values(nodes_o, xc[:, a])
+                        for a in range(dim)]
+            mio = tensor.multiindices(po, dim)
+            T = np.ones((len(sel), len(mio)))
+            for a in range(dim):
+                T = T * per_axis[a][mio[:, a], :].T
+            child_ids = np.array([children[e][c] for e in elems_np])
+            bs_o = (po + 1) ** dim
+            idx = old.offsets[child_ids][:, None] + np.arange(bs_o)[None, :]
+            xold = jnp.asarray(saved.flat[idx], dtype)
+            vals = vals.at[:, jnp.asarray(sel)].set(
+                jnp.einsum("nj,ij->ni", xold, jnp.asarray(T, dtype)))
+        pos = new_basis.elem_bucket_pos[elems_np]
+        out[pn] = out[pn].at[jnp.asarray(pos)].set(vals)
+    return out

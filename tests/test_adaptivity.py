@@ -142,3 +142,25 @@ def test_renew_hierarchy():
     data.renew(A2)
     coarse_after = np.asarray(data.matrices[0].values[(1, 1)])
     assert np.allclose(coarse_after, 2.0 * coarse_before, atol=1e-11)
+
+
+def test_restrict_to_coarse():
+    """Coarsening direction of persistence: children -> parent nodal
+    interpolation; exact where the fine field is a polynomial that lives
+    in the coarse space."""
+    from hpdg_tpu.blocks.persist import restrict_to_coarse
+    mc = hmesh.structured((2, 2))
+    mf = hmesh.refine(mc)
+    fine = DGBasis(mf, np.full(16, 2))
+    f = lambda x: (x[..., 0] - 0.3) ** 2 + x[..., 0] * x[..., 1]
+    x = api.interpolate(fine, f)
+    saved = save_state(fine, x)
+    coarse = DGBasis(mc, np.full(4, 2))
+    xc = restrict_to_coarse(saved, coarse)
+    assert float(l2_error(coarse, xc, f)) < 1e-12
+    # mixed child degrees route correctly too
+    fine2 = DGBasis(mf, np.array([1, 2, 3, 2] * 4))
+    g = lambda x: x[..., 0] + 2 * x[..., 1]  # linear: in every space
+    saved2 = save_state(fine2, api.interpolate(fine2, g))
+    xc2 = restrict_to_coarse(saved2, coarse)
+    assert float(l2_error(coarse, xc2, g)) < 1e-12
