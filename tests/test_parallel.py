@@ -105,3 +105,21 @@ def test_sharded_pmg_converges_and_matches_serial():
     xs, _ = serial_pcg(lambda v: bm.matvec(A, v), b_dict, precond=M,
                        tol=1e-12, maxiter=800)
     assert np.allclose(np.asarray(x), np.asarray(xs[p]), atol=1e-6)
+
+
+def test_sharded_pmg_3d():
+    from hpdg_tpu.parallel.multigrid import build_sharded_pmg, solve_sharded_pmg
+    p = 2
+    cells = (8, 2, 2)  # 4:1 anisotropic cells: sigma_0=6 keeps SPD
+    pmg = build_sharded_pmg(cells, p, penalty=6.0, dirichlet=True,
+                            dtype=jnp.float64, pre_steps=3, post_steps=3)
+    gmesh = hmesh.structured(cells)
+    gbasis = DGBasis(gmesh, np.full(gmesh.n_elements, p))
+    from hpdg_tpu.blocks import api
+    b_dict = api.l2_functional(
+        gbasis, lambda x: 3 * jnp.pi**2 * jnp.sin(jnp.pi * x[..., 0])
+        * jnp.sin(jnp.pi * x[..., 1]) * jnp.sin(jnp.pi * x[..., 2]))
+    b = jax.device_put(b_dict[p], pmg.levels[-1].sharding)
+    x, rn = solve_sharded_pmg(pmg, b, cycles=30)
+    nb = float(jnp.linalg.norm(b))
+    assert float(rn) < 1e-6 * nb, float(rn) / nb
