@@ -22,13 +22,15 @@ import jax.numpy as jnp
 from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
 from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
-                                    face_group_tables)
+                                    face_group_tables, penalty_coef,
+                                    boundary_penalty_coef)
 from hpdg_tpu.linalg.blockmatrix import BlockSparseMatrix, zeros_values
 
 
 def assemble_elasticity(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
                         penalty: float = 2.0, dirichlet: bool = False,
-                        dtype=jnp.float64, plan: AssemblyPlan | None = None
+                        dtype=jnp.float64, plan: AssemblyPlan | None = None,
+                        penalty_scaling: str = "measure"
                         ) -> BlockSparseMatrix:
     plan = plan or build_plan(basis)
     mesh = basis.mesh
@@ -67,7 +69,7 @@ def assemble_elasticity(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
         pmax = max(pi, po)
         fin, fout = face_group_tables(basis, fg, pmax + 2)
         w = fin["weights"]
-        pen = penalty * pmax**2
+        pen = penalty_coef(fg, penalty, pmax, penalty_scaling)  # (nf,)
         ein = mesh.faces.inside[fg.face_ids]
         eout = mesh.faces.outside[fg.face_ids]
         IH = {1.0: 1.0 / mesh.extent[ein],   # keyed by jump sign
@@ -105,7 +107,7 @@ def assemble_elasticity(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
                     if e == ax:
                         M += (zB * lam * J(ihA[:, c]))[:, None, None] * J(FDV[c])
                     if c == e:
-                        M += (pen * sA * sB) * J(FVV)[None]
+                        M += (sA * sB) * J(pen)[:, None, None] * J(FVV)[None]
                     out = out.at[:, c, :, e, :].add(M)
             return out
 
@@ -127,7 +129,7 @@ def assemble_elasticity(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
             ft = tensor.face_tables(p, d, ax, side, p + 2, family=basis.family)
             w = ft["weights"]
             nl = (p + 1) ** d
-            pen = penalty * p**2
+            pen = boundary_penalty_coef(bg, penalty, penalty_scaling)
             elems = mesh.bfaces.elem[bg.face_ids]
             ih = sgn / mesh.extent[elems]  # signed normal derivative scale
             nf = len(bg.face_ids)
@@ -142,7 +144,7 @@ def assemble_elasticity(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
                     if c == e:
                         M += (z * mu * J(ih[:, ax]))[:, None, None] * J(FVD[ax])
                         M += (z * mu * J(ih[:, ax]))[:, None, None] * J(FDV[ax])
-                        M += pen * J(FVV)[None]
+                        M += J(pen)[:, None, None] * J(FVV)[None]
                     if e == ax:
                         M += (z * mu * J(ih[:, c]))[:, None, None] * J(FVD[c])
                         M += (z * lam * J(ih[:, c]))[:, None, None] * J(FDV[c])

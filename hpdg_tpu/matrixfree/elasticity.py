@@ -22,7 +22,8 @@ from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
 
 def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
                         penalty: float = 2.0, dirichlet: bool = False,
-                        dtype=jnp.float64, plan: AssemblyPlan | None = None):
+                        dtype=jnp.float64, plan: AssemblyPlan | None = None,
+                        penalty_scaling: str = "measure"):
     """Returns apply: {p: [n, dim*(p+1)^dim]} -> same (jit-safe)."""
     plan = plan or build_plan(basis)
     mesh = basis.mesh
@@ -96,7 +97,7 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
             fg = g["fg"]
             fin, fout = g["fin"], g["fout"]
             w = J(fin["weights"])
-            pen = J(penalty_coef(fg, penalty, g["pmax"]))
+            pen = J(penalty_coef(fg, penalty, g["pmax"], penalty_scaling))
             nli = (fg.p_in + 1) ** d
             nlo = (fg.p_out + 1) ** d
             u_in = x[fg.p_in][jnp.asarray(fg.in_pos)].reshape(-1, d, nli)
@@ -151,7 +152,7 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
             bg = g["bg"]
             ft = g["ft"]
             w = J(ft["weights"])
-            pen = J(boundary_penalty_coef(bg, penalty))
+            pen = J(boundary_penalty_coef(bg, penalty, penalty_scaling))
             nl = (bg.p + 1) ** d
             u = x[bg.p][jnp.asarray(bg.pos)].reshape(-1, d, nl)
             V, Dall = J(ft["V"]), J(ft["Dall"])

@@ -33,7 +33,8 @@ def _sym(M):
 
 
 def uniform_sipg_operator(basis: DGBasis, penalty: float = 2.0,
-                          dirichlet: bool = False, dtype=jnp.float64):
+                          dirichlet: bool = False, dtype=jnp.float64,
+                          penalty_scaling: str = "measure"):
     """Requires uniform degree and uniform element extents."""
     mesh = basis.mesh
     dim = mesh.dim
@@ -52,9 +53,13 @@ def uniform_sipg_operator(basis: DGBasis, penalty: float = 2.0,
     G, w = vt["G"], vt["weights"]
     T_bulk = np.einsum("q,a,aiq,ajq->ij", w, detJ / h**2, G, G)
 
-    pen = penalty * p**2
     M11 = {}; M12 = {}; M21 = {}; M22 = {}; MB = {}
     for ax in range(dim):
+        if penalty_scaling == "measure":
+            pen = penalty * p**2
+        else:  # "normal"
+            fmeas_ax = detJ / h[ax]
+            pen = penalty * p**2 * fmeas_ax / h[ax]
         fin = tensor.face_tables(p, dim, ax, 1, p + 2, family=basis.family)
         fout = tensor.face_tables(p, dim, ax, 0, p + 2, family=basis.family)
         wf = fin["weights"]

@@ -40,7 +40,8 @@ def _round_up(x, m):
 
 def pallas_uniform_sipg_operator(basis: DGBasis, penalty: float = 2.0,
                                  dirichlet: bool = True,
-                                 interpret: bool = False):
+                                 interpret: bool = False,
+                                 penalty_scaling: str = "measure"):
     """Returns apply: {p: [n, bs] f32} -> {p: [n, bs] f32}."""
     mesh = basis.mesh
     dim = mesh.dim
@@ -80,7 +81,6 @@ def pallas_uniform_sipg_operator(basis: DGBasis, penalty: float = 2.0,
     vt = tensor.volume_tables(p, dim, p + 2, family=basis.family)
     G, w = vt["G"], vt["weights"]
     T_bulk = np.einsum("q,a,aiq,ajq->ij", w, detJ / h**2, G, G)
-    pen = penalty * p**2
     Tdiag_int = T_bulk.copy()
     Mplus = {}   # contribution of the +axis neighbor (M12 of that face)
     Mminus = {}  # contribution of the -axis neighbor (M21)
@@ -92,6 +92,10 @@ def pallas_uniform_sipg_operator(basis: DGBasis, penalty: float = 2.0,
         wf = fin["weights"]
         fmeas = detJ / h[ax]
         c = -0.5 * fmeas / h[ax]
+        if penalty_scaling == "measure":
+            pen = penalty * p**2
+        else:  # "normal"
+            pen = penalty * p**2 * fmeas / h[ax]
         sym = lambda M: M + M.T  # noqa: E731
         AVDi = np.einsum("iq,q,jq->ij", fin["V"], wf, fin["Dn"])
         AVDo = np.einsum("iq,q,jq->ij", fout["V"], wf, fout["Dn"])

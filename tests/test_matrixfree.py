@@ -236,3 +236,39 @@ def test_pallas_uniform_kernel_interpret():
         y1, y2 = ref(x)[p], pal(x)[p]
         scale = float(jnp.abs(y1).max())
         assert float(jnp.abs(y1 - y2).max()) < 1e-5 * scale
+
+
+def test_uniform_and_pallas_normal_penalty_scaling():
+    from hpdg_tpu.matrixfree.uniform import uniform_sipg_operator
+    from hpdg_tpu.ops.pallas_uniform import pallas_uniform_sipg_operator
+    m = hmesh.structured((4, 2, 4))  # anisotropic uniform extents
+    basis = DGBasis(m, np.full(32, 2))
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                         penalty_scaling="normal")
+    op = uniform_sipg_operator(basis, penalty=2.0, dirichlet=True,
+                               penalty_scaling="normal")
+    pal = pallas_uniform_sipg_operator(basis, penalty=2.0, dirichlet=True,
+                                       interpret=True,
+                                       penalty_scaling="normal")
+    x = bv.random(basis)
+    yref = bm.matvec(A, x)
+    assert rel_err(op(x), yref, basis) < 1e-12
+    x32 = {2: x[2].astype(jnp.float32)}
+    y32 = pal(x32)
+    scale = float(jnp.abs(yref[2]).max())
+    assert float(jnp.abs(y32[2] - yref[2].astype(jnp.float32)).max()) \
+        < 1e-4 * scale
+
+
+def test_elasticity_normal_penalty_scaling():
+    from hpdg_tpu.assemble.elasticity import assemble_elasticity
+    from hpdg_tpu.matrixfree.elasticity import elasticity_operator
+    m = hmesh.structured((4, 2))
+    basis = DGBasis(m, np.full(8, 2))
+    A = assemble_elasticity(basis, mu=1.0, lam=1.0, penalty=2.0,
+                            dirichlet=True, penalty_scaling="normal")
+    op = elasticity_operator(basis, mu=1.0, lam=1.0, penalty=2.0,
+                             dirichlet=True, penalty_scaling="normal")
+    x = bv.random(basis, ncomp=2)
+    d = bv.sub(op(x), bm.matvec(A, x))
+    assert float(bv.norm(d)) < 1e-10
