@@ -45,35 +45,37 @@ def pallas_uniform_sipg_operator(basis: DGBasis, penalty: float = 2.0,
     """Returns apply: {p: [n, bs] f32} -> {p: [n, bs] f32}."""
     mesh = basis.mesh
     dim = mesh.dim
-    if dim != 3:
-        raise ValueError("pallas uniform kernel: 3D only (headline config)")
+    if dim not in (2, 3):
+        raise ValueError("pallas uniform kernel: 2D/3D only")
     p = basis.bucket_degrees[0]
     if len(basis.bucket_degrees) != 1 or not np.allclose(
             mesh.extent, mesh.extent[0]):
         raise ValueError("uniform meshes only")
     # infer full-grid dims from element count and extents
     h = mesh.extent[0]
-    n0 = int(round((mesh.lower[:, 0].max() - mesh.lower[:, 0].min()) / h[0])) + 1
-    n1 = int(round((mesh.lower[:, 1].max() - mesh.lower[:, 1].min()) / h[1])) + 1
-    n2 = int(round((mesh.lower[:, 2].max() - mesh.lower[:, 2].min()) / h[2])) + 1
+    dims = [int(round((mesh.lower[:, a].max() - mesh.lower[:, a].min())
+                      / h[a])) + 1 for a in range(dim)]
     N = mesh.n_elements
-    if n0 * n1 * n2 != N:
+    if int(np.prod(dims)) != N:
         raise ValueError("pallas uniform kernel: full structured grids only")
     # verify lattice (C-order) element numbering — the stencil strides
     # depend on it (structured() and uniform refine() guarantee it)
     lat0 = np.rint((mesh.lower - mesh.lower.min(axis=0)) / h).astype(np.int64)
-    eid = lat0[:, 0] * (n1 * n2) + lat0[:, 1] * n2 + lat0[:, 2]
+    eid = np.zeros(N, dtype=np.int64)
+    for a in range(dim):
+        eid = eid * dims[a] + lat0[:, a]
     if not np.array_equal(eid, np.arange(N)):
         raise ValueError("pallas uniform kernel: lattice element order "
                          "required")
+    n0 = dims[0]
     bs = (p + 1) ** dim
     BS = _round_up(bs, 128)
-    T = n1 * n2  # one x-slab per tile
+    T = int(np.prod(dims[1:]))  # one axis-0 slab per tile
     if T % 8 != 0:
         raise ValueError(
             f"pallas uniform kernel: slab size {T} must be a multiple of 8 "
             "(TPU sublane tiling); use the XLA uniform operator instead")
-    strides = {0: n1 * n2, 1: n2, 2: 1}
+    strides = {a: int(np.prod(dims[a + 1:])) for a in range(dim)}
 
     # ---- fixed matrices (reuse the uniform-operator construction) ----
     f64 = np.float64
@@ -129,16 +131,17 @@ def pallas_uniform_sipg_operator(basis: DGBasis, penalty: float = 2.0,
             + [padm(Mminus[a]) for a in range(dim)]
             + [padm(Cplus[a]) for a in range(dim)]
             + [padm(Cminus[a]) for a in range(dim)])
-    MATS = jnp.stack(mats)  # (13, BS, BS)
+    nmats = 1 + 4 * dim
+    MATS = jnp.stack(mats)  # (nmats, BS, BS)
 
     # per-element masks: has_plus/has_minus per axis -> [N, 128] f32
     # (lane-padded for clean VMEM tiling)
-    lat = np.stack(np.meshgrid(np.arange(n0), np.arange(n1), np.arange(n2),
-                               indexing="ij"), axis=-1).reshape(-1, 3)
+    lat = np.stack(np.meshgrid(*[np.arange(na) for na in dims],
+                               indexing="ij"), axis=-1).reshape(-1, dim)
     masks = np.zeros((N, 128), np.float32)
-    for a, na in enumerate((n0, n1, n2)):
+    for a, na in enumerate(dims):
         masks[:, a] = (lat[:, a] < na - 1)  # has_plus
-        masks[:, 3 + a] = (lat[:, a] > 0)  # has_minus
+        masks[:, dim + a] = (lat[:, a] > 0)  # has_minus
     masks_j = jnp.asarray(masks)
 
     ntiles = n0
@@ -148,24 +151,24 @@ def pallas_uniform_sipg_operator(basis: DGBasis, penalty: float = 2.0,
         u = uc_ref[:]
         mk = mk_ref[:]
         acc = jnp.dot(u, mats_ref[0], preferred_element_type=jnp.float32)
-        for a in range(3):
+        for a in range(dim):
             s = strides[a]
             zp = z[T + s:2 * T + s, :]
             zm = z[T - s:2 * T - s, :]
             acc += mk[:, a:a + 1] * jnp.dot(
                 zp, mats_ref[1 + a], preferred_element_type=jnp.float32)
-            acc += mk[:, 3 + a:4 + a] * jnp.dot(
-                zm, mats_ref[4 + a], preferred_element_type=jnp.float32)
+            acc += mk[:, dim + a:dim + a + 1] * jnp.dot(
+                zm, mats_ref[1 + dim + a], preferred_element_type=jnp.float32)
             acc += (1.0 - mk[:, a:a + 1]) * jnp.dot(
-                u, mats_ref[7 + a], preferred_element_type=jnp.float32)
-            acc += (1.0 - mk[:, 3 + a:4 + a]) * jnp.dot(
-                u, mats_ref[10 + a], preferred_element_type=jnp.float32)
+                u, mats_ref[1 + 2 * dim + a], preferred_element_type=jnp.float32)
+            acc += (1.0 - mk[:, dim + a:dim + a + 1]) * jnp.dot(
+                u, mats_ref[1 + 3 * dim + a], preferred_element_type=jnp.float32)
         y_ref[:] = acc
 
     grid_spec = pl.GridSpec(
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((13, BS, BS), lambda i: (0, 0, 0),
+            pl.BlockSpec((nmats, BS, BS), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((T, BS), lambda i: (jnp.maximum(i - 1, 0), 0),
                          memory_space=pltpu.VMEM),
@@ -185,7 +188,7 @@ def pallas_uniform_sipg_operator(basis: DGBasis, penalty: float = 2.0,
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=13 * 2 * N * bs * bs,
+            flops=nmats * 2 * N * bs * bs,
             bytes_accessed=4 * (3 * N * BS + N * BS + 13 * BS * BS),
             transcendentals=0,
         ),

@@ -223,11 +223,12 @@ def test_pallas_uniform_kernel_interpret():
     from hpdg_tpu.matrixfree.uniform import uniform_sipg_operator
     from hpdg_tpu.ops.pallas_uniform import pallas_uniform_sipg_operator
     p, n = 2, 4
-    m = hmesh.structured((n, n, n))
-    basis = DGBasis(m, np.full(m.n_elements, p))
-    x = {p: jnp.asarray(np.random.default_rng(1).standard_normal(
-        (m.n_elements, (p + 1) ** 3)), jnp.float32)}
-    for dirichlet in (True, False):
+    for cells in [(n, n, n), (n, 8)]:
+      m = hmesh.structured(cells)
+      basis = DGBasis(m, np.full(m.n_elements, p))
+      x = {p: jnp.asarray(np.random.default_rng(1).standard_normal(
+          (m.n_elements, (p + 1) ** len(cells))), jnp.float32)}
+      for dirichlet in (True, False):
         ref = uniform_sipg_operator(basis, penalty=2.0, dirichlet=dirichlet,
                                     dtype=jnp.float32)
         pal = pallas_uniform_sipg_operator(basis, penalty=2.0,
@@ -235,7 +236,7 @@ def test_pallas_uniform_kernel_interpret():
                                            interpret=True)
         y1, y2 = ref(x)[p], pal(x)[p]
         scale = float(jnp.abs(y1).max())
-        assert float(jnp.abs(y1 - y2).max()) < 1e-5 * scale
+        assert float(jnp.abs(y1 - y2).max()) < 1e-5 * scale, cells
 
 
 def test_uniform_and_pallas_normal_penalty_scaling():
