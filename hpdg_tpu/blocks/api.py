@@ -59,6 +59,14 @@ def solve_linear(basis: DGBasis, A, b, x0=None, tol: float = 1e-8,
     method="cg+mg" uses the V-cycle as a PCG preconditioner instead
     (more robust, usually fewer operator applies)."""
     x0 = bv.zeros_like(b) if x0 is None else x0
+    if method == "mf":
+        # fully matrix-free hp-multigrid (Chebyshev on block-Jacobi)
+        from hpdg_tpu.solvers.multigrid import matrixfree_multigrid_solver
+        step, _ = matrixfree_multigrid_solver(basis, meshes=meshes,
+                                              **mg_kwargs)
+        return loop_solve(step, x0, b,
+                          matvec_fn=lambda v: bm.matvec(A, v),
+                          tol=tol, maxiter=maxiter)
     step, data = multigrid_solver(basis, A, meshes=meshes,
                                   operator_factory=operator_factory,
                                   **mg_kwargs)

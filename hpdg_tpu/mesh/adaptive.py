@@ -79,3 +79,48 @@ def refine_local(mesh: Mesh, marks: np.ndarray) -> Mesh:
     return from_boxes(np.concatenate(lowers), np.concatenate(extents),
                       parent=np.concatenate(parent),
                       child_pos=np.concatenate(child_pos), parent_mesh=mesh)
+
+
+def unrefine(mesh: Mesh, marks: np.ndarray) -> Mesh:
+    """Merge marked sibling groups back into their parent elements
+    (the coarsening half of grid adaptation).
+
+    A sibling group is merged only if ALL its members are marked and the
+    mesh has parent links (i.e. it came from refine/refine_local).  The
+    result's ``parent``/``child_pos`` link back to ``mesh`` (identity for
+    kept elements, multi-child merges tracked via child_pos = -2) so
+    persistence can route through ``blocks.persist``.
+    """
+    if mesh.parent is None or mesh.parent_mesh is None:
+        raise ValueError("unrefine needs refinement links")
+    marks = np.asarray(marks, dtype=bool)
+    nc = 2**mesh.dim
+    pm = mesh.parent_mesh
+    # full sibling groups, all marked
+    groups = {}
+    for k in range(mesh.n_elements):
+        if mesh.child_pos[k] >= 0:
+            groups.setdefault(int(mesh.parent[k]), []).append(k)
+    merge = {pe: ks for pe, ks in groups.items()
+             if len(ks) == nc and marks[ks].all()}
+    merged_children = set(k for ks in merge.values() for k in ks)
+
+    lowers, extents, parent, child_pos = [], [], [], []
+    for k in range(mesh.n_elements):
+        if k in merged_children:
+            continue
+        lowers.append(mesh.lower[k])
+        extents.append(mesh.extent[k])
+        parent.append(k)
+        child_pos.append(-1)
+    for pe in sorted(merge):
+        lowers.append(pm.lower[pe])
+        extents.append(pm.extent[pe])
+        # parent link meaningless for a merged element (points to the
+        # first child; persistence uses restrict_to_coarse instead)
+        parent.append(merge[pe][0])
+        child_pos.append(-2)
+    return from_boxes(np.asarray(lowers), np.asarray(extents),
+                      parent=np.asarray(parent, dtype=np.int32),
+                      child_pos=np.asarray(child_pos, dtype=np.int32),
+                      parent_mesh=mesh)

@@ -202,7 +202,8 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
                      post_steps: int = 3, jacobi_damping: float = 0.6,
                      coarse: str = "auto", coarse_gs_iterations: int = 40,
                      operator_factory=None, penalty_matrix=None,
-                     penalty_damping: float = 1.0, dtype=jnp.float64):
+                     penalty_damping: float = 1.0, mu: int = 1,
+                     dtype=jnp.float64):
     """Build the full hp-multigrid V-cycle step (x, b) -> x
     (MultigridSetup::multigridSolver analog, solversetup.hh:198-218).
 
@@ -278,7 +279,7 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
         coarse_solve = gs_coarse_solver(cb, cA, iterations=coarse_gs_iterations)
 
     def step(x: dict, b: dict) -> dict:
-        return vcycle(levels, coarse_solve, x, b)
+        return vcycle(levels, coarse_solve, x, b, mu=mu)
 
     return step, data
 

@@ -152,3 +152,43 @@ def test_mg_with_hanging_node_h_level():
                          tol=1e-9, maxiter=40)
     r = float(bv.norm(bv.sub(b, bm.matvec(A, x))))
     assert r < 1e-7, info["iterations"]
+
+
+def test_unrefine_roundtrip():
+    from hpdg_tpu.mesh.adaptive import unrefine
+    m = hmesh.structured((2, 2))
+    f = hmesh.refine(m)
+    # merge the children of parents 0 and 3 back
+    marks = np.isin(f.parent, [0, 3])
+    c = unrefine(f, marks)
+    assert c.n_elements == 16 - 8 + 2
+    assert np.isclose(c.volumes.sum(), 1.0)
+    # partial groups are NOT merged
+    marks2 = np.zeros(f.n_elements, dtype=bool)
+    marks2[np.where(f.parent == 1)[0][:2]] = True  # only half the siblings
+    c2 = unrefine(f, marks2)
+    assert c2.n_elements == f.n_elements
+
+
+def test_w_cycle_and_mf_method():
+    from hpdg_tpu.solvers.multigrid import multigrid_solver
+    from hpdg_tpu.solvers.cg import loop_solve
+    m = hmesh.structured((4, 4))
+    basis = DGBasis(m, np.full(16, 4))
+    A = api.laplace(basis, penalty=2.0, dirichlet=True)
+    b = api.l2_functional(basis, lambda x: 1.0 + 0 * x[..., 0])
+    # W-cycle converges at least as fast as V
+    stepw, _ = multigrid_solver(basis, A, mu=2)
+    xw, iw = loop_solve(stepw, bv.zeros(basis), b,
+                        matvec_fn=lambda v: bm.matvec(A, v), tol=1e-9,
+                        maxiter=30)
+    stepv, _ = multigrid_solver(basis, A, mu=1)
+    xv, iv = loop_solve(stepv, bv.zeros(basis), b,
+                        matvec_fn=lambda v: bm.matvec(A, v), tol=1e-9,
+                        maxiter=30)
+    assert iw["iterations"] <= iv["iterations"]
+    # fully matrix-free path through the user API
+    x, info = api.solve_linear(basis, A, b, method="mf", tol=1e-8,
+                               maxiter=80)
+    r = float(bv.norm(bv.sub(b, bm.matvec(A, x))))
+    assert r < 1e-6
