@@ -9,9 +9,9 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from hpdg_tpu.basis import tensor, lagrange
+from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
-from hpdg_tpu.assemble.plan import AssemblyPlan, build_plan
+from hpdg_tpu.assemble.plan import AssemblyPlan
 from hpdg_tpu.linalg.blockmatrix import BlockSparseMatrix, BlockPattern, zeros_values
 
 

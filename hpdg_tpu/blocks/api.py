@@ -14,7 +14,6 @@ from hpdg_tpu.basis.dgbasis import DGBasis
 from hpdg_tpu.assemble import sipg as _sipg
 from hpdg_tpu.assemble import mass as _mass
 from hpdg_tpu.assemble import rhs as _rhs
-from hpdg_tpu.assemble.plan import build_plan
 from hpdg_tpu.linalg import blockmatrix as bm, blockvector as bv
 from hpdg_tpu.solvers.cg import loop_solve, pcg
 from hpdg_tpu.solvers.multigrid import multigrid_solver

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from hpdg_tpu.basis import lagrange, tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
 
 

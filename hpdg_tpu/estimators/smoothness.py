@@ -13,7 +13,6 @@ interpolation per element).
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from hpdg_tpu import quadrature
 from hpdg_tpu.basis import legendre, lagrange, tensor

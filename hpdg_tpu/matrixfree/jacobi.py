@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
-from hpdg_tpu.assemble.plan import AssemblyPlan, build_plan
+from hpdg_tpu.assemble.plan import AssemblyPlan
 from hpdg_tpu.matrixfree.diagonal import sipg_diagonal_blocks
 from hpdg_tpu.linalg import blockvector as bv
 

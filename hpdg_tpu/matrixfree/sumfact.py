@@ -29,7 +29,6 @@ from hpdg_tpu.basis.dgbasis import DGBasis
 from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
                                     face_group_tables, face_phys_points,
                                     penalty_coef, boundary_penalty_coef)
-from hpdg_tpu.linalg import blockvector as bv
 
 _LETTERS = "ijkl"
 _QLETTERS = "qrst"

@@ -21,8 +21,6 @@ is the caller's job (uniform_sipg_operator covers the general case).
 
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -31,7 +29,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
-from hpdg_tpu.matrixfree import uniform as _uni
 
 
 def _round_up(x, m):

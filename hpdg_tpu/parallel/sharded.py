@@ -19,8 +19,6 @@ variable-size MPI buffers become fixed-shape [layer, (p+1)^d] arrays.
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from functools import partial
-
 import numpy as np
 import jax
 import jax.numpy as jnp

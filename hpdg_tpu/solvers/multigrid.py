@@ -18,7 +18,7 @@ on TPU a small dense solve is cheaper than a sequential sweep).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 import numpy as np
