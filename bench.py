@@ -71,6 +71,12 @@ def cpp_baseline_dofs_per_s() -> float:
             out = subprocess.run([str(exe), "8"], capture_output=True,
                                  text=True, timeout=300, check=True)
             res = json.loads(out.stdout.strip())
+            # conservative vs host load: the baseline is the FASTEST
+            # single-core run ever observed on this machine
+            if cache.exists():
+                prev = float(json.loads(cache.read_text())["dofs_per_s"])
+                if prev > res["dofs_per_s"]:
+                    res["dofs_per_s"] = prev
             cache.write_text(json.dumps(res))
             return float(res["dofs_per_s"])
     except Exception as e:  # fall back to the cached measurement
