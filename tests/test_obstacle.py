@@ -92,3 +92,35 @@ def test_tnnmg_truncated_hierarchy_option():
     assert float(bv.norm(bv.sub(x_t, x_ref))) < 1e-7
     en = info["energy"]
     assert all(b2 <= a2 + 1e-10 for a2, b2 in zip(en, en[1:]))
+
+
+def test_tnnmg_elasticity_contact():
+    """Vector-valued obstacle problem: elasticity with a rigid lower
+    obstacle on the vertical displacement (Signorini-type, solved by the
+    same TNNMG machinery — blocks are just bigger)."""
+    from hpdg_tpu.assemble.elasticity import (assemble_elasticity,
+                                              l2_functional_vec)
+    from hpdg_tpu import mesh as hmesh2
+    m = hmesh2.structured((4, 4), lower=(-1, -1), upper=(1, 1))
+    basis = DGBasis(m, np.full(16, 2))
+    d = 2
+    A = assemble_elasticity(basis, mu=1.0, lam=1.0, penalty=6.0,
+                            dirichlet=True)
+    # downward body force on the y component
+    force = lambda x: jnp.stack([jnp.zeros_like(x[..., 0]),
+                                 -8.0 + 0.0 * x[..., 0]], axis=-1)
+    b = l2_functional_vec(basis, force)
+    # bounds: u_y >= -0.05, u_x free  (component-major layout)
+    nl = 9
+    lo = {2: jnp.concatenate([jnp.full((16, nl), -jnp.inf),
+                              jnp.full((16, nl), -0.05)], axis=1)}
+    up = {2: jnp.full((16, d * nl), jnp.inf)}
+    from hpdg_tpu.solvers.multigrid import multigrid_solver
+    step, _ = multigrid_solver(basis, A, pre_steps=5, post_steps=5)
+    x, info = solve_tnnmg(A, b, basis, lo, up, mg_step=step, tol=1e-9,
+                          maxiter=80)
+    assert max(info["truncated"]) > 0  # contact happens
+    en = info["energy"]
+    assert all(b2 <= a2 + 1e-9 for a2, b2 in zip(en, en[1:]))
+    xv = np.asarray(x[2])
+    assert np.all(xv[:, nl:] >= -0.05 - 1e-9)  # feasible u_y
