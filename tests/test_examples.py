@@ -1,0 +1,45 @@
+"""Smoke tests: every example in examples/ runs end-to-end (tiny sizes)."""
+
+import os
+import runpy
+import sys
+
+import pytest
+
+EXAMPLES = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "examples")
+
+
+def run_example(name, argv):
+    old = sys.argv
+    sys.argv = [name] + argv
+    try:
+        runpy.run_path(os.path.join(EXAMPLES, name), run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+def test_poisson_example(capsys):
+    run_example("poisson.py", ["--n", "6", "--p", "2"])
+    assert "L2 error" in capsys.readouterr().out
+
+
+def test_adaptive_lshape_example(capsys):
+    run_example("adaptive_lshape.py", ["--steps", "2"])
+    out = capsys.readouterr().out
+    assert "step 1" in out
+
+
+def test_obstacle_example(capsys):
+    run_example("obstacle.py", ["--n", "4"])
+    assert "TNNMG" in capsys.readouterr().out
+
+
+def test_heat_example(capsys):
+    run_example("heat.py", ["--n", "6", "--steps", "2"])
+    assert "t=" in capsys.readouterr().out
+
+
+def test_elasticity_example(capsys):
+    run_example("elasticity.py", ["--n", "2", "--levels", "1", "--p", "1"])
+    assert "elasticity" in capsys.readouterr().out

@@ -122,3 +122,15 @@ def test_weighted_face_mass():
     ref = 0.5 * 3.0 * np.einsum("q,iq,jq->ij", qw, V, V)
     # dofs on the face of element 0 are local indices (1,0),(1,1) = 2,3
     assert np.allclose(Md[2:4, 2:4], ref, atol=1e-13)
+
+
+def test_evaluate_on_hanging_node_mesh():
+    from hpdg_tpu.mesh.adaptive import refine_local
+    m = hmesh.structured((2, 2))
+    f = refine_local(m, np.array([True, False, False, False]))
+    basis = DGBasis(f, np.full(f.n_elements, 2))
+    fn = lambda x: x[..., 0] ** 2 - x[..., 1]
+    x = api.interpolate(basis, fn)
+    pts = np.array([[0.1, 0.1], [0.4, 0.2], [0.7, 0.3], [0.2, 0.9]])
+    vals = evaluate(basis, x, pts)
+    assert np.allclose(vals, pts[:, 0] ** 2 - pts[:, 1], atol=1e-12)
