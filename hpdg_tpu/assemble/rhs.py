@@ -12,7 +12,8 @@ import jax.numpy as jnp
 
 from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
-from hpdg_tpu.assemble.plan import AssemblyPlan, build_plan
+from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
+                                    boundary_penalty_coef)
 from hpdg_tpu.linalg import blockvector as bv
 
 
@@ -43,7 +44,8 @@ def l2_functional(basis: DGBasis, f, quad_order=None, dtype=jnp.float64) -> dict
 
 
 def dirichlet_rhs(basis: DGBasis, g, penalty: float = 2.0,
-                  dtype=jnp.float64, plan: AssemblyPlan | None = None) -> dict:
+                  dtype=jnp.float64, plan: AssemblyPlan | None = None,
+                  penalty_scaling: str = "measure") -> dict:
     """SIPG-consistent Dirichlet boundary functional:
     b_i += ∫_bdry g * (mu * v_i - dn v_i), mu = penalty p^2 / |f|."""
     plan = plan or build_plan(basis)
@@ -55,7 +57,7 @@ def dirichlet_rhs(basis: DGBasis, g, penalty: float = 2.0,
         sign = 1.0 if side == 1 else -1.0
         ft = tensor.face_tables(p, dim, ax, side, p + 2, family=basis.family)
         w, V, D = ft["weights"], ft["V"], ft["Dn"]
-        pen = penalty * p**2
+        pen = boundary_penalty_coef(bg, penalty, penalty_scaling)  # (nf,)
         elems = mesh.bfaces.elem[bg.face_ids]
         lo = mesh.lower[elems].copy()
         if side == 1:
@@ -66,8 +68,10 @@ def dirichlet_rhs(basis: DGBasis, g, penalty: float = 2.0,
             x[:, :, a] += ft["points"][None, :, t] * mesh.extent[elems, a][:, None]
         gv = jnp.asarray(g(jnp.asarray(x, dtype)), dtype)  # (nf, q)
         wj = jnp.asarray(w, dtype)
-        # mu * |f| * w = penalty p^2 w  (face measure cancels)
-        contrib = (pen * jnp.einsum("fq,iq->fi", gv * wj[None], jnp.asarray(V, dtype))
+        # mu * |f| * w = pen_f * w
+        contrib = (jnp.asarray(pen, dtype)[:, None]
+                   * jnp.einsum("fq,iq->fi", gv * wj[None],
+                                jnp.asarray(V, dtype))
                    - jnp.einsum("fq,iq->fi",
                                 gv * wj[None] * jnp.asarray(
                                     sign * bg.fmeas * bg.inv_h, dtype)[:, None],

@@ -134,3 +134,23 @@ def test_evaluate_on_hanging_node_mesh():
     pts = np.array([[0.1, 0.1], [0.4, 0.2], [0.7, 0.3], [0.2, 0.9]])
     vals = evaluate(basis, x, pts)
     assert np.allclose(vals, pts[:, 0] ** 2 - pts[:, 1], atol=1e-12)
+
+
+def test_inhomogeneous_dirichlet_normal_scaling():
+    """dirichlet_rhs must match the matrix's penalty convention: with
+    penalty_scaling='normal' on an anisotropic mesh the harmonic linear
+    solution is still reproduced exactly."""
+    import jax.numpy as jnp2
+    from hpdg_tpu.assemble.rhs import dirichlet_rhs as drhs
+    from hpdg_tpu.solvers import pcg, smoothers
+    from hpdg_tpu.estimators import l2_error
+    m = hmesh.structured((8, 4))
+    basis = DGBasis(m, np.full(32, 2))
+    g = lambda x: x[..., 0] - 2 * x[..., 1]
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                         penalty_scaling="normal")
+    b = drhs(basis, g, penalty=2.0, penalty_scaling="normal")
+    M = smoothers.block_jacobi_preconditioner(A)
+    x, _ = pcg(lambda v: bm.matvec(A, v), b, precond=M, tol=1e-12,
+               maxiter=3000)
+    assert float(l2_error(basis, x, g)) < 1e-8
