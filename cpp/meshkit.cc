@@ -10,8 +10,11 @@
 //
 // Build: g++ -O3 -march=native -std=c++17 -shared -fPIC -o libmeshkit.so meshkit.cc
 //
-// C ABI (ctypes): all arrays caller-allocated.
-//   nf capacity: dim * n;  nbf capacity: 2 * dim * n.
+// C ABI (ctypes): all arrays caller-allocated; capacities passed in
+// (cap_f, cap_b).  Each interior face consumes at least one unique
+// (element, axis, half) slot, and so does each boundary face, so
+// 2 * dim * n bounds both counts.  Returns nonzero on overflow (the
+// Python wrapper then falls back to the numpy matcher).
 
 #include <cmath>
 #include <cstdint>
@@ -38,6 +41,7 @@ extern "C" int hpdg_build_faces(
     double tol,
     int32_t *f_inside, int32_t *f_outside, int32_t *f_axis, int32_t *f_nc,
     int32_t *b_elem, int32_t *b_axis, int32_t *b_side,
+    int64_t cap_f, int64_t cap_b,
     int64_t *nf_out, int64_t *nbf_out) {
   const double scale = 1.0 / tol;
   int64_t nf = 0, nbf = 0;
@@ -78,6 +82,7 @@ extern "C" int hpdg_build_faces(
       k.push_back(1);
       auto it = table.find(k);
       if (it != table.end()) {
+        if (nf >= cap_f) return 1;
         f_inside[nf] = (int32_t)e;
         f_outside[nf] = (int32_t)it->second;
         f_axis[nf] = axis;
@@ -121,6 +126,7 @@ extern "C" int hpdg_build_faces(
               e_out = (int32_t)e;
               code = 1 + sub;  // coarse is inside
             }
+            if (nf >= cap_f) return 1;
             f_inside[nf] = e_in;
             f_outside[nf] = e_out;
             f_axis[nf] = axis;
@@ -134,6 +140,7 @@ extern "C" int hpdg_build_faces(
     for (int64_t e = 0; e < n; ++e) {
       for (int half = 0; half < 2; ++half) {
         if (matched[2 * e + half] || used_big[2 * e + half]) continue;
+        if (nbf >= cap_b) return 1;
         b_elem[nbf] = (int32_t)e;
         b_axis[nbf] = axis;
         b_side[nbf] = (half == 0) ? 1 : 0;  // half 0 = high face

@@ -47,6 +47,7 @@ def _load():
             np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
             np.ctypeslib.ndpointer(np.int32), np.ctypeslib.ndpointer(np.int32),
             np.ctypeslib.ndpointer(np.int32),
+            ctypes.c_int64, ctypes.c_int64,
             np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
         ]
         _lib = lib
@@ -68,7 +69,10 @@ def build_faces(lower: np.ndarray, extent: np.ndarray, tol: float):
     n, dim = lower.shape
     lower = np.ascontiguousarray(lower, dtype=np.float64)
     extent = np.ascontiguousarray(extent, dtype=np.float64)
-    cap_f = dim * n
+    # Provable bound: every face (interior or boundary) consumes at least
+    # one unique (element, axis, half) slot, of which there are 2*dim*n.
+    # Hanging-node meshes exceed the naive dim*n interior-face count.
+    cap_f = 2 * dim * n
     cap_b = 2 * dim * n
     f_in = np.empty(cap_f, np.int32)
     f_out = np.empty(cap_f, np.int32)
@@ -80,7 +84,7 @@ def build_faces(lower: np.ndarray, extent: np.ndarray, tol: float):
     nf = np.zeros(1, np.int64)
     nbf = np.zeros(1, np.int64)
     rc = lib.hpdg_build_faces(n, dim, lower, extent, tol, f_in, f_out, f_ax,
-                              f_nc, b_el, b_ax, b_sd, nf, nbf)
+                              f_nc, b_el, b_ax, b_sd, cap_f, cap_b, nf, nbf)
     if rc != 0:
         return None
     k, m = int(nf[0]), int(nbf[0])

@@ -47,6 +47,20 @@ def test_native_matches_python_hanging_nodes_3d():
 
 
 @pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_hanging_nodes_exceeding_naive_face_cap():
+    """Checkerboard-refined mesh has more interior faces than dim*n (the
+    old native buffer cap) — regression for the out-of-bounds write."""
+    m = hmesh.structured((8, 8))
+    idx = np.arange(64)
+    f = refine_local(m, (idx // 8 + idx % 8) % 2 == 0)
+    n = f.n_elements
+    assert len(f.faces) > f.dim * n  # the scenario the old cap missed
+    f_nat = from_boxes(f.lower, f.extent, topology="native")
+    assert canon(f_nat.faces) == canon(f.faces)
+    assert canon_b(f_nat.bfaces) == canon_b(f.bfaces)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
 def test_native_large_mesh_speed():
     import time
     cells = (32, 32, 16)  # 16384 elements -> native path by default
