@@ -50,8 +50,9 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
 
     ``geom_scale``: optional (possibly traced) scalar s; assembles the
     operator of the mesh with all extents multiplied by s.  For the
-    Laplacian, every consistency coefficient scales by s^(dim-2) and the
-    penalty part is scale-free, so a traced ``geom_scale`` makes the
+    Laplacian, every consistency coefficient scales by s^(dim-2); the
+    penalty part is scale-free under "measure" scaling and picks up the
+    same s^(dim-2) under "normal".  A traced ``geom_scale`` makes the
     whole assembly a real (non-constant-foldable) jitted computation —
     used by bench.py and by uniform-rescaling use cases.
     """
@@ -60,6 +61,10 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
     dim = mesh.dim
     gs = 1.0 if geom_scale is None else geom_scale
     gpow = gs ** (dim - 2)
+    # Penalty scaling under a uniform rescale: "measure" gives c_f = sigma
+    # p^2 (scale-free); "normal" gives c_f ~ |f|/h which picks up the same
+    # s^(dim-2) factor as the consistency terms.
+    pen_gpow = gpow if penalty_scaling == "normal" else 1.0
     vals = zeros_values(plan.pattern, dim, dtype=dtype)
 
     # ---------------- bulk ----------------
@@ -95,7 +100,7 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
         w = fin["weights"]
         Vi, Di = fin["V"], fin["Dn"]
         Vo, Do = fout["V"], fout["Dn"]
-        pen = jnp.asarray(
+        pen = pen_gpow * jnp.asarray(
             penalty_coef(fg, penalty, pmax, penalty_scaling),
             dtype)[:, None, None]
         c_in = gpow * jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_in, dtype)
@@ -150,7 +155,7 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             sign = 1.0 if side == 1 else -1.0
             ft = tensor.face_tables(p, dim, ax, side, p + 2, family=basis.family)
             w, V, D = ft["weights"], ft["V"], ft["Dn"]
-            pen = jnp.asarray(
+            pen = pen_gpow * jnp.asarray(
                 boundary_penalty_coef(bg, penalty, penalty_scaling),
                 dtype)[:, None, None]
             c = gpow * jnp.asarray(-sign * bg.fmeas * bg.inv_h, dtype)

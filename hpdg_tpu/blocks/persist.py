@@ -142,45 +142,98 @@ def load_npz(path: str) -> SavedState:
 
 def restrict_to_coarse(saved: SavedState, new_basis: DGBasis,
                        dtype=jnp.float64) -> dict:
-    """Interpolate a saved fine-mesh state onto the PARENT mesh of the
-    saved mesh (coarsening direction of GridAdaptor: the old function is
-    only piecewise-polynomial on the children, so each coarse node is
+    """Interpolate a saved fine-mesh state onto a coarser mesh
+    (coarsening direction of GridAdaptor: the old function is only
+    piecewise-polynomial on the children, so each coarse node is
     evaluated in the child that contains it).
 
-    ``new_basis.mesh`` must be ``saved.basis.mesh.parent_mesh``.
+    Two mesh layouts are accepted:
+    * ``new_basis.mesh is saved.basis.mesh.parent_mesh`` — undo of a
+      ``refine``/``refine_local`` step; kept fine elements
+      (``child_pos == -1``) get an identity/degree-change transfer.
+    * ``new_basis.mesh.parent_mesh is saved.basis.mesh`` — the mesh came
+      from ``mesh.adaptive.unrefine`` (kept elements ``child_pos == -1``,
+      merged groups ``child_pos == -2``).
     """
     old = saved.basis
     fine_mesh = old.mesh
-    if new_basis.mesh is not fine_mesh.parent_mesh:
-        raise ValueError("new basis must live on the saved mesh's parent")
+    new_mesh = new_basis.mesh
     dim = fine_mesh.dim
     nc = 2**dim
 
-    # children of each coarse element, ordered by child_pos
-    children = {}
-    for k in range(fine_mesh.n_elements):
-        pe = int(fine_mesh.parent[k])
-        cp = int(fine_mesh.child_pos[k])
-        children.setdefault(pe, {})[cp] = k
+    # childmap[e]: {-1: k} for a kept element (identity geometry), else a
+    # full {child_pos: fine_elem} sibling group.
+    childmap = {}
+    if new_mesh is fine_mesh.parent_mesh:
+        for k in range(fine_mesh.n_elements):
+            pe = int(fine_mesh.parent[k])
+            cp = int(fine_mesh.child_pos[k])
+            if cp < 0:
+                childmap[pe] = {-1: k}
+            else:
+                childmap.setdefault(pe, {})[cp] = k
+    elif new_mesh.parent_mesh is fine_mesh and new_mesh.parent is not None:
+        # unrefine links forward: recover merged sibling groups through
+        # the fine mesh's own parent links.
+        sib_groups = {}
+        if fine_mesh.parent is not None:
+            for k in range(fine_mesh.n_elements):
+                if int(fine_mesh.child_pos[k]) >= 0:
+                    sib_groups.setdefault(int(fine_mesh.parent[k]), {})[
+                        int(fine_mesh.child_pos[k])] = k
+        for e in range(new_mesh.n_elements):
+            k = int(new_mesh.parent[e])
+            cp = int(new_mesh.child_pos[e])
+            if cp == -1:
+                childmap[e] = {-1: k}
+            else:  # -2: merged group, k is one member
+                childmap[e] = sib_groups[int(fine_mesh.parent[k])]
+    else:
+        raise ValueError("new basis must live on the saved mesh's parent "
+                         "or on an unrefine() of the saved mesh")
+
     out = {p: jnp.zeros((new_basis.bucket_size(p), new_basis.n_local(p)),
                         dtype=dtype) for p in new_basis.bucket_degrees}
 
-    # group coarse elements by (p_new, tuple of child degrees)
+    # group coarse elements by (p_new, kept?, tuple of child degrees)
     groups = {}
-    for e in range(new_basis.mesh.n_elements):
-        ch = children.get(e)
+    for e in range(new_mesh.n_elements):
+        ch = childmap.get(e)
         pn = int(new_basis.degrees[e])
-        if ch is None or len(ch) < nc or -1 in ch:
-            # element was never refined: identity/degree-change transfer
-            k = children[e][-1] if ch and -1 in ch else None
+        if ch is None or (-1 not in ch and len(ch) < nc):
             raise ValueError("restrict_to_coarse: coarse element without a "
-                             "full child set (mixed keep/coarsen meshes "
-                             "not supported yet)")
-        key = (pn,) + tuple(int(old.degrees[ch[c]]) for c in range(nc))
+                             "full child set")
+        if -1 in ch:
+            key = (pn, int(old.degrees[ch[-1]]))  # kept: identity transfer
+        else:
+            key = (pn,) + tuple(int(old.degrees[ch[c]]) for c in range(nc))
         groups.setdefault(key, []).append(e)
 
     for key, elems in groups.items():
-        pn, pchild = key[0], key[1:]
+        elems_np = np.asarray(elems)
+        pn = key[0]
+        if len(key) == 2:  # kept elements: identity/degree-change transfer
+            po = key[1]
+            nodes_n = lagrange.nodes_1d(pn, new_basis.family)
+            mi = tensor.multiindices(pn, dim)
+            xref = nodes_n[mi]
+            nodes_o = lagrange.nodes_1d(po, old.family)
+            per_axis = [lagrange.lagrange_values(nodes_o, xref[:, a])
+                        for a in range(dim)]
+            mio = tensor.multiindices(po, dim)
+            T = np.ones((len(mi), len(mio)))
+            for a in range(dim):
+                T = T * per_axis[a][mio[:, a], :].T
+            fine_ids = np.array([childmap[e][-1] for e in elems_np])
+            bs_o = (po + 1) ** dim
+            idx = old.offsets[fine_ids][:, None] + np.arange(bs_o)[None, :]
+            xold = jnp.asarray(saved.flat[idx], dtype)
+            vals = jnp.einsum("nj,ij->ni", xold, jnp.asarray(T, dtype))
+            pos = new_basis.elem_bucket_pos[elems_np]
+            out[pn] = out[pn].at[jnp.asarray(pos)].set(vals)
+            continue
+        pchild = key[1:]
+        children = childmap  # merged groups below
         nodes_n = lagrange.nodes_1d(pn, new_basis.family)
         mi = tensor.multiindices(pn, dim)
         xref = nodes_n[mi]  # (nl_new, dim) in parent coords

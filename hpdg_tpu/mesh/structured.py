@@ -200,11 +200,55 @@ def _build_faces(lower: np.ndarray, extent: np.ndarray) -> tuple[Faces, Boundary
     return faces, bfaces
 
 
+def _validate_unmatched(lower, extent, bfaces: BoundaryFaces, tol: float):
+    """Raise if any two opposite-facing "boundary" faces overlap on a
+    common plane — that means two elements touch there but the matcher
+    could not pair them (4:1 level jump or non-2:1 box input), which
+    would otherwise silently turn interior faces into spurious domain
+    boundary (wrong physics)."""
+    if len(bfaces) == 0:
+        return
+    dim = lower.shape[1]
+    elem, axis, side = bfaces.elem, bfaces.axis, bfaces.side
+    plane = lower[elem, axis] + side * extent[elem, axis]
+    pkey = np.rint(plane / tol).astype(np.int64)
+    tang_axes = [[a for a in range(dim) if a != ax] for ax in range(dim)]
+    # group by (axis, quantized plane); only mixed-side groups can hide
+    # an unmatched interior pair
+    codes = axis.astype(np.int64) * (2**62 // max(dim, 1)) + pkey
+    for code in np.unique(codes):
+        sel = np.where(codes == code)[0]
+        s1 = sel[side[sel] == 1]
+        s0 = sel[side[sel] == 0]
+        if len(s1) == 0 or len(s0) == 0:
+            continue
+        ta = tang_axes[int(axis[sel[0]])]
+        lo1 = lower[elem[s1]][:, ta]
+        hi1 = lo1 + extent[elem[s1]][:, ta]
+        lo0 = lower[elem[s0]][:, ta]
+        hi0 = lo0 + extent[elem[s0]][:, ta]
+        # pairwise tangential-box overlap (high-side faces vs low-side)
+        omin = np.maximum(lo1[:, None, :], lo0[None, :, :])
+        omax = np.minimum(hi1[:, None, :], hi0[None, :, :])
+        bad = np.all(omax - omin > tol, axis=-1)
+        if bad.any():
+            i, j = np.argwhere(bad)[0]
+            raise ValueError(
+                "mesh topology: elements "
+                f"{int(elem[s1[i]])} and {int(elem[s0[j]])} touch on axis "
+                f"{int(axis[sel[0]])} but their faces could not be matched "
+                "(only conforming and 2:1 hanging-node faces are "
+                "supported; check for >2:1 level jumps or non-2:1 box "
+                "sizes, or pass validate=False to skip this check)")
+
+
 def from_boxes(lower: np.ndarray, extent: np.ndarray, parent=None,
                child_pos=None, parent_mesh=None,
-               topology: str = "auto") -> Mesh:
+               topology: str = "auto", validate: bool = True) -> Mesh:
     """topology: 'auto' (native C++ kernel for large meshes when
-    available), 'native', or 'python'."""
+    available), 'native', or 'python'.  ``validate`` checks that no
+    unmatched faces look interior (overlapping opposite-facing
+    "boundary" faces) and raises instead of producing wrong physics."""
     lower = np.asarray(lower, dtype=np.float64)
     extent = np.asarray(extent, dtype=np.float64)
     import os
@@ -225,6 +269,8 @@ def from_boxes(lower: np.ndarray, extent: np.ndarray, parent=None,
             raise RuntimeError("native topology kernel unavailable")
     if faces is None:
         faces, bfaces = _build_faces(lower, extent)
+    if validate:
+        _validate_unmatched(lower, extent, bfaces, float(extent.min() * 1e-6))
     return Mesh(dim=lower.shape[1], lower=lower, extent=extent, faces=faces,
                 bfaces=bfaces, parent=parent, child_pos=child_pos,
                 parent_mesh=parent_mesh)

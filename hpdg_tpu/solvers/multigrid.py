@@ -284,6 +284,100 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
     return step, data
 
 
+def parametric_cycle(data: MultigridData, pre_steps: int = 3,
+                     post_steps: int = 3, coarse_cg_iters: int = 60,
+                     dtype=jnp.float64):
+    """V-cycle as a pure jittable function of the level matrices.
+
+    Returns ``cycle(mats, dinvs, x, b) -> x`` where ``mats`` is a list of
+    per-level BlockSparseMatrix (pytrees — jit ARGUMENTS, not captured
+    constants) and ``dinvs`` the matching block-diagonal inverses.  The
+    static structure (patterns, colors, transfers) is closed over, so a
+    caller that renews the hierarchy every outer iteration (TNNMG's
+    truncated systems, solversetup.hh:160-195) reuses ONE jitted cycle:
+    as long as ``MultigridData.renew`` reproduces the same pattern
+    objects (it does — the Galerkin symbolic plan is cached), no
+    re-tracing happens.
+
+    The coarse solve is block-Jacobi-preconditioned CG with a fixed
+    iteration count (jit-safe on a traced coarse matrix; replaces the
+    host Cholesky, which would force per-iteration host work).
+    """
+    transfers = data.transfers
+    colorings = []
+    for bas in data.bases:
+        colors = sm.greedy_coloring(bas.mesh)
+        ncol = int(colors.max()) + 1
+        masks = {p: [np.where(colors[bas.bucket_elems[p]] == c)[0]
+                     .astype(np.int32) for c in range(ncol)]
+                 for p in bas.bucket_degrees}
+        colorings.append((ncol, masks))
+    ncomp = data.matrices[0].block_shape[0]
+
+    def gs(M, Dinv, lvl, x, b, reverse=False):
+        ncol, masks = colorings[lvl]
+        order = range(ncol - 1, -1, -1) if reverse else range(ncol)
+        for c in order:
+            r = bv.sub(b, bm.matvec(M, x))
+            newx = {}
+            for p in x:
+                pos = masks[p][c]
+                if len(pos) == 0:
+                    newx[p] = x[p]
+                    continue
+                upd = jnp.einsum("nij,nj->ni", Dinv[p][pos], r[p][pos],
+                                 preferred_element_type=x[p].dtype)
+                newx[p] = x[p].at[pos].add(upd)
+            x = newx
+        return x
+
+    def coarse_solve(M, Dinv, b):
+        x = bv.zeros_like(b)
+        r = b
+        z = sm.apply_blockdiag(Dinv, r)
+        pdir = z
+        rz = bv.dot(r, z)
+
+        def body(i, st):
+            x, r, pdir, rz = st
+            Ap = bm.matvec(M, pdir)
+            alpha = rz / jnp.maximum(bv.dot(pdir, Ap), 1e-300)
+            x = bv.axpy(alpha, pdir, x)
+            r = bv.axpy(-alpha, Ap, r)
+            z = sm.apply_blockdiag(Dinv, r)
+            rz_new = bv.dot(r, z)
+            beta = rz_new / jnp.maximum(rz, 1e-300)
+            pdir = bv.axpy(beta, pdir, z)
+            return x, r, pdir, rz_new
+
+        x, _, _, _ = jax.lax.fori_loop(0, coarse_cg_iters, body,
+                                       (x, r, pdir, rz))
+        return x
+
+    def sweeps(M, Dinv, lvl, steps, x, b, reverse=False):
+        if steps <= 1:
+            return gs(M, Dinv, lvl, x, b, reverse) if steps == 1 else x
+        return jax.lax.fori_loop(
+            0, steps, lambda i, xx: gs(M, Dinv, lvl, xx, b, reverse), x)
+
+    def cycle(mats, dinvs, x, b):
+        def run(l, x, b):
+            if l == 0:
+                return coarse_solve(mats[0], dinvs[0], b)
+            x = sweeps(mats[l], dinvs[l], l, pre_steps, x, b)
+            r = bv.sub(b, bm.matvec(mats[l], x))
+            T = transfers[l - 1]
+            rc = T.restrict(r, dtype=dtype, ncomp=ncomp)
+            xc = run(l - 1, jax.tree.map(jnp.zeros_like, rc), rc)
+            x = bv.add(x, T.prolong(xc, dtype=dtype, ncomp=ncomp))
+            return sweeps(mats[l], dinvs[l], l, post_steps, x, b,
+                          reverse=True)
+
+        return run(len(data.bases) - 1, x, b)
+
+    return cycle
+
+
 def matrixfree_multigrid_solver(basis: DGBasis, penalty: float = 2.0,
                                 dirichlet: bool = True,
                                 cheby_degree: int = 3,

@@ -121,15 +121,25 @@ def solve_tnnmg(A: bm.BlockSparseMatrix, b: dict, basis: DGBasis,
     factors and truncated-dof counts (the reference's custom LoopSolver
     criterion columns, solve.hh:101-119).
 
-    ``truncate_hierarchy=True`` rebuilds the multigrid hierarchy on the
-    TRUNCATED matrix every iteration (zeroed active rows/cols, unit
-    diagonal) and Galerkin-restricts it down all levels — the reference's
-    preprocess-per-iterate behavior (solversetup.hh:178-190 driven by
-    TNNMGStep).  The default applies the truncation masks only on the
-    fine level around an untruncated V-cycle (cheaper; the line search
-    keeps the iteration monotone either way).
+    ``truncate_hierarchy=True`` re-Galerkin-restricts the TRUNCATED
+    matrix (zeroed active rows/cols, unit diagonal) down the hierarchy
+    every iteration — the reference's preprocess-per-iterate behavior
+    (renewMatrixHierachy, solversetup.hh:151-190 driven by TNNMGStep).
+    The hierarchy structure (transfers, patterns, coloring) is built
+    once; each iteration only renews the matrix values and runs ONE
+    jitted parametric cycle (no per-iteration setup or re-tracing).
+    The default applies the truncation masks only on the fine level
+    around an untruncated V-cycle (cheaper; the line search keeps the
+    iteration monotone either way).
     """
-    if mg_step is None and not truncate_hierarchy:
+    tr_data = tr_cycle = None
+    if truncate_hierarchy:
+        from hpdg_tpu.solvers.multigrid import (setup_hierarchy,
+                                                parametric_cycle)
+        dtype = next(iter(b.values())).dtype
+        tr_data = setup_hierarchy(basis, A, dtype=dtype)
+        tr_cycle = jax.jit(parametric_cycle(tr_data, dtype=dtype))
+    elif mg_step is None:
         from hpdg_tpu.solvers.multigrid import multigrid_solver
         mg_step, _ = multigrid_solver(basis, A)
     if mg_step is not None:
@@ -158,11 +168,13 @@ def solve_tnnmg(A: bm.BlockSparseMatrix, b: dict, basis: DGBasis,
         r = bv.sub(b, bm.matvec(A, x))
         r_masked = {p: jnp.where(free[p], r[p], 0.0) for p in r}
         if truncate_hierarchy:
-            # reference-faithful: Galerkin hierarchy of the truncated matrix
-            from hpdg_tpu.solvers.multigrid import multigrid_solver
-            A_tr = truncated_matrix(A, free)
-            step_tr, _ = multigrid_solver(basis, A_tr)
-            c = step_tr(bv.zeros_like(b), r_masked)
+            # reference-faithful: renew the Galerkin hierarchy on the
+            # truncated matrix (numeric-only — symbolic plans and the
+            # jitted cycle are reused across iterations)
+            tr_data.renew(truncated_matrix(A, free),
+                          dtype=next(iter(b.values())).dtype)
+            dinvs = [sm.inverse_diagonal_blocks(M) for M in tr_data.matrices]
+            c = tr_cycle(tr_data.matrices, dinvs, bv.zeros_like(b), r_masked)
         else:
             c = mg_step(bv.zeros_like(b), r_masked)
         c = {p: jnp.where(free[p], c[p], 0.0) for p in c}

@@ -82,11 +82,23 @@ class ElementTransfer:
         return rc
 
     # ------------------------------------------------------------------
-    def galerkin(self, A: BlockSparseMatrix, dtype=jnp.float64
-                 ) -> BlockSparseMatrix:
-        """Coarse matrix RtAR: symbolic pass on the host (coarse pattern +
-        static slot arrays), numeric pass on the device (batched
-        T_r^T A T_c einsums + scatter-add)."""
+    def _galerkin_plan(self, A: BlockSparseMatrix):
+        """Symbolic phase of the Galerkin product, cached per fine
+        pattern: the coarse pattern plus per-work-item static slot
+        arrays.  Repeated products with the same sparsity (e.g. the
+        truncated matrices of a TNNMG loop, solversetup.hh:151-157's
+        renewMatrixHierachy) then run the numeric phase only — and reuse
+        the SAME coarse-pattern object, so jitted consumers don't
+        re-trace."""
+        cache = getattr(self, "_gcache", None)
+        if cache is None:
+            cache = {}
+            object.__setattr__(self, "_gcache", cache)
+        # key on the pattern object itself (identity-hashed; the strong
+        # reference keeps it alive so the key can't be recycled)
+        ckey = (A.pattern, A.block_shape)
+        if ckey in cache:
+            return cache[ckey]
         fine, coarse = self.fine, self.coarse
         ngroups = len(self.groups)
         # symbolic phase: map each fine entry to a coarse (bucket, row, col)
@@ -136,12 +148,27 @@ class ElementTransfer:
         row_sizes = {p: coarse.bucket_size(p) for p in coarse.bucket_degrees}
         pattern = BlockPattern(row_sizes, dict(row_sizes), entries,
                                diag_first=True)
-        vals = zeros_values(pattern, fine.dim, block_shape=A.block_shape,
-                            dtype=dtype)
-        # numeric phase
+        # resolve slots now so the numeric phase is pure device work
+        plan = []
         for (fkey, sel, gri, gci, key, codes) in work:
+            sorted_codes, order = slotmaps[key]
+            slots = order[np.searchsorted(sorted_codes, codes)]
+            plan.append((fkey, jnp.asarray(sel), gri, gci, key,
+                         jnp.asarray(slots)))
+        cache[ckey] = (pattern, plan)
+        return pattern, plan
+
+    def galerkin(self, A: BlockSparseMatrix, dtype=jnp.float64
+                 ) -> BlockSparseMatrix:
+        """Coarse matrix RtAR: symbolic pass on the host (coarse pattern +
+        static slot arrays, cached per fine pattern), numeric pass on the
+        device (batched T_r^T A T_c einsums + scatter-add)."""
+        pattern, plan = self._galerkin_plan(A)
+        vals = zeros_values(pattern, self.fine.dim, block_shape=A.block_shape,
+                            dtype=dtype)
+        for (fkey, sel, gri, gci, key, slots) in plan:
             Gr, Gc = self.groups[gri], self.groups[gci]
-            blocks = A.values[fkey][jnp.asarray(sel)]
+            blocks = A.values[fkey][sel]
             nb = blocks.shape[0]
             cr, cc = A.block_shape
             blocks = blocks.reshape(nb, cr, Gr.T.shape[0], cc, Gc.T.shape[0])
@@ -149,10 +176,8 @@ class ElementTransfer:
                             jnp.asarray(Gr.T, dtype), jnp.asarray(Gc.T, dtype),
                             preferred_element_type=dtype)
             tr = tr.reshape(nb, cr * Gr.T.shape[1], cc * Gc.T.shape[1])
-            sorted_codes, order = slotmaps[key]
-            slots = order[np.searchsorted(sorted_codes, codes)]
-            vals[key] = vals[key].at[jnp.asarray(slots)].add(tr)
-        return BlockSparseMatrix(pattern, fine.dim, vals,
+            vals[key] = vals[key].at[slots].add(tr)
+        return BlockSparseMatrix(pattern, self.fine.dim, vals,
                                  block_shape=A.block_shape)
 
 

@@ -164,3 +164,40 @@ def test_restrict_to_coarse():
     saved2 = save_state(fine2, api.interpolate(fine2, g))
     xc2 = restrict_to_coarse(saved2, coarse)
     assert float(l2_error(coarse, xc2, g)) < 1e-12
+
+
+def test_restrict_to_coarse_partial_unrefine():
+    """Mixed kept/merged coarsening (mesh.adaptive.unrefine) persists:
+    kept elements get identity/degree-change transfer, merged groups the
+    child-routed evaluation.  Regression for the former ValueError."""
+    from hpdg_tpu.blocks.persist import restrict_to_coarse, save_state
+    from hpdg_tpu.mesh.adaptive import unrefine
+
+    m = hmesh.structured((2, 2))
+    f = hmesh.refine(m)
+    fine = DGBasis(f, np.array([2, 3, 2, 2] * 4))
+    g = lambda x: (x[..., 0] - 0.4) ** 2 + 0.5 * x[..., 1] ** 2
+    saved = save_state(fine, api.interpolate(fine, g))
+    # merge back only the children of parents 0 and 3 -> 8 kept + 2 merged
+    marks = np.isin(f.parent, [0, 3])
+    c = unrefine(f, marks)
+    assert c.n_elements == 10
+    coarse = DGBasis(c, np.full(10, 2))
+    xc = restrict_to_coarse(saved, coarse)
+    assert float(l2_error(coarse, xc, g)) < 1e-12
+
+
+def test_restrict_to_coarse_after_refine_local():
+    """Inverse of a LOCAL refinement: unmarked (kept) fine elements map
+    back to the original coarse elements by identity."""
+    from hpdg_tpu.blocks.persist import restrict_to_coarse, save_state
+    from hpdg_tpu.mesh.adaptive import refine_local
+
+    m = hmesh.structured((2, 2))
+    f = refine_local(m, np.array([True, False, False, True]))
+    fine = DGBasis(f, np.full(f.n_elements, 2))
+    g = lambda x: x[..., 0] * x[..., 1] + x[..., 1] ** 2
+    saved = save_state(fine, api.interpolate(fine, g))
+    coarse = DGBasis(m, np.array([2, 3, 2, 2]))  # degree change on a kept elem
+    xc = restrict_to_coarse(saved, coarse)
+    assert float(l2_error(coarse, xc, g)) < 1e-12

@@ -215,3 +215,27 @@ def test_normal_penalty_scaling_matches_oracle_and_restores_spd():
     Das = bm.extract_diagonal(A_n)
     for p in basis.bucket_degrees:
         assert np.allclose(np.asarray(D[p]), np.asarray(Das[p]), atol=1e-11)
+
+
+@pytest.mark.parametrize("scaling", ["measure", "normal"])
+def test_geom_scale_matches_rescaled_mesh(scaling):
+    """assemble_laplace(geom_scale=s) must equal assembling the mesh with
+    all coordinates multiplied by s — for BOTH penalty scalings (under
+    "normal" the penalty picks up the same s^(dim-2) as the consistency
+    terms; regression for the missing factor)."""
+    from hpdg_tpu.mesh.structured import from_boxes
+
+    s = 2.5
+    for cells, deg in [((3, 2), np.array([2, 1, 3, 2, 2, 1])),
+                       ((2, 2, 1), np.array([1, 2, 2, 1]))]:
+        m = hmesh.structured(cells)
+        basis = DGBasis(m, deg)
+        A = assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                             geom_scale=s, penalty_scaling=scaling)
+        m2 = from_boxes(m.lower * s, m.extent * s)
+        basis2 = DGBasis(m2, deg)
+        A2 = assemble_laplace(basis2, penalty=2.0, dirichlet=True,
+                              penalty_scaling=scaling)
+        Ad = bm.to_dense(A, basis)
+        A2d = bm.to_dense(A2, basis2)
+        assert frob_close(Ad, A2d, 1e-12), (cells, scaling)

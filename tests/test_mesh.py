@@ -70,3 +70,20 @@ def test_node_positions():
     assert pos.shape == (2, 4, 2)
     # element 0 corners; C-order multiindex, last dim fastest
     assert np.allclose(pos[0], [[0, 0], [0, 1], [0.5, 0], [0.5, 1]])
+
+
+def test_unmatched_interior_faces_raise():
+    """4:1 level jumps (and non-2:1 inputs) must raise, not silently
+    become spurious domain boundary (ADVICE round-1 regression)."""
+    import pytest
+    from hpdg_tpu.mesh.structured import from_boxes
+
+    # a unit cell next to a column of four quarter-cells: 4:1 jump
+    lower = np.array([[0.0, 0.0]] + [[1.0, 0.25 * k] for k in range(4)])
+    extent = np.array([[1.0, 1.0]] + [[0.25, 0.25]] * 4)
+    with pytest.raises(ValueError, match="could not be matched"):
+        from_boxes(lower, extent)
+    m = from_boxes(lower, extent, validate=False)  # opt-out still works
+    # the 4:1 interface is (mis)classified as boundary, as before; only
+    # the 3 conforming faces among the quarter-cells remain interior
+    assert len(m.faces) == 3
