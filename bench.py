@@ -27,6 +27,10 @@ import jax
 # for FEM operators (the multigrid contraction even diverges).  All
 # reported numbers use honest full-f32 precision.
 jax.config.update("jax_default_matmul_precision", "highest")
+# x64 enables the HOST-side f64 ground-truth operator + residuals of the
+# multigrid solve metric; every TPU-path array passes an explicit f32
+# dtype, so nothing f64 ever reaches the TPU compiler.
+jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp  # noqa: E402
 
 REPO = Path(__file__).resolve().parent
@@ -86,6 +90,39 @@ def cpp_baseline_dofs_per_s() -> float:
     return float("nan")
 
 
+def cpp_baseline_solve_seconds():
+    """Single-core C++ hp-MG time-to-1e-8 (cpp/baseline_mg3d), cached in
+    cpp/baseline_result.json under 'solve_seconds'."""
+    cache = REPO / "cpp" / "baseline_result.json"
+    exe = REPO / "cpp" / "baseline_mg3d"
+    src = REPO / "cpp" / "baseline_mg3d.cc"
+    try:
+        if not exe.exists() and src.exists():
+            subprocess.run(["g++", "-O3", "-march=native", "-std=c++17",
+                            "-o", str(exe), str(src)], check=True,
+                           timeout=300)
+        if exe.exists():
+            out = subprocess.run([str(exe)], capture_output=True, text=True,
+                                 timeout=1200, check=True)
+            res = json.loads(out.stdout.strip().splitlines()[-1])
+            data = json.loads(cache.read_text()) if cache.exists() else {}
+            # baseline = fastest single-core run observed on this machine
+            prev = data.get("solve_seconds")
+            sec = float(res["solve_seconds"])
+            if prev is not None and float(prev) < sec:
+                sec = float(prev)
+            data["solve_seconds"] = sec
+            cache.write_text(json.dumps(data))
+            return sec
+    except Exception as e:
+        log(f"# cpp MG baseline re-measure failed ({e}); using cache")
+    if cache.exists():
+        data = json.loads(cache.read_text())
+        if "solve_seconds" in data:
+            return float(data["solve_seconds"])
+    return None
+
+
 def main():
     from hpdg_tpu import mesh as hmesh
     from hpdg_tpu.basis.dgbasis import DGBasis
@@ -134,12 +171,18 @@ def main():
     except Exception as e:
         log(f"# pallas bench failed: {e}")
 
-    # ---- extra: multigrid time to 1e-8 relative residual ----
-    # f32 on the TPU compute path (f64 hits pathologically slow remote
-    # compiles on this TPU generation); the V-cycle contraction rate is
-    # dtype-independent, so time-to-1e-8 = cycles(1e-8) * time/cycle with
-    # the rate measured over the first f32 cycles.  Guarded by a hard
-    # alarm so a slow remote compile can never stall the whole bench.
+    # ---- extra: multigrid, MEASURED time to <=1e-8 relative residual ----
+    # Scheme: f32 V-cycles on the TPU inside an f64 iterative-refinement
+    # loop whose residuals are evaluated on the host CPU against the f64
+    # operator (the TRUE system).  The reported time is the full solve
+    # wall time — TPU cycles + host residual checks + transfers — from
+    # x = 0 until the measured f64 relative residual is <= 1e-8.
+    # Penalty scaling is "normal" (sigma p^2 |f|/h): in 2D it coincides
+    # with the reference's sigma p^2/|e| (gausslobattoipdgassembler.hh:167,
+    # |e| = h), and it is the correct 3D generalization — the literal
+    # |f|^-1 convention over-penalizes by 1/h in 3D and degrades the MG
+    # rate from ~0.11 to ~0.55/cycle.  Guarded by a hard alarm so a slow
+    # remote compile can never stall the whole bench.
     import signal
 
     class _BenchTimeout(Exception):
@@ -149,52 +192,107 @@ def main():
         raise _BenchTimeout("multigrid sub-bench timed out")
 
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(900)
+    signal.alarm(1200)
+    time_to_1e8 = None
+    mg_rate = None
     try:
-        import math
         from hpdg_tpu.solvers.multigrid import multigrid_solver
         from hpdg_tpu.linalg import blockmatrix as bm, blockvector as bvv
         from hpdg_tpu.assemble import l2_functional
+        from hpdg_tpu.solvers.cg import hoist_constants
+        cpu = jax.devices("cpu")[0]
+        tpu = jax.devices()[0]
         # full hp-hierarchy on the headline mesh: 3^3 -> 6^3 -> 12^3 at
         # p = 4 -> 2 -> 1 (h-levels below p=1), re-assembled level operators
         meshes_mg = hmesh.hierarchy(hmesh.structured((3, 3, 3)), 2)
         mesh_mg = meshes_mg[-1]
         basis_mg = DGBasis(mesh_mg, np.full(mesh_mg.n_elements, p))
         plan_mg = build_plan(basis_mg)
-        A32 = assemble_laplace(basis_mg, penalty=2.0, dirichlet=True,
-                               plan=plan_mg, dtype=dtype)
-        factory = lambda bas: assemble_laplace(  # noqa: E731
-            bas, penalty=2.0, dirichlet=True, dtype=dtype)
-        step, _ = multigrid_solver(basis_mg, A32, operator_factory=factory,
-                                   meshes=meshes_mg, dtype=dtype)
+        # f64 ground truth on the host (jitted on CPU; f64 never touches
+        # the TPU compile path)
+        asm64 = jax.jit(lambda: assemble_laplace(
+            basis_mg, penalty=2.0, dirichlet=True, plan=plan_mg,
+            dtype=jnp.float64, penalty_scaling="normal").values, device=cpu)
+        A64 = bm.BlockSparseMatrix(plan_mg.pattern, 3, asm64())
         f = lambda x: (2 * jnp.pi**2  # noqa: E731
                        * jnp.sin(jnp.pi * x[..., 0])
                        * jnp.sin(jnp.pi * x[..., 1])
                        * jnp.sin(jnp.pi * x[..., 2]))
-        b = l2_functional(basis_mg, f, dtype=dtype)
+        with jax.default_device(cpu):
+            b64 = l2_functional(basis_mg, f, dtype=jnp.float64)
+        g64, c64 = hoist_constants(lambda x: bm.matvec(A64, x), b64)
+        jg64 = jax.jit(g64, device=cpu)
+        mv64 = lambda x: jg64(c64, x)  # noqa: E731
+        # f32 TPU operator = downcast of the same entries
+        A32 = bm.BlockSparseMatrix(
+            plan_mg.pattern, 3,
+            {k: jax.device_put(v.astype(jnp.float32), tpu)
+             for k, v in A64.values.items()})
+        b32 = {k: jax.device_put(v.astype(jnp.float32), tpu)
+               for k, v in b64.items()}
+        factory = lambda bas: assemble_laplace(  # noqa: E731
+            bas, penalty=2.0, dirichlet=True, dtype=dtype,
+            penalty_scaling="normal")
+        step, _ = multigrid_solver(basis_mg, A32, operator_factory=factory,
+                                   meshes=meshes_mg, dtype=dtype)
+        x0 = bvv.zeros_like(b32)
+
+        def chain(rhs, k=6):  # k V-cycles from zero (one inner solve)
+            x = bvv.zeros_like(rhs)
+            for _ in range(k):
+                x = step(x, rhs)
+            return x
+
         # hoist the level matrices (100s of MB) out of the program: jit of
-        # the raw closure embeds them as HLO constants (688 MB of program
-        # text!) and blows the remote-compile request limit.
-        from hpdg_tpu.solvers.cg import hoist_constants
-        x0 = bvv.zeros_like(b)
-        g, consts = hoist_constants(lambda xx, bb: step(xx, bb), x0, b)
+        # the raw closure embeds them as HLO constants and blows the
+        # remote-compile request limit.
+        g, consts = hoist_constants(chain, b32)
         jg = jax.jit(g)
-        jstep = lambda xx, bb: jg(consts, xx, bb)  # noqa: E731
-        jax.block_until_ready(jstep(x0, b))  # compile
-        nb = float(bvv.norm(b))
-        # measure the contraction rate over a few cycles (f32 floor ~1e-6)
+        jchain = lambda rhs: jg(consts, rhs)  # noqa: E731
+        _force(jchain(b32))  # compile
+        # single-cycle rate + time (diagnostics)
+        gs1, cs1 = hoist_constants(lambda xx, bb: step(xx, bb), x0, b32)
+        jg1 = jax.jit(gs1)
+        jstep = lambda xx, bb: jg1(cs1, xx, bb)  # noqa: E731
+        _force(jstep(x0, b32))
+        nb32 = float(bvv.norm(b32))
         x = x0
-        res = [nb]
+        res = [nb32]
         for _ in range(6):
-            x = jstep(x, b)
-            res.append(float(bvv.norm(bvv.sub(b, bm.matvec(A32, x)))))
-        rate = (res[-1] / res[1]) ** (1.0 / (len(res) - 2))
-        cycles_needed = math.ceil(math.log(1e-8) / math.log(min(rate, 0.99)))
-        t_cycle = timeit(lambda v: jstep(v, b), x0, reps=5)
-        log(f"# multigrid: rate/cycle {rate:.3f}, {t_cycle*1e3:.1f} ms/cycle"
-            f" -> time-to-1e-8 ~ {cycles_needed * t_cycle:.3f} s"
-            f" ({cycles_needed} cycles, {basis_mg.ndof} dofs,"
-            f" measured f32 rel residual {res[-1]/nb:.2e})")
+            x = jstep(x, b32)
+            res.append(float(bvv.norm(bvv.sub(b32, bm.matvec(A32, x)))))
+        mg_rate = (res[-1] / res[1]) ** (1.0 / (len(res) - 2))
+        t_cycle = timeit(lambda v: jstep(v, b32), x0, reps=5)
+        # warm the tiny host ops used in the refinement loop
+        jax.block_until_ready(mv64(b64))
+
+        # ---- the measured solve ----
+        nb = float(bvv.norm(b64))
+        x64 = jax.tree.map(jnp.zeros_like, b64)
+        hist = []
+        t_solve0 = time.perf_counter()
+        for _ in range(6):
+            r64 = bvv.sub(b64, mv64(x64))
+            nr = float(bvv.norm(r64))
+            hist.append(nr / nb)
+            if nr / nb <= 1e-8:
+                break
+            r32 = {k: jax.device_put((v / nr).astype(jnp.float32), tpu)
+                   for k, v in r64.items()}
+            c32 = jax.block_until_ready(jchain(r32))
+            x64 = {k: x64[k] + nr * jnp.asarray(np.asarray(c32[k]),
+                                                jnp.float64)
+                   for k in x64}
+        time_to_1e8 = time.perf_counter() - t_solve0
+        log(f"# multigrid (normal scaling): rate/cycle {mg_rate:.3f}, "
+            f"{t_cycle*1e3:.1f} ms/cycle; MEASURED f64 rel residual "
+            f"{hist[-1]:.2e} in {time_to_1e8:.3f} s "
+            f"({len(hist)-1} refinement steps x 6 V-cycles, "
+            f"{basis_mg.ndof} dofs, history "
+            f"{['%.1e' % h for h in hist]})")
+        if hist[-1] > 1e-8:
+            log("# WARNING: 1e-8 not reached; reporting null time_to_1e8_s")
+            time_to_1e8 = None
     except Exception as e:
         log(f"# multigrid bench failed: {e}")
     finally:
@@ -202,12 +300,19 @@ def main():
 
     base = cpp_baseline_dofs_per_s()
     vs = asm_rate / base if base == base else None
-    print(json.dumps({
+    solve_base = cpp_baseline_solve_seconds()
+    out = {
         "metric": "3d_sipg_p4_assembled_dofs_per_s",
         "value": round(asm_rate, 1),
         "unit": "DOF/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }), flush=True)
+    }
+    if time_to_1e8 is not None:
+        out["time_to_1e8_s"] = round(time_to_1e8, 3)
+        out["mg_rate_per_cycle"] = round(mg_rate, 3)
+        if solve_base is not None:
+            out["vs_baseline_solve"] = round(solve_base / time_to_1e8, 2)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
