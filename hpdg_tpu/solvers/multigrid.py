@@ -242,6 +242,11 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
             post = sm.colored_block_gs_step(M, bas, reverse=True)
         elif smoother == "jacobi":
             pre = post = sm.block_jacobi_step(M, omega=jacobi_damping)
+        elif smoother == "lex":
+            # reference-exact sequential sweep order (dynamicblockgs.hh),
+            # forward pre / backward post — for residual-history parity
+            pre = sm.lexicographic_block_gs_step(M, bas)
+            post = sm.lexicographic_block_gs_step(M, bas, reverse=True)
         else:
             raise ValueError(smoother)
         restrict = prolong = None

@@ -181,9 +181,12 @@ def l1_jacobi_step(A: BlockSparseMatrix, shifts: dict, omega: float = 1.0):
 # Exact lexicographic block Gauss-Seidel (parity smoother)
 # ---------------------------------------------------------------------------
 
-def lexicographic_block_gs_step(A: BlockSparseMatrix, basis):
+def lexicographic_block_gs_step(A: BlockSparseMatrix, basis,
+                                reverse: bool = False):
     """Sequential block GS in element order, exactly matching the
-    reference's DynamicBlockGS sweep (dynamicblockgs.hh:94-126).
+    reference's DynamicBlockGS sweep (dynamicblockgs.hh:94-126);
+    ``reverse`` sweeps the rows backward (the post-smoothing direction
+    of a symmetric V-cycle).
 
     Sequential-by-construction (a lax.scan over block rows with padded
     per-row gather), so it is SLOW on TPU — provided for residual-history
@@ -232,7 +235,8 @@ def lexicographic_block_gs_step(A: BlockSparseMatrix, basis):
             xnew = Dinv[r] @ res
             return xb.at[r].set(xnew), None
 
-        xb, _ = jax.lax.scan(body, xb, jnp.arange(n))
+        rows_order = jnp.arange(n - 1, -1, -1) if reverse else jnp.arange(n)
+        xb, _ = jax.lax.scan(body, xb, rows_order)
         return {p: xb}
 
     return step
