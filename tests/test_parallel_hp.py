@@ -1,0 +1,133 @@
+"""Mixed-degree (hp) sharding on the 8-device virtual CPU mesh.
+
+The round-1 verdict's item 2: per-shard-identical padded bucket layouts
+with per-degree halo exchange must reproduce the serial mixed-degree
+operator at 1e-11 and give a convergent sharded hp-V-cycle.  Reference
+scope: parallel/communicationhpdg.hh:99-418 (variable-size per-element
+buffers) + parmgsetup.hh:483-517.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from hpdg_tpu import mesh as hmesh
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.matrixfree import sipg_operator
+from hpdg_tpu.assemble import l2_functional
+from hpdg_tpu.parallel.hp import (build_hp_sharded, build_hp_sharded_pmg,
+                                  hp_norm, hp_pmg_pcg_solve)
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _rel_err(y_ref, y):
+    return max(np.abs(np.asarray(y_ref[p]) - y[p]).max()
+               / max(np.abs(np.asarray(y_ref[p])).max(), 1.0) for p in y_ref)
+
+
+@pytest.mark.parametrize("cells,degs,ndev,scaling,diri", [
+    ((8, 3), [2, 4], 8, "normal", True),
+    ((8, 3, 2), [1, 2, 3, 4], 4, "normal", True),
+    ((16, 4), [1, 3], 8, "measure", False),
+    ((8, 2, 2), [2], 8, "normal", True),   # uniform degenerate case
+    ((4, 3), [2, 4], 4, "normal", True),   # 1 layer per shard
+])
+def test_hp_sharded_apply_matches_serial(cells, degs, ndev, scaling, diri):
+    rng = np.random.default_rng(1887)
+    n = int(np.prod(cells))
+    dim = len(cells)
+    degrees = rng.choice(degs, size=n)
+    gbasis = DGBasis(hmesh.structured(cells), degrees)
+    op = sipg_operator(gbasis, penalty=2.0, dirichlet=diri,
+                       penalty_scaling=scaling)
+    x = {p: jnp.asarray(rng.standard_normal(
+        (gbasis.bucket_size(p), (p + 1) ** dim)))
+        for p in gbasis.bucket_degrees}
+    y_ref = op(x)
+    prob = build_hp_sharded(cells, degrees, devices=jax.devices()[:ndev],
+                            penalty=2.0, dirichlet=diri,
+                            penalty_scaling=scaling)
+    ys = prob.apply(prob.scatter_global(x, gbasis))
+    yg = prob.gather_global(ys, gbasis)
+    assert _rel_err(y_ref, yg) < 1e-11
+
+
+def test_hp_sharded_padding_rows_stay_zero():
+    """Padding rows must remain exactly zero through an apply — global
+    reductions (CG dots) rely on it."""
+    rng = np.random.default_rng(7)
+    cells = (8, 3)
+    degrees = rng.choice([2, 4], size=24)
+    gbasis = DGBasis(hmesh.structured(cells), degrees)
+    prob = build_hp_sharded(cells, degrees, devices=jax.devices()[:8],
+                            penalty=2.0, dirichlet=True)
+    x = {p: jnp.asarray(rng.standard_normal(
+        (gbasis.bucket_size(p), (p + 1) ** 2)))
+        for p in gbasis.bucket_degrees}
+    ys = prob.apply(prob.scatter_global(x, gbasis))
+    for p in prob.degree_set:
+        buf = np.asarray(ys[p]).reshape(prob.ndev, prob.m_own[p], -1)
+        for s in range(prob.ndev):
+            npad = prob.m_own[p] - len(prob.owned_slots[(s, p)])
+            if npad:
+                assert np.all(buf[s, -npad:] == 0.0), (p, s)
+
+
+def test_hp_sharded_vcycle_converges():
+    rng = np.random.default_rng(3)
+    cells = (8, 4)
+    degrees = rng.choice([2, 4], size=32)
+    pmg = build_hp_sharded_pmg(cells, degrees, devices=jax.devices()[:8],
+                               penalty=2.0, dirichlet=True,
+                               penalty_scaling="normal")
+    fine = pmg.levels[-1]
+    gbasis = DGBasis(hmesh.structured(cells), degrees)
+    b = fine.scatter_global(
+        l2_functional(gbasis, lambda x: jnp.ones_like(x[..., 0])), gbasis)
+    step = jax.jit(pmg.step)
+    x = jax.tree.map(jnp.zeros_like, b)
+    nb = float(hp_norm(b))
+    res = [1.0]
+    for _ in range(10):
+        x = step(x, b)
+        r = {p: b[p] - v for p, v in fine.apply(x).items()}
+        res.append(float(hp_norm(r)) / nb)
+    rate = (res[-1] / res[1]) ** (1.0 / (len(res) - 2))
+    assert res[-1] < 1e-2
+    assert rate < 0.75, rate
+
+
+def test_hp_sharded_mg_pcg_solves_to_1e12():
+    """The production path: V-cycle-preconditioned CG, one compiled
+    program, psum reductions."""
+    rng = np.random.default_rng(3)
+    cells = (8, 4)
+    degrees = rng.choice([2, 4], size=32)
+    pmg = build_hp_sharded_pmg(cells, degrees, devices=jax.devices()[:8],
+                               penalty=2.0, dirichlet=True,
+                               penalty_scaling="normal")
+    fine = pmg.levels[-1]
+    gbasis = DGBasis(hmesh.structured(cells), degrees)
+    b = fine.scatter_global(
+        l2_functional(gbasis, lambda x: jnp.ones_like(x[..., 0])), gbasis)
+    x, rel = hp_pmg_pcg_solve(pmg, b, iters=20)
+    assert float(rel) < 1e-12
+
+    # and the solution matches the serial solve
+    from hpdg_tpu.assemble import assemble_laplace
+    from hpdg_tpu.linalg import blockmatrix as bm, blockvector as bv
+    from hpdg_tpu.solvers.multigrid import multigrid_solver
+    from hpdg_tpu.solvers.cg import loop_solve
+    A = assemble_laplace(gbasis, penalty=2.0, dirichlet=True,
+                         penalty_scaling="normal")
+    bser = l2_functional(gbasis, lambda x: jnp.ones_like(x[..., 0]))
+    step, _ = multigrid_solver(gbasis, A)
+    xs, _ = loop_solve(step, bv.zeros_like(bser), bser,
+                       matvec_fn=lambda v: bm.matvec(A, v), tol=1e-12,
+                       maxiter=60)
+    xg = fine.gather_global(x, gbasis)
+    err = max(np.abs(np.asarray(xs[p]) - xg[p]).max() for p in xs)
+    assert err < 1e-9, err
