@@ -63,6 +63,7 @@ class HPSharded:
     owned_slots: dict             # (s, p) -> global element ids in slot order
     apply: callable               # {p: [ndev*m_p, bs_p]} -> same (sharded)
     dinv_mul: callable            # block-Jacobi preconditioner r -> Dinv r
+    diag: dict                    # p -> [ndev*m_p, bs, bs] diagonal blocks
     n_local: int
     layer: int
 
@@ -195,7 +196,8 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
 
     # ---------------- per-shard stacked plan data ----------------
     data = {"ext_kind": {}, "ext_idx": {}, "send_first": {}, "send_last": {},
-            "bulk_coef": {}, "ownmask": {}, "dinv": {}, "fg": {}, "bg": {}}
+            "bulk_coef": {}, "ownmask": {}, "dinv": {}, "diag": {},
+            "fg": {}, "bg": {}}
     owned_slots = {}
     for p in DEG:
         ek = np.zeros((ndev, m_ext[p]), _I)
@@ -206,6 +208,7 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
         om = np.zeros((ndev, m_own[p]))
         bs = (p + 1) ** dim
         dv = np.zeros((ndev, m_own[p], bs, bs))
+        dr = np.broadcast_to(np.eye(bs), (ndev, m_own[p], bs, bs)).copy()
         for s, sh in enumerate(shards):
             eb = sh["ebasis"]
             own = sh["own"]
@@ -248,7 +251,8 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
                                      penalty_scaling=penalty_scaling,
                                      dtype=jnp.float64)
             if p in D and no:
-                dv[s, :no] = np.linalg.inv(np.asarray(D[p])[:no])
+                dr[s, :no] = np.asarray(D[p])[:no]
+                dv[s, :no] = np.linalg.inv(dr[s, :no])
         data["ext_kind"][p] = ek
         data["ext_idx"][p] = ei
         data["send_first"][p] = sf
@@ -256,6 +260,7 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
         data["bulk_coef"][p] = bc
         data["ownmask"][p] = om
         data["dinv"][p] = dv
+        data["diag"][p] = dr
 
     for c in FCLS:
         pi, po, ax = c
@@ -447,6 +452,7 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
 
     # block-Jacobi preconditioner (shard-local, elementwise)
     dinv_dev = {p: data_dev["dinv"][p] for p in DEG}
+    diag_dev = {p: data_dev["diag"][p] for p in DEG}
 
     @jax.jit
     def dinv_mul(r):
@@ -457,11 +463,13 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
                                 preferred_element_type=r[p].dtype)
         return out
 
+    diag_flat = {p: diag_dev[p].reshape((-1,) + diag_dev[p].shape[2:])
+                 for p in DEG}
     return HPSharded(cells=cells, degrees=degrees, ndev=ndev,
                      axis_name=axis_name, device_mesh=device_mesh,
                      degree_set=DEG, m_own=m_own, shardings=shardings,
                      owned_slots=owned_slots, apply=apply, dinv_mul=dinv_mul,
-                     n_local=n_local, layer=layer)
+                     diag=diag_flat, n_local=n_local, layer=layer)
 
 
 # ---------------------------------------------------------------------------
@@ -703,3 +711,219 @@ def hp_pmg_pcg_solve(pmg: HPShardedPMG, b: dict, iters: int = 30):
         return x, hp_norm(r) / nb
 
     return run(b)
+
+
+# ---------------------------------------------------------------------------
+# sharded h-levels (uniform-degree geometric coarsening below p = 1)
+# ---------------------------------------------------------------------------
+
+def _child_T_matrices(p: int, dim: int, dtype):
+    """Per-child-position prolongation blocks T_var[(bs, bs)]: parent
+    basis evaluated at the child's nodes mapped to parent coords
+    (dgtodggridtransferassembler.hh:308-323 analog).  Child position var
+    encodes the lattice offset bits with axis 0 as the HIGHEST bit
+    (matching mesh element C-order, last axis fastest)."""
+    from hpdg_tpu.basis import lagrange
+    nodes = lagrange.nodes_1d(p, "lobatto")
+    nb = p + 1
+    mi = tensor.multiindices(p, dim)
+    out = []
+    for var in range(2 ** dim):
+        bits = [(var >> (dim - 1 - a)) & 1 for a in range(dim)]
+        xp = 0.5 * (np.array(bits)[None, :] + nodes[mi])  # (bs, dim)
+        per_axis = [lagrange.lagrange_values(nodes, xp[:, a])
+                    for a in range(dim)]
+        T = np.ones((len(mi), len(mi)))
+        for a in range(dim):
+            T = T * per_axis[a][mi[:, a], :].T
+        out.append(jnp.asarray(T, dtype))
+    return out
+
+
+def _hp_h_transfer(probf: HPSharded, probc: HPSharded, p: int,
+                   axis_name: str, dtype):
+    """Sharded geometric (h) transfer between a fine mesh and its 2x
+    coarsening, uniform degree p.  The slab partition is aligned (both
+    cells[0] divisible by ndev), so every coarse element and all its
+    2^dim children live on the SAME shard: the transfer is element-local
+    GEMM work, no communication — the design choice that replaces the
+    reference's per-level communicator rebuilds (parmgsetup.hh:201-211).
+    """
+    dim = len(probf.cells)
+    ndev = probf.ndev
+    nc = 2 ** dim
+    cf = probf.cells
+    cc = probc.cells
+    n_local_c = probc.n_local
+    Mc = probc.m_own[p]
+
+    # children of coarse lattice element (fine ids), C-order lattice maps
+    def lattice_id(coords, cells):
+        e = 0
+        for a in range(dim):
+            e = e * cells[a] + coords[a]
+        return e
+
+    child = np.zeros((ndev, Mc, nc), _I)
+    for s in range(ndev):
+        own_c = probc.owned_slots[(s, p)]  # global coarse ids, slot order
+        for k, ec in enumerate(own_c):
+            # coarse lattice coords (axis 0 slowest)
+            rem = int(ec)
+            coords = []
+            for a in range(dim - 1, -1, -1):
+                coords.append(rem % cc[a])
+                rem //= cc[a]
+            coords = coords[::-1]
+            for var in range(nc):
+                bits = [(var >> (dim - 1 - a)) & 1 for a in range(dim)]
+                fco = [2 * coords[a] + bits[a] for a in range(dim)]
+                ef = lattice_id(fco, cf)
+                # fine owned slot: rank within the fine shard's bucket
+                sf = ef - (ef // probf.n_local) * probf.n_local
+                assert ef // probf.n_local == s, "partition misaligned"
+                child[s, k, var] = sf  # uniform degree: slot == local id
+    Ts = _child_T_matrices(p, dim, dtype)
+
+    mesh = probf.device_mesh
+    fspec = {p: P(axis_name, None)}
+    cspec = {p: P(axis_name, None)}
+    dspec = P(axis_name)
+    cdev = jax.device_put(jnp.asarray(child),
+                          NamedSharding(mesh, P(axis_name, None, None)))
+
+    Mf = probf.m_own[p]
+
+    def restrict_body(ch, rf):
+        ch = ch[0]
+        rc = jnp.zeros((Mc, (p + 1) ** dim), dtype)
+        for var in range(nc):
+            vals = rf[p][ch[:, var]] @ Ts[var]  # T^T r per coarse element
+            rc = rc + vals
+        return {p: rc}
+
+    def prolong_body(ch, xc):
+        ch = ch[0]
+        xf = jnp.zeros((Mf, (p + 1) ** dim), dtype)
+        for var in range(nc):
+            xf = xf.at[ch[:, var]].set(xc[p] @ Ts[var].T)
+        return {p: xf}
+
+    rshard = jax.shard_map(restrict_body, mesh=mesh,
+                           in_specs=(dspec, fspec), out_specs=cspec)
+    pshard = jax.shard_map(prolong_body, mesh=mesh,
+                           in_specs=(dspec, cspec), out_specs=fspec)
+    return (lambda rf: rshard(cdev, rf)), (lambda xc: pshard(cdev, xc))
+
+
+def build_hp_sharded_hmg(cells, degrees, h_levels: int = 1, devices=None,
+                         penalty: float = 2.0, dirichlet: bool = True,
+                         dtype=jnp.float64, penalty_scaling: str = "measure",
+                         cheb_degree: int = 5,
+                         coarse_cg_iters: int = 60) -> HPShardedPMG:
+    """Full sharded hp-multigrid: p-levels (min(k_e, order), halving) on
+    the fine mesh, then ``h_levels`` geometric 2x coarsenings at p = 1 —
+    the sharded analog of the reference's full hierarchy
+    (parmgsetup.hh:97-150), with comm attached to every level via the
+    operators' own halo exchanges."""
+    degrees = np.asarray(degrees, dtype=_I).reshape(-1)
+    devices = devices if devices is not None else jax.devices()
+    ndev = len(devices)
+    dim = len(cells)
+
+    # p-levels (fine mesh)
+    dmaps = [degrees]
+    while dmaps[-1].max() > 1:
+        order = max(1, int(dmaps[-1].max()) // 2)
+        dmaps.append(np.minimum(degrees, order).astype(_I))
+    # h-levels (uniform p = 1)
+    hcells = [tuple(cells)]
+    for _ in range(h_levels):
+        nxt = tuple(c // 2 for c in hcells[-1])
+        if any(c % 2 for c in hcells[-1]) or nxt[0] % ndev:
+            raise ValueError(f"cannot h-coarsen {hcells[-1]} over {ndev} "
+                             "devices (need even cells and divisible slabs)")
+        hcells.append(nxt)
+
+    kw = dict(devices=devices, penalty=penalty, dirichlet=dirichlet,
+              dtype=dtype, penalty_scaling=penalty_scaling)
+    probs = []
+    transfers = []
+    # coarsest..finest: h-levels first
+    for cl in reversed(hcells[1:]):
+        probs.append(build_hp_sharded(
+            cl, np.ones(int(np.prod(cl)), _I), **kw))
+    for dm in reversed(dmaps):
+        probs.append(build_hp_sharded(cells, dm, **kw))
+    # transfers: one per level gap, h where the mesh changes, p otherwise
+    level_deg = ([np.ones(int(np.prod(cl)), _I) for cl in reversed(hcells[1:])]
+                 + [dm for dm in reversed(dmaps)])
+    for i in range(len(probs) - 1):
+        if probs[i].cells != probs[i + 1].cells:
+            transfers.append(_hp_h_transfer(probs[i + 1], probs[i], 1,
+                                            probs[0].axis_name, dtype))
+        else:
+            transfers.append(_hp_transfer(probs[i + 1], probs[i],
+                                          level_deg[i + 1], level_deg[i],
+                                          probs[0].axis_name, dtype))
+
+    from hpdg_tpu.solvers import smoothers as sm
+    smooths = []
+    for prob in probs:
+        @jax.jit
+        def rho_est(prob=prob):
+            v0 = {p: jnp.ones_like(v) for p, v in prob.zeros(dtype).items()}
+
+            def body(i, v):
+                w = prob.dinv_mul(prob.apply(v))
+                return jax.tree.map(lambda a: a / hp_norm(w), w)
+
+            v = jax.lax.fori_loop(0, 15, body, v0)
+            return hp_norm(prob.dinv_mul(prob.apply(v)))
+        rho = float(rho_est())
+        smooths.append(sm.chebyshev_smoother(prob.apply, prob.dinv_mul,
+                                             lmax=1.05 * rho,
+                                             degree=cheb_degree))
+
+    def safe_div(a, d):
+        return jnp.where(jnp.abs(d) > 0, a / jnp.where(d == 0, 1.0, d), 0.0)
+
+    def coarse_solve(b):
+        prob = probs[0]
+        x = jax.tree.map(jnp.zeros_like, b)
+        r = b
+        z = prob.dinv_mul(r)
+        rz = hp_dot(r, z)
+
+        def body(i, st):
+            x, r, z, pv, rz = st
+            Ap = prob.apply(pv)
+            alpha = safe_div(rz, hp_dot(pv, Ap))
+            x = hp_axpy(alpha, pv, x)
+            r = hp_axpy(-alpha, Ap, r)
+            z = prob.dinv_mul(r)
+            rz_new = hp_dot(r, z)
+            beta = safe_div(rz_new, rz)
+            pv = hp_axpy(beta, pv, z)
+            return x, r, z, pv, rz_new
+
+        st = jax.lax.fori_loop(0, coarse_cg_iters, body, (x, r, z, z, rz))
+        return st[0]
+
+    nlev = len(probs)
+
+    def run(l, x, b):
+        if l == 0:
+            return coarse_solve(b)
+        x = smooths[l](x, b)
+        r = {p: b[p] - v for p, v in probs[l].apply(x).items()}
+        restrict, prolong = transfers[l - 1]
+        rc = restrict(r)
+        xc = run(l - 1, jax.tree.map(jnp.zeros_like, rc), rc)
+        x = hp_axpy(1.0, prolong(xc), x)
+        return smooths[l](x, b)
+
+    def step(x, b):
+        return run(nlev - 1, x, b)
+
+    return HPShardedPMG(levels=probs, degree_maps=level_deg, step=step)

@@ -131,3 +131,63 @@ def test_hp_sharded_mg_pcg_solves_to_1e12():
     xg = fine.gather_global(x, gbasis)
     err = max(np.abs(np.asarray(xs[p]) - xg[p]).max() for p in xs)
     assert err < 1e-9, err
+
+
+def test_hp_sharded_hmg_with_h_levels():
+    """Full sharded hierarchy: p-levels + geometric h-levels (slab-aligned
+    2x coarsening, element-local transfers — parmgsetup.hh:97-150 analog)."""
+    from hpdg_tpu.parallel.hp import build_hp_sharded_hmg
+    rng = np.random.default_rng(5)
+    cells = (16, 8)
+    degrees = rng.choice([1, 2], size=128)
+    pmg = build_hp_sharded_hmg(cells, degrees, h_levels=2,
+                               devices=jax.devices()[:4], penalty=2.0,
+                               dirichlet=True, penalty_scaling="normal")
+    assert [P.cells for P in pmg.levels] == [(4, 2), (8, 4), (16, 8), (16, 8)]
+    fine = pmg.levels[-1]
+    gbasis = DGBasis(hmesh.structured(cells), degrees)
+    b = fine.scatter_global(
+        l2_functional(gbasis, lambda x: jnp.ones_like(x[..., 0])), gbasis)
+    step = jax.jit(pmg.step)
+    x = jax.tree.map(jnp.zeros_like, b)
+    nb = float(hp_norm(b))
+    for _ in range(8):
+        x = step(x, b)
+    r = {p: b[p] - v for p, v in fine.apply(x).items()}
+    assert float(hp_norm(r)) / nb < 0.1  # contracting V-cycle
+    xs, rel = hp_pmg_pcg_solve(pmg, b, iters=20)
+    assert float(rel) < 1e-12
+
+
+def test_sharded_tnnmg_matches_serial():
+    """8-device obstacle solve: solution and energy match the serial
+    TNNMG (partnnmgstep.hh:132-195 analog on the device mesh)."""
+    from hpdg_tpu.assemble import assemble_laplace
+    from hpdg_tpu.solvers.tnnmg import solve_tnnmg
+    from hpdg_tpu.parallel.obstacle import solve_tnnmg_sharded
+
+    rng = np.random.default_rng(11)
+    cells = (8, 8)
+    degrees = rng.choice([2, 3], size=64)
+    gb = DGBasis(hmesh.structured(cells), degrees)
+    kw = dict(penalty=2.0, dirichlet=True, penalty_scaling="normal")
+    A = assemble_laplace(gb, **kw)
+    b = l2_functional(gb, lambda x: jnp.ones_like(x[..., 0]))
+    lo = {p: jnp.full_like(v, -jnp.inf) for p, v in b.items()}
+    up = {p: jnp.full_like(v, 0.01) for p, v in b.items()}
+
+    x_ser, info_s = solve_tnnmg(A, b, gb, lo, up, tol=1e-11, maxiter=120)
+
+    pmg = build_hp_sharded_pmg(cells, degrees, devices=jax.devices()[:8],
+                               **kw)
+    fine = pmg.levels[-1]
+    x_sh, info_p = solve_tnnmg_sharded(
+        pmg, fine.scatter_global(b, gb), fine.scatter_global(lo, gb),
+        fine.scatter_global(up, gb), tol=1e-11, maxiter=60)
+    xg = fine.gather_global(x_sh, gb)
+    err = max(np.abs(np.asarray(x_ser[p]) - xg[p]).max() for p in x_ser)
+    assert err < 1e-9, err
+    assert abs(info_s["energy"][-1] - info_p["energy"][-1]) < 1e-10
+    en = info_p["energy"]
+    assert all(b2 <= a2 + 1e-12 for a2, b2 in zip(en, en[1:]))
+    assert max(info_p["truncated"]) > 0  # the obstacle is genuinely active
