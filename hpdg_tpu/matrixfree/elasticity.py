@@ -177,3 +177,19 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
         return y
 
     return apply
+
+
+def elasticity_diagonal_blocks(basis: DGBasis, mu: float = 1.0,
+                               lam: float = 1.0, penalty: float = 6.0,
+                               dirichlet: bool = False,
+                               dtype=jnp.float64) -> dict:
+    """p -> [n_p, dim*bs, dim*bs] diagonal (vector) blocks of the SIPG
+    elasticity operator, for matrix-free block-Jacobi smoothing — the
+    elasticity member of the diagonal-block factory family (the
+    reference's assembled-block flavor, slowipdgdiag.hh:22-27 pattern,
+    here batched over the whole mesh at once)."""
+    from hpdg_tpu.assemble.elasticity import assemble_elasticity
+    from hpdg_tpu.linalg.blockmatrix import extract_diagonal
+    A = assemble_elasticity(basis, mu=mu, lam=lam, penalty=penalty,
+                            dirichlet=dirichlet, dtype=dtype)
+    return extract_diagonal(A)

@@ -116,3 +116,44 @@ def matrix_free_block_nonlinear_jacobi(op, diag_blocks: dict, local_solver,
         return newx
 
     return step
+
+
+def weighted_mass_diagonal_blocks(basis: DGBasis, weight,
+                                  dtype=jnp.float64) -> dict:
+    """p -> [n_p, bs, bs] element blocks of (w(x) u, v) — the weighted
+    mass part of the weighted heat block factory."""
+    out = {}
+    mesh = basis.mesh
+    for p in basis.bucket_degrees:
+        vt = tensor.volume_tables(p, basis.dim, p + 2, family=basis.family)
+        elems = basis.bucket_elems[p]
+        ext = mesh.extent[elems]
+        detJ = np.prod(ext, axis=1)
+        x = (mesh.lower[elems][:, None, :]
+             + vt["points"][None, :, :] * ext[:, None, :])
+        wv = jnp.asarray(weight(jnp.asarray(x, dtype)), dtype)
+        wq = wv * jnp.asarray(vt["weights"], dtype)[None, :] \
+            * jnp.asarray(detJ, dtype)[:, None]
+        out[p] = jnp.einsum("eq,iq,jq->eij", wq,
+                            jnp.asarray(vt["V"], dtype),
+                            jnp.asarray(vt["V"], dtype))
+    return out
+
+
+def weighted_heat_diagonal_blocks(basis: DGBasis, weight=None, diffusion=None,
+                                  penalty: float = 2.0, mass_coef: float = 1.0,
+                                  dirichlet: bool = False, dtype=jnp.float64,
+                                  penalty_scaling: str = "measure",
+                                  plan: AssemblyPlan | None = None) -> dict:
+    """Diagonal blocks of (mass_coef * (w u, v) + a_K(u, v)): the weighted
+    heat-operator block factory (weightedheatdiagonalblock.hh analog) —
+    both the mass weight w(x) and the diffusion coefficient K(x) are
+    optional vectorized callables on physical points."""
+    A = sipg_diagonal_blocks(basis, penalty=penalty, dirichlet=dirichlet,
+                             dtype=dtype, plan=plan, diffusion=diffusion,
+                             penalty_scaling=penalty_scaling)
+    if weight is None:
+        M = mass_diagonal_blocks(basis, dtype=dtype)
+    else:
+        M = weighted_mass_diagonal_blocks(basis, weight, dtype=dtype)
+    return {p: mass_coef * M[p] + A[p] for p in A}

@@ -283,8 +283,19 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
     else:
         coarse_solve = gs_coarse_solver(cb, cA, iterations=coarse_gs_iterations)
 
-    def step(x: dict, b: dict) -> dict:
-        return vcycle(levels, coarse_solve, x, b, mu=mu)
+    if len(levels) == 1:
+        # degenerate 1-level hierarchy (e.g. uniform p=1, no h-meshes):
+        # vcycle would reduce to coarse_solve(b) and IGNORE the iterate —
+        # wrap the coarse solve in defect correction so the step is a
+        # genuine iteration
+        Af = data.matrices[-1]
+
+        def step(x: dict, b: dict) -> dict:
+            r = bv.sub(b, bm.matvec(Af, x))
+            return bv.add(x, coarse_solve(r))
+    else:
+        def step(x: dict, b: dict) -> dict:
+            return vcycle(levels, coarse_solve, x, b, mu=mu)
 
     return step, data
 

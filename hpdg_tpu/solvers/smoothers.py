@@ -191,10 +191,12 @@ def lexicographic_block_gs_step(A: BlockSparseMatrix, basis,
     Sequential-by-construction (a lax.scan over block rows with padded
     per-row gather), so it is SLOW on TPU — provided for residual-history
     parity against the reference; production smoothers are the colored
-    variants above.  Uniform-degree bases only (one bucket).
+    variants above.  Mixed degrees take the padded-to-max-block-size
+    branch below (the sweep visits ELEMENTS in mesh order, exactly like
+    the reference's row loop over variable-size blocks).
     """
     if len(basis.bucket_degrees) != 1:
-        raise NotImplementedError("lexicographic GS: uniform degree only")
+        return _lexicographic_block_gs_mixed(A, basis, reverse)
     p = basis.bucket_degrees[0]
     rows, cols = A.pattern.entries[(p, p)]
     n = A.pattern.row_sizes[p]
@@ -238,6 +240,70 @@ def lexicographic_block_gs_step(A: BlockSparseMatrix, basis,
         rows_order = jnp.arange(n - 1, -1, -1) if reverse else jnp.arange(n)
         xb, _ = jax.lax.scan(body, xb, rows_order)
         return {p: xb}
+
+    return step
+
+
+def _lexicographic_block_gs_mixed(A: BlockSparseMatrix, basis,
+                                  reverse: bool = False):
+    """Mixed-degree lexicographic block GS: elements in mesh order,
+    variable block sizes padded to the max (the padding carries zero
+    blocks / identity diagonals, so the sweep is bit-exact with the
+    reference's variable-size row loop, dynamicblockgs.hh:94-126)."""
+    n = basis.mesh.n_elements
+    bsmax = max((p + 1) ** basis.dim for p in basis.bucket_degrees)
+    bs_of = {p: (p + 1) ** basis.dim for p in basis.bucket_degrees}
+
+    # per-element padded neighbor-block table (host, parity-scale only)
+    nbrs = [[] for _ in range(n)]  # (col_elem, block ndarray)
+    for (pr, pc), (rows, cols) in A.pattern.entries.items():
+        vals = np.asarray(A.values[(pr, pc)])
+        re = basis.bucket_elems[pr][rows]
+        ce = basis.bucket_elems[pc][cols]
+        for s in range(len(rows)):
+            if re[s] == ce[s]:
+                continue  # diagonal handled separately
+            nbrs[int(re[s])].append((int(ce[s]), vals[s]))
+    maxnnz = max(1, max(len(v) for v in nbrs))
+    blk = np.zeros((n, maxnnz, bsmax, bsmax))
+    colid = np.zeros((n, maxnnz), dtype=np.int32)
+    for e in range(n):
+        for k, (ce, B) in enumerate(nbrs[e]):
+            blk[e, k, :B.shape[0], :B.shape[1]] = B
+            colid[e, k] = ce
+    # padded diagonal inverses (identity on padding rows/cols)
+    Dinv = np.zeros((n, bsmax, bsmax))
+    from hpdg_tpu.linalg.blockmatrix import extract_diagonal
+    Dfull = extract_diagonal(A)
+    for p in basis.bucket_degrees:
+        bs = bs_of[p]
+        Dp = np.asarray(Dfull[p])
+        for k, e in enumerate(basis.bucket_elems[p]):
+            pad = np.eye(bsmax)
+            pad[:bs, :bs] = Dp[k]
+            Dinv[e] = np.linalg.inv(pad)
+    dtype = next(iter(A.values.values())).dtype
+    blk = jnp.asarray(blk, dtype)
+    colid = jnp.asarray(colid)
+    Dinvj = jnp.asarray(Dinv, dtype)
+    pos = {p: jnp.asarray(basis.bucket_elems[p]) for p in basis.bucket_degrees}
+
+    def step(x, b):
+        # flatten buckets into the padded element-order layout
+        xf = jnp.zeros((n, bsmax), dtype)
+        bf = jnp.zeros((n, bsmax), dtype)
+        for p in x:
+            xf = xf.at[pos[p], :bs_of[p]].set(x[p])
+            bf = bf.at[pos[p], :bs_of[p]].set(b[p])
+
+        def body(xf, e):
+            ax = jnp.einsum("kij,kj->i", blk[e], xf[colid[e]])
+            xnew = Dinvj[e] @ (bf[e] - ax)
+            return xf.at[e].set(xnew), None
+
+        order = jnp.arange(n - 1, -1, -1) if reverse else jnp.arange(n)
+        xf, _ = jax.lax.scan(body, xf, order)
+        return {p: xf[pos[p], :bs_of[p]] for p in x}
 
     return step
 
@@ -286,5 +352,32 @@ def chebyshev_smoother(apply_fn, precond_fn, lmax: float,
             rho_old = rho_new
             x = bv.add(x, d)
         return x
+
+    return step
+
+
+def l1_projected_jacobi_step(A: BlockSparseMatrix, shifts: dict, lo: dict,
+                             up: dict, omega: float = 1.0):
+    """Projected L1 smoother (l1projected.hh:20-156 analog): the damped
+    L1-regularized block-Jacobi update clamped into the box [lo, up] —
+    the parallel-safe smoother for sharded obstacle problems (combines
+    l1smoother.hh's ghost-coupling diagonal shift with projected GS's
+    constraint clamping)."""
+    import jax.numpy as _jnp
+    D = extract_diagonal(A)
+    Dinv = {}
+    for p, d in D.items():
+        br = d.shape[1]
+        shifted = np.asarray(d) + np.asarray(shifts[p])[:, :, None] * np.eye(br)
+        Dinv[p] = jnp.asarray(np.linalg.inv(shifted), d.dtype)
+
+    def step(x, b):
+        r = bv.sub(b, matvec(A, x))
+        out = {}
+        for p in r:
+            upd = jnp.einsum("nij,nj->ni", Dinv[p], r[p],
+                             preferred_element_type=r[p].dtype)
+            out[p] = _jnp.clip(x[p] + omega * upd, lo[p], up[p])
+        return out
 
     return step

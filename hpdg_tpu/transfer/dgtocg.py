@@ -69,10 +69,14 @@ class DGtoCGTransfer:
         return Acg
 
 
-def dg_to_cg_transfer(basis: DGBasis) -> DGtoCGTransfer:
+def dg_to_cg_transfer(basis: DGBasis):
+    """Conforming meshes get the plain vertex gather; hanging-node meshes
+    route to the constrained (nonconforming) variant automatically."""
     if basis.bucket_degrees != (1,):
         raise ValueError("DG->CG transfer needs a uniform degree-1 basis")
     mesh = basis.mesh
+    if mesh.faces.nc_code is not None and mesh.faces.nc_code.max(initial=0):
+        return dg_to_cg_transfer_nc(basis)
     dim = mesh.dim
     mi = tensor.multiindices(1, dim)  # corner multiindices, C order
     # corner coordinates per element
@@ -84,6 +88,127 @@ def dg_to_cg_transfer(basis: DGBasis) -> DGtoCGTransfer:
     vmap = inv.reshape(mesh.n_elements, 2**dim).astype(np.int32)
     vertices = uniq * tol
     return DGtoCGTransfer(basis=basis, vertices=vertices, vmap=vmap)
+
+
+@dataclass(frozen=True)
+class DGtoCGTransferNC:
+    """DG-P1 <-> constrained CG-P1 on a hanging-node mesh
+    (dgtocgnonconformingtransferassembler.hh:1-146 analog).
+
+    CG dofs are the NON-hanging vertices; a hanging vertex's value is the
+    Q1 interpolation of the coarse face that contains it (constraint
+    chains resolved to true dofs).  Per element corner, a padded weight
+    list over CG dofs encodes the transfer."""
+
+    basis: DGBasis
+    n_dofs: int
+    wdof: np.ndarray     # (n, 2^dim, K) int32 CG dof ids
+    wval: np.ndarray     # (n, 2^dim, K) weights (0 on padding)
+
+    @property
+    def n_vertices(self) -> int:  # API parity with the conforming variant
+        return self.n_dofs
+
+    def prolong(self, x_cg, dtype=jnp.float64) -> dict:
+        vals = jnp.einsum("eck,eck->ec", x_cg[jnp.asarray(self.wdof)],
+                          jnp.asarray(self.wval, dtype))
+        return {1: vals.astype(dtype)}
+
+    def restrict(self, r_dg: dict):
+        r = r_dg[1]  # (n, 2^dim)
+        contrib = (r[:, :, None] * jnp.asarray(self.wval, r.dtype)).reshape(-1)
+        idx = jnp.asarray(self.wdof.reshape(-1))
+        return jax.ops.segment_sum(contrib, idx, num_segments=self.n_dofs)
+
+    def galerkin_dense(self, A: BlockSparseMatrix) -> np.ndarray:
+        nd = self.n_dofs
+        Acg = np.zeros((nd, nd))
+        K = self.wdof.shape[2]
+        for (pr, pc), (rows, cols) in A.pattern.entries.items():
+            vals = np.asarray(A.values[(pr, pc)])
+            relems = self.basis.bucket_elems[pr][rows]
+            celems = self.basis.bucket_elems[pc][cols]
+            bs = vals.shape[1]
+            for i in range(bs):
+                for j in range(bs):
+                    for ki in range(K):
+                        for kj in range(K):
+                            w = (self.wval[relems, i, ki]
+                                 * self.wval[celems, j, kj])
+                            np.add.at(Acg,
+                                      (self.wdof[relems, i, ki],
+                                       self.wdof[celems, j, kj]),
+                                      w * vals[:, i, j])
+        return Acg
+
+
+def dg_to_cg_transfer_nc(basis: DGBasis) -> DGtoCGTransferNC:
+    """Build the constrained CG-P1 transfer on a 2:1 hanging-node mesh."""
+    if basis.bucket_degrees != (1,):
+        raise ValueError("DG->CG transfer needs a uniform degree-1 basis")
+    mesh = basis.mesh
+    dim = mesh.dim
+    n = mesh.n_elements
+    nc = 2**dim
+    mi = tensor.multiindices(1, dim)
+    corners = (mesh.lower[:, None, :]
+               + mi[None, :, :] * mesh.extent[:, None, :])  # (n, 2^d, dim)
+    tol = float(mesh.extent.min() * 1e-6)
+    keys = np.rint(corners / tol).astype(np.int64).reshape(-1, dim)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    vmap = inv.reshape(n, nc)
+    verts = uniq.astype(np.float64) * tol
+    nv = len(verts)
+
+    # hanging vertices: contained in some element's closed box but not
+    # one of its corners -> constrained by that element's Q1 interpolation
+    constraints = {}  # vertex id -> list[(vertex id, weight)]
+    lo = mesh.lower
+    hi = mesh.lower + mesh.extent
+    corner_sets = [set(map(int, vmap[e])) for e in range(n)]
+    for v in range(nv):
+        inside = np.where(np.all(verts[v] >= lo - tol, axis=1)
+                          & np.all(verts[v] <= hi + tol, axis=1))[0]
+        for e in inside:
+            if v in corner_sets[e]:
+                continue
+            # Q1 shape functions of e at v over its corners (C order)
+            t = (verts[v] - lo[e]) / mesh.extent[e]
+            w = np.ones(nc)
+            for a in range(dim):
+                w = w * np.where(mi[:, a] == 1, t[a], 1.0 - t[a])
+            constraints[v] = [(int(vmap[e, c]), float(w[c]))
+                              for c in range(nc) if abs(w[c]) > 1e-14]
+            break
+
+    # resolve constraint chains to true (non-hanging) dofs
+    def resolve(v, depth=0):
+        if v not in constraints:
+            return [(v, 1.0)]
+        if depth > 10:
+            raise RuntimeError("constraint chain too deep (mesh not 2:1?)")
+        out = {}
+        for u, w in constraints[v]:
+            for t, wt in resolve(u, depth + 1):
+                out[t] = out.get(t, 0.0) + w * wt
+        return list(out.items())
+
+    true_ids = {}
+    for v in range(nv):
+        if v not in constraints:
+            true_ids[v] = len(true_ids)
+    resolved = {v: [(true_ids[t], w) for t, w in resolve(v)]
+                for v in range(nv)}
+    K = max(len(lst) for lst in resolved.values())
+    wdof = np.zeros((n, nc, K), dtype=np.int32)
+    wval = np.zeros((n, nc, K))
+    for e in range(n):
+        for c in range(nc):
+            for k, (d, w) in enumerate(resolved[int(vmap[e, c])]):
+                wdof[e, c, k] = d
+                wval[e, c, k] = w
+    return DGtoCGTransferNC(basis=basis, n_dofs=len(true_ids),
+                            wdof=wdof, wval=wval)
 
 
 def cg_coarse_solver(basis: DGBasis, A: BlockSparseMatrix,
