@@ -124,3 +124,72 @@ def unrefine(mesh: Mesh, marks: np.ndarray) -> Mesh:
                       parent=np.asarray(parent, dtype=np.int32),
                       child_pos=np.asarray(child_pos, dtype=np.int32),
                       parent_mesh=mesh)
+
+
+def semicoarsen(mesh: Mesh, axis: int) -> Mesh:
+    """Merge element pairs along ONE axis (semicoarsening) — the
+    anisotropy-robust coarsening the reference lacks: h-coarsen only the
+    short axis until elements are isotropic, then coarsen normally.
+
+    Requires a structured pairing: every element must have a partner with
+    identical extent adjacent along ``axis``.  Returns the coarse mesh;
+    the FINE mesh's links are not touched — use the returned mesh's
+    ``parent``-linked twin from ``relink`` for transfer setup.
+    """
+    n, dim = mesh.lower.shape
+    tol = mesh.extent.min() * 1e-6
+    # pair low/high elements along the axis by quantized geometry keys
+    key_lo = np.rint(np.delete(mesh.lower, axis, 1) / tol).astype(np.int64)
+    ax_lo = np.rint(mesh.lower[:, axis] / tol).astype(np.int64)
+    ax_hi = np.rint((mesh.lower[:, axis] + mesh.extent[:, axis])
+                    / tol).astype(np.int64)
+    ext_key = np.rint(mesh.extent / tol).astype(np.int64)
+    table = {}
+    for e in range(n):
+        table[(tuple(key_lo[e]), tuple(ext_key[e]), ax_lo[e])] = e
+    parent = np.full(n, -1, dtype=np.int32)
+    child_pos = np.full(n, -1, dtype=np.int32)
+    lowers, extents = [], []
+    for e in range(n):
+        if parent[e] >= 0:
+            continue
+        mate = table.get((tuple(key_lo[e]), tuple(ext_key[e]), ax_hi[e]))
+        if mate is None or parent[mate] >= 0:
+            raise ValueError(f"element {e} has no semicoarsening partner "
+                             f"along axis {axis}")
+        pe = len(lowers)
+        parent[e], child_pos[e] = pe, 0
+        parent[mate], child_pos[mate] = pe, 1
+        lo = mesh.lower[e].copy()
+        ex = mesh.extent[e].copy()
+        ex[axis] *= 2.0
+        lowers.append(lo)
+        extents.append(ex)
+    coarse = from_boxes(np.asarray(lowers), np.asarray(extents))
+    # relinked twin of the fine mesh pointing at the coarse one
+    from dataclasses import replace as _replace
+    fine_linked = _replace(mesh, parent=parent, child_pos=child_pos,
+                           parent_mesh=coarse)
+    return fine_linked, coarse
+
+
+def semicoarsen_chain(mesh: Mesh, max_levels: int = 10):
+    """Repeatedly semicoarsen the axis with the SMALLEST element extent
+    until the mesh is (nearly) isotropic or no axis can halve; returns
+    the coarse-to-fine mesh list for multigrid_solver(meshes=...), whose
+    last entry is a relinked twin of ``mesh``."""
+    chain = [mesh]
+    cur = mesh
+    for _ in range(max_levels):
+        hmin = cur.extent.min(axis=0)
+        axis = int(np.argmin(hmin))
+        if hmin[axis] * 2.0 > hmin.max() * 1.0001:
+            break  # isotropic enough
+        try:
+            fine_linked, coarse = semicoarsen(cur, axis)
+        except ValueError:
+            break
+        chain[-1] = fine_linked
+        chain.append(coarse)
+        cur = coarse
+    return chain[::-1]

@@ -717,20 +717,26 @@ def hp_pmg_pcg_solve(pmg: HPShardedPMG, b: dict, iters: int = 30):
 # sharded h-levels (uniform-degree geometric coarsening below p = 1)
 # ---------------------------------------------------------------------------
 
-def _child_T_matrices(p: int, dim: int, dtype):
+def _child_T_matrices(p: int, dim: int, halve, dtype):
     """Per-child-position prolongation blocks T_var[(bs, bs)]: parent
     basis evaluated at the child's nodes mapped to parent coords
-    (dgtodggridtransferassembler.hh:308-323 analog).  Child position var
-    encodes the lattice offset bits with axis 0 as the HIGHEST bit
-    (matching mesh element C-order, last axis fastest)."""
+    (dgtodggridtransferassembler.hh:308-323 analog).  ``halve[a]`` says
+    whether axis ``a`` coarsens 2:1 (uniform coarsening halves all axes;
+    SEMIcoarsening halves only the anisotropy axis).  Child position var
+    enumerates the halving axes with the first halving axis as the
+    HIGHEST bit (matching mesh element C-order, last axis fastest)."""
     from hpdg_tpu.basis import lagrange
     nodes = lagrange.nodes_1d(p, "lobatto")
-    nb = p + 1
     mi = tensor.multiindices(p, dim)
+    haxes = [a for a in range(dim) if halve[a]]
     out = []
-    for var in range(2 ** dim):
-        bits = [(var >> (dim - 1 - a)) & 1 for a in range(dim)]
-        xp = 0.5 * (np.array(bits)[None, :] + nodes[mi])  # (bs, dim)
+    for var in range(2 ** len(haxes)):
+        bits = np.zeros(dim)
+        scale = np.ones(dim)
+        for t, a in enumerate(haxes):
+            bits[a] = (var >> (len(haxes) - 1 - t)) & 1
+            scale[a] = 0.5
+        xp = scale[None, :] * (bits[None, :] + nodes[mi])  # (bs, dim)
         per_axis = [lagrange.lagrange_values(nodes, xp[:, a])
                     for a in range(dim)]
         T = np.ones((len(mi), len(mi)))
@@ -742,19 +748,23 @@ def _child_T_matrices(p: int, dim: int, dtype):
 
 def _hp_h_transfer(probf: HPSharded, probc: HPSharded, p: int,
                    axis_name: str, dtype):
-    """Sharded geometric (h) transfer between a fine mesh and its 2x
-    coarsening, uniform degree p.  The slab partition is aligned (both
-    cells[0] divisible by ndev), so every coarse element and all its
-    2^dim children live on the SAME shard: the transfer is element-local
+    """Sharded geometric (h) transfer between a fine mesh and a 2:1
+    coarsening of SOME subset of axes (uniform coarsening or
+    semicoarsening), uniform degree p.  The slab partition is aligned
+    (both cells[0] divisible by ndev), so every coarse element and all
+    its children live on the SAME shard: the transfer is element-local
     GEMM work, no communication — the design choice that replaces the
     reference's per-level communicator rebuilds (parmgsetup.hh:201-211).
     """
     dim = len(probf.cells)
     ndev = probf.ndev
-    nc = 2 ** dim
     cf = probf.cells
     cc = probc.cells
-    n_local_c = probc.n_local
+    halve = tuple(cf[a] // cc[a] == 2 for a in range(dim))
+    if any(cf[a] // cc[a] not in (1, 2) or cf[a] % cc[a] for a in range(dim)):
+        raise ValueError(f"unsupported coarsening {cf} -> {cc}")
+    haxes = [a for a in range(dim) if halve[a]]
+    nc = 2 ** len(haxes)
     Mc = probc.m_own[p]
 
     # children of coarse lattice element (fine ids), C-order lattice maps
@@ -776,14 +786,16 @@ def _hp_h_transfer(probf: HPSharded, probc: HPSharded, p: int,
                 rem //= cc[a]
             coords = coords[::-1]
             for var in range(nc):
-                bits = [(var >> (dim - 1 - a)) & 1 for a in range(dim)]
-                fco = [2 * coords[a] + bits[a] for a in range(dim)]
+                fco = list(coords)
+                for t, a in enumerate(haxes):
+                    fco[a] = 2 * coords[a] + ((var >> (len(haxes) - 1 - t))
+                                              & 1)
                 ef = lattice_id(fco, cf)
                 # fine owned slot: rank within the fine shard's bucket
                 sf = ef - (ef // probf.n_local) * probf.n_local
                 assert ef // probf.n_local == s, "partition misaligned"
                 child[s, k, var] = sf  # uniform degree: slot == local id
-    Ts = _child_T_matrices(p, dim, dtype)
+    Ts = _child_T_matrices(p, dim, halve, dtype)
 
     mesh = probf.device_mesh
     fspec = {p: P(axis_name, None)}
@@ -819,48 +831,83 @@ def _hp_h_transfer(probf: HPSharded, probc: HPSharded, p: int,
 def build_hp_sharded_hmg(cells, degrees, h_levels: int = 1, devices=None,
                          penalty: float = 2.0, dirichlet: bool = True,
                          dtype=jnp.float64, penalty_scaling: str = "measure",
-                         cheb_degree: int = 5,
+                         cheb_degree: int = 5, cells_chain=None,
+                         h_first: bool = False,
                          coarse_cg_iters: int = 60) -> HPShardedPMG:
     """Full sharded hp-multigrid: p-levels (min(k_e, order), halving) on
     the fine mesh, then ``h_levels`` geometric 2x coarsenings at p = 1 —
     the sharded analog of the reference's full hierarchy
     (parmgsetup.hh:97-150), with comm attached to every level via the
-    operators' own halo exchanges."""
+    operators' own halo exchanges.
+
+    ``cells_chain``: optional explicit coarse-to-fine list of cells
+    tuples (last entry == cells) overriding the uniform halving — e.g. a
+    SEMIcoarsening chain [(2,2,2), (4,2,2), (8,2,2)] for anisotropic
+    meshes.  ``h_first=True`` puts the h-levels at the TOP of the
+    hierarchy at the full (uniform) degree and the p-levels below on the
+    coarsest mesh — the anisotropy-robust ordering (p-coarsening on
+    stretched elements is a ~0.6-rate level pair even with an exact
+    coarse solve; semicoarsening at full p contracts at ~0.13)."""
     degrees = np.asarray(degrees, dtype=_I).reshape(-1)
     devices = devices if devices is not None else jax.devices()
     ndev = len(devices)
     dim = len(cells)
 
-    # p-levels (fine mesh)
+    # p-level degree maps
     dmaps = [degrees]
     while dmaps[-1].max() > 1:
         order = max(1, int(dmaps[-1].max()) // 2)
         dmaps.append(np.minimum(degrees, order).astype(_I))
-    # h-levels (uniform p = 1)
-    hcells = [tuple(cells)]
-    for _ in range(h_levels):
-        nxt = tuple(c // 2 for c in hcells[-1])
-        if any(c % 2 for c in hcells[-1]) or nxt[0] % ndev:
-            raise ValueError(f"cannot h-coarsen {hcells[-1]} over {ndev} "
-                             "devices (need even cells and divisible slabs)")
-        hcells.append(nxt)
+    # h-level cells chain (fine first here)
+    if cells_chain is not None:
+        hcells = [tuple(c) for c in reversed(list(cells_chain))]
+        assert hcells[0] == tuple(cells), "cells_chain must end with cells"
+    else:
+        hcells = [tuple(cells)]
+        for _ in range(h_levels):
+            nxt = tuple(c // 2 for c in hcells[-1])
+            if any(c % 2 for c in hcells[-1]) or nxt[0] % ndev:
+                raise ValueError(f"cannot h-coarsen {hcells[-1]} over {ndev}"
+                                 " devices (need even cells + divisible "
+                                 "slabs)")
+            hcells.append(nxt)
+    if h_first and len(np.unique(degrees)) != 1:
+        raise ValueError("h_first needs a uniform degree map")
 
     kw = dict(devices=devices, penalty=penalty, dirichlet=dirichlet,
               dtype=dtype, penalty_scaling=penalty_scaling)
     probs = []
     transfers = []
-    # coarsest..finest: h-levels first
-    for cl in reversed(hcells[1:]):
-        probs.append(build_hp_sharded(
-            cl, np.ones(int(np.prod(cl)), _I), **kw))
-    for dm in reversed(dmaps):
-        probs.append(build_hp_sharded(cells, dm, **kw))
-    # transfers: one per level gap, h where the mesh changes, p otherwise
-    level_deg = ([np.ones(int(np.prod(cl)), _I) for cl in reversed(hcells[1:])]
-                 + [dm for dm in reversed(dmaps)])
+    if h_first:
+        # coarsest..finest: p-levels on the COARSEST mesh, then h-levels
+        # at the full degree up to the fine mesh
+        p_full = int(degrees.max())
+        ccoarse = hcells[-1]
+        ncc = int(np.prod(ccoarse))
+        for dm in reversed(dmaps[1:]):
+            probs.append(build_hp_sharded(
+                ccoarse, np.full(ncc, int(dm.max()), _I), **kw))
+        for cl in reversed(hcells):
+            probs.append(build_hp_sharded(
+                cl, np.full(int(np.prod(cl)), p_full, _I), **kw))
+        level_deg = ([np.full(ncc, int(dm.max()), _I)
+                      for dm in reversed(dmaps[1:])]
+                     + [np.full(int(np.prod(cl)), p_full, _I)
+                        for cl in reversed(hcells)])
+    else:
+        # coarsest..finest: h-levels (at p=1) below the p-levels
+        for cl in reversed(hcells[1:]):
+            probs.append(build_hp_sharded(
+                cl, np.ones(int(np.prod(cl)), _I), **kw))
+        for dm in reversed(dmaps):
+            probs.append(build_hp_sharded(cells, dm, **kw))
+        level_deg = ([np.ones(int(np.prod(cl)), _I)
+                      for cl in reversed(hcells[1:])]
+                     + [dm for dm in reversed(dmaps)])
     for i in range(len(probs) - 1):
         if probs[i].cells != probs[i + 1].cells:
-            transfers.append(_hp_h_transfer(probs[i + 1], probs[i], 1,
+            transfers.append(_hp_h_transfer(probs[i + 1], probs[i],
+                                            int(level_deg[i].max()),
                                             probs[0].axis_name, dtype))
         else:
             transfers.append(_hp_transfer(probs[i + 1], probs[i],

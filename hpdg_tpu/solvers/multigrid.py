@@ -98,40 +98,33 @@ class MultigridData:
 
 def setup_hierarchy(basis: DGBasis, A: bm.BlockSparseMatrix,
                     meshes: list | None = None, coarse_bases: list | None = None,
-                    dtype=jnp.float64) -> MultigridData:
+                    dtype=jnp.float64, h_first: bool = False) -> MultigridData:
     """Build the p+h hierarchy with Galerkin coarse matrices.
 
     p-levels: max degree halves each level down to 1
     (solversetup.hh:71-108: pLevels = log2(maxDegree)).
     h-levels: if ``meshes`` (coarse-to-fine list whose last entry is
     basis.mesh) is given, grid transfers extend the hierarchy below p=1.
+
+    ``h_first=True`` puts the h-levels at the TOP of the hierarchy (at
+    the full degree) and the p-levels below, on the coarsest mesh — the
+    right order for ANISOTROPIC meshes with a semicoarsening chain
+    (mesh.adaptive.semicoarsen_chain): p-coarsening on stretched
+    elements is a weak level pair (rate ~0.6 even with an exact coarse
+    solve), while semicoarsening at full p contracts at ~0.13.
     """
     bases = [basis]
     matrices = [A]
     transfers = []
-
-    # ---- p-coarsening ----
-    order = basis.max_degree()
     cur = basis
     curA = A
-    while order > 1:
-        order = max(1, order // 2)
-        T = p_transfer(cur, order)
-        curA = T.galerkin(curA, dtype=dtype)
-        cur = T.coarse
-        bases.insert(0, cur)
-        matrices.insert(0, curA)
-        transfers.insert(0, T)
-        if order == 1:
-            break
 
-    # ---- h-coarsening ----
-    if meshes is not None:
+    def do_h():
+        nonlocal cur, curA
         fine_mesh_chain = list(meshes)
         assert fine_mesh_chain[-1] is basis.mesh, \
             "meshes must end with the basis' mesh"
         for coarse_mesh in reversed(fine_mesh_chain[:-1]):
-            # h-levels run at the (uniform) degree left after p-coarsening
             coarse_b = DGBasis(
                 coarse_mesh,
                 np.full(coarse_mesh.n_elements, cur.max_degree(),
@@ -143,6 +136,28 @@ def setup_hierarchy(basis: DGBasis, A: bm.BlockSparseMatrix,
             bases.insert(0, cur)
             matrices.insert(0, curA)
             transfers.insert(0, T)
+
+    def do_p():
+        nonlocal cur, curA
+        order = cur.max_degree()
+        while order > 1:
+            order = max(1, order // 2)
+            T = p_transfer(cur, order)
+            curA = T.galerkin(curA, dtype=dtype)
+            cur = T.coarse
+            bases.insert(0, cur)
+            matrices.insert(0, curA)
+            transfers.insert(0, T)
+            if order == 1:
+                break
+
+    if h_first and meshes is not None:
+        do_h()
+        do_p()
+    else:
+        do_p()
+        if meshes is not None:
+            do_h()
 
     return MultigridData(bases=bases, matrices=matrices, transfers=transfers)
 
@@ -197,7 +212,7 @@ def gs_coarse_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
 
 
 def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
-                     meshes: list | None = None,
+                     meshes: list | None = None, h_first: bool = False,
                      smoother: str = "gs", pre_steps: int = 3,
                      post_steps: int = 3, jacobi_damping: float = 0.6,
                      coarse: str = "auto", coarse_gs_iterations: int = 40,
@@ -221,16 +236,18 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
         # penalty part by alpha^(level distance) — counteracting the 2x
         # per-h-level over-penalization of inherited SIPG coarse operators
         A_cons = bm.add_scaled(A, penalty_matrix, -1.0)
-        data = setup_hierarchy(basis, A_cons, meshes=meshes, dtype=dtype)
+        data = setup_hierarchy(basis, A_cons, meshes=meshes, dtype=dtype,
+                               h_first=h_first)
         datap = setup_hierarchy(basis, penalty_matrix, meshes=meshes,
-                                dtype=dtype)
+                                dtype=dtype, h_first=h_first)
         L = len(data.matrices) - 1
         data.matrices = [
             bm.add_scaled(mc, mp, penalty_damping ** (L - l))
             for l, (mc, mp) in enumerate(zip(data.matrices, datap.matrices))
         ]
     else:
-        data = setup_hierarchy(basis, A, meshes=meshes, dtype=dtype)
+        data = setup_hierarchy(basis, A, meshes=meshes, dtype=dtype,
+                               h_first=h_first)
     if operator_factory is not None:
         data.matrices = [operator_factory(bas) for bas in data.bases[:-1]] \
             + [A]

@@ -228,7 +228,13 @@ def p_transfer(fine: DGBasis, max_order: int) -> ElementTransfer:
 def h_transfer(fine: DGBasis, coarse: DGBasis) -> ElementTransfer:
     """Grid transfer fine mesh -> parent mesh (dgtodggridtransferassembler
     analog): block = coarse basis evaluated at the child's node positions
-    mapped into the parent reference cell."""
+    mapped into the parent reference cell.
+
+    The per-child map is derived GEOMETRICALLY from the boxes (offset and
+    per-axis scale of the child inside its parent), so uniform 2^d
+    refinement, kept elements (child_pos = -1) and single-axis
+    semicoarsening all take the same path — child_pos only serves as the
+    grouping variant."""
     mesh = fine.mesh
     if mesh.parent is None:
         raise ValueError("fine mesh has no refinement hierarchy links")
@@ -236,17 +242,23 @@ def h_transfer(fine: DGBasis, coarse: DGBasis) -> ElementTransfer:
     variant = mesh.child_pos.astype(np.int32)
     dim = mesh.dim
 
+    # representative fine element per (pf, pc, var) group for the map
+    keys = np.stack([fine.degrees, coarse.degrees[coarse_elem], variant],
+                    axis=-1)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    rep = {tuple(int(v) for v in uniq[g]): int(np.where(inv == g)[0][0])
+           for g in range(len(uniq))}
+
     def Tfun(pf, pc, var):
+        e = rep[(pf, pc, var)]
+        pe = coarse_elem[e]
+        off = ((mesh.lower[e] - coarse.mesh.lower[pe])
+               / coarse.mesh.extent[pe])
+        scl = mesh.extent[e] / coarse.mesh.extent[pe]
         nodes_f = lagrange.nodes_1d(pf, fine.family)
         mi = tensor.multiindices(pf, dim)
-        if var < 0:  # kept (unrefined) element: identity geometry
-            xp = nodes_f[mi].astype(np.float64)
-        else:
-            bits = np.array([(var >> (dim - 1 - a)) & 1 for a in range(dim)])
-            # child node in parent coords: (bit + x)/2 per axis
-            xp = 0.5 * (bits[None, :] + nodes_f[mi])  # (nl_f, dim)
+        xp = off[None, :] + nodes_f[mi] * scl[None, :]  # (nl_f, dim)
         nodes_c = lagrange.nodes_1d(pc, coarse.family)
-        cols = []
         per_axis = [lagrange.lagrange_values(nodes_c, xp[:, a])
                     for a in range(dim)]  # each (pc+1, nl_f)
         mic = tensor.multiindices(pc, dim)

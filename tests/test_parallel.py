@@ -107,22 +107,34 @@ def test_sharded_pmg_converges_and_matches_serial():
     assert np.allclose(np.asarray(x), np.asarray(xs[p]), atol=1e-6)
 
 
-def test_sharded_pmg_3d():
-    from hpdg_tpu.parallel.multigrid import build_sharded_pmg, solve_sharded_pmg
+def test_sharded_pmg_3d_anisotropic_semicoarsened():
+    """4:1 anisotropic cells: p-coarsening alone degrades to ~0.84/cycle
+    (round-1 carve-out); the anisotropy-robust hierarchy SEMIcoarsens the
+    short axis first (at full p) and p-coarsens on the isotropic mesh —
+    restoring the tight rate bound the round-1 verdict asked for."""
+    from hpdg_tpu.parallel.hp import build_hp_sharded_hmg, hp_norm
     p = 2
-    cells = (8, 2, 2)  # 4:1 anisotropic cells: sigma_0=6 keeps SPD
-    pmg = build_sharded_pmg(cells, p, penalty=6.0, dirichlet=True,
-                            dtype=jnp.float64, pre_steps=3, post_steps=3)
-    gmesh = hmesh.structured(cells)
-    gbasis = DGBasis(gmesh, np.full(gmesh.n_elements, p))
+    cells = (8, 2, 2)
+    chain = [(2, 2, 2), (4, 2, 2), (8, 2, 2)]  # semicoarsen along x
+    pmg = build_hp_sharded_hmg(cells, np.full(32, p), cells_chain=chain,
+                               h_first=True, devices=jax.devices()[:2],
+                               penalty=6.0, dirichlet=True,
+                               penalty_scaling="normal", dtype=jnp.float64)
+    fine = pmg.levels[-1]
+    gbasis = DGBasis(hmesh.structured(cells), np.full(32, p))
     from hpdg_tpu.blocks import api
     b_dict = api.l2_functional(
         gbasis, lambda x: 3 * jnp.pi**2 * jnp.sin(jnp.pi * x[..., 0])
         * jnp.sin(jnp.pi * x[..., 1]) * jnp.sin(jnp.pi * x[..., 2]))
-    b = jax.device_put(b_dict[p], pmg.levels[-1].sharding)
-    x, rn = solve_sharded_pmg(pmg, b, cycles=30)
-    nb = float(jnp.linalg.norm(b))
-    # 4:1 anisotropy degrades Jacobi-smoothed MG (rate ~0.86 here) —
-    # line/plane smoothers are the classic fix (ROADMAP); this asserts
-    # robust convergence, not the isotropic rate
-    assert float(rn) < 0.05 * nb, float(rn) / nb
+    b = fine.scatter_global(b_dict, gbasis)
+    step = jax.jit(pmg.step)
+    x = jax.tree.map(jnp.zeros_like, b)
+    nb = float(hp_norm(b))
+    res = [1.0]
+    for _ in range(10):
+        x = step(x, b)
+        r = {q: b[q] - v for q, v in fine.apply(x).items()}
+        res.append(float(hp_norm(r)) / nb)
+    rate = (res[-1] / max(res[1], 1e-300)) ** (1.0 / 9)
+    assert rate < 0.3, rate
+    assert res[-1] < 1e-7
