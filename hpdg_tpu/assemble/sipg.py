@@ -23,6 +23,7 @@ consistency weights (gausslobattoipdgassembler.hh:310-315).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hpdg_tpu.basis import tensor
@@ -35,6 +36,118 @@ from hpdg_tpu.linalg.blockmatrix import BlockSparseMatrix, zeros_values
 
 def _sym(M):
     return M + M.T
+
+
+class _DictBuilder:
+    """Constant-coefficient assembly as ONE GEMM per (p_row, p_col) key.
+
+    Every SIPG block is a linear combination of a small CONSTANT matrix
+    dictionary (basis-table integrals); geometry, penalty and geom_scale
+    live only in per-block scalar coefficients.  So the whole value
+    buffer is ``(coef [nblocks, K] @ DICT [K, br*bc]).reshape(...)`` —
+    an MXU GEMM whose HBM traffic is exactly the output write (the
+    speed-of-light assembly the round-1 roadmap wanted from a Pallas
+    writer; the GEMM formulation gets there without a custom kernel).
+    """
+
+    def __init__(self, plan: AssemblyPlan, dim: int, dtype):
+        self.plan = plan
+        self.dim = dim
+        self.dtype = dtype
+        self.mats = {}     # key -> list of np [br*bc] dictionary rows
+        self.entries = {}  # key -> list of (slots np, col, coefs traced)
+
+    def add(self, key, slots, mat_np, coefs):
+        """blocks[slots] += coefs[:, None, None] * mat_np."""
+        cols = self.mats.setdefault(key, [])
+        col = len(cols)
+        cols.append(np.asarray(mat_np, np.float64).reshape(-1))
+        self.entries.setdefault(key, []).append(
+            (np.asarray(slots, np.int32), col,
+             jnp.broadcast_to(jnp.asarray(coefs, self.dtype), (len(slots),))))
+
+    def finish(self) -> dict:
+        vals = {}
+        for (pr, pc), (rows, _) in self.plan.pattern.entries.items():
+            key = (pr, pc)
+            nblocks = len(rows)
+            br = (pr + 1) ** self.dim
+            bc = (pc + 1) ** self.dim
+            if key not in self.mats:
+                vals[key] = jnp.zeros((nblocks, br, bc), self.dtype)
+                continue
+            D = jnp.asarray(np.stack(self.mats[key]), self.dtype)
+            K = D.shape[0]
+            slot_cat = np.concatenate(
+                [s for (s, c, v) in self.entries[key]])
+            col_cat = np.concatenate(
+                [np.full(len(s), c, np.int32)
+                 for (s, c, v) in self.entries[key]])
+            coef = jnp.zeros((nblocks, K), self.dtype).at[
+                jnp.asarray(slot_cat), jnp.asarray(col_cat)].add(
+                jnp.concatenate([v for (_, _, v) in self.entries[key]]))
+            vals[key] = jnp.einsum(
+                "nk,kb->nb", coef, D,
+                preferred_element_type=self.dtype).reshape(nblocks, br, bc)
+        return vals
+
+
+class _ValueBuilder:
+    """Assemble the per-(p_row, p_col) value arrays WITHOUT scatter.
+
+    ``jnp.ndarray.at[].add`` on the big value buffers makes XLA traverse
+    (and often copy) the whole buffer once per call — the round-1
+    19M-DOF/s scatter bound.  The plan's slot layout is diag-first with
+    each face group's off-diagonal slots CONTIGUOUS in allocation order
+    (assemble.plan._alloc), so the buffer can instead be built by
+    1. one segment-sum per bucket for everything landing on the diagonal
+       (bulk + M11/M22 + boundary), and
+    2. a single concatenation of the per-group off-diagonal blocks.
+    Every block is produced and written exactly once.
+    """
+
+    def __init__(self, plan: AssemblyPlan, dim: int, dtype):
+        self.plan = plan
+        self.dim = dim
+        self.dtype = dtype
+        self.bulk = {}        # p -> [n_p, bs, bs] (diag slots, in order)
+        self.diag_idx = {}    # p -> list of index arrays
+        self.diag_val = {}    # p -> list of block arrays
+        self.off = {}         # (pr, pc) -> list of block arrays (slot order)
+
+    def set_bulk(self, p, blocks):
+        self.bulk[p] = blocks
+
+    def add_diag(self, p, idx, blocks):
+        nf = len(idx)
+        self.diag_idx.setdefault(p, []).append(np.asarray(idx))
+        self.diag_val.setdefault(p, []).append(
+            jnp.broadcast_to(blocks, (nf,) + blocks.shape[-2:]))
+
+    def add_off(self, key, blocks, nf):
+        self.off.setdefault(key, []).append(
+            jnp.broadcast_to(blocks, (nf,) + blocks.shape[-2:]))
+
+    def finish(self) -> dict:
+        vals = {}
+        for (pr, pc), (rows, _) in self.plan.pattern.entries.items():
+            parts = []
+            if pr == pc:
+                n = self.plan.pattern.row_sizes[pr]
+                bs = (pr + 1) ** self.dim
+                diag = self.bulk.get(pr)
+                if diag is None:
+                    diag = jnp.zeros((n, bs, bs), self.dtype)
+                if pr in self.diag_idx:
+                    idx = jnp.asarray(np.concatenate(self.diag_idx[pr]))
+                    contrib = jnp.concatenate(self.diag_val[pr], axis=0)
+                    diag = diag + jax.ops.segment_sum(contrib, idx,
+                                                      num_segments=n)
+                parts.append(diag)
+            parts.extend(self.off.get((pr, pc), []))
+            vals[(pr, pc)] = (parts[0] if len(parts) == 1
+                              else jnp.concatenate(parts, axis=0))
+        return vals
 
 
 def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
@@ -65,7 +178,11 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
     # p^2 (scale-free); "normal" gives c_f ~ |f|/h which picks up the same
     # s^(dim-2) factor as the consistency terms.
     pen_gpow = gpow if penalty_scaling == "normal" else 1.0
-    vals = zeros_values(plan.pattern, dim, dtype=dtype)
+    # constant coefficients take the dictionary-GEMM fast path; variable
+    # diffusion needs per-quad-point einsums (the generic builder)
+    fast = diffusion is None
+    vb = _DictBuilder(plan, dim, dtype) if fast else _ValueBuilder(plan, dim,
+                                                                   dtype)
 
     # ---------------- bulk ----------------
     for p in basis.bucket_degrees:
@@ -75,10 +192,12 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
         ext = mesh.extent[elems]
         detJ = np.prod(ext, axis=1)
         invh2 = detJ[:, None] / ext**2  # (n, dim): detJ / h_a^2
-        if diffusion is None:
+        if fast:
             S = np.einsum("q,aiq,ajq->aij", w, G, G)
-            bulk = gpow * jnp.einsum("ea,aij->eij", jnp.asarray(invh2, dtype),
-                                     jnp.asarray(S, dtype))
+            slots = np.arange(basis.bucket_size(p), dtype=np.int32)
+            for a in range(dim):
+                vb.add((p, p), slots, S[a], gpow * jnp.asarray(
+                    invh2[:, a], dtype))
         else:
             x = (mesh.lower[elems][:, None, :]
                  + vt["points"][None, :, :] * ext[:, None, :])
@@ -88,8 +207,7 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                                      jnp.asarray(invh2, dtype),
                                      jnp.asarray(G, dtype),
                                      jnp.asarray(G, dtype))
-        n = basis.bucket_size(p)
-        vals[(p, p)] = vals[(p, p)].at[:n].add(bulk)
+            vb.set_bulk(p, bulk)
 
     # ---------------- interior faces ----------------
     for fg in plan.face_groups:
@@ -100,13 +218,13 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
         w = fin["weights"]
         Vi, Di = fin["V"], fin["Dn"]
         Vo, Do = fout["V"], fout["Dn"]
-        pen = pen_gpow * jnp.asarray(
-            penalty_coef(fg, penalty, pmax, penalty_scaling),
-            dtype)[:, None, None]
+        pen1 = pen_gpow * jnp.asarray(
+            penalty_coef(fg, penalty, pmax, penalty_scaling), dtype)
+        pen = pen1[:, None, None]
         c_in = gpow * jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_in, dtype)
         c_out = gpow * jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_out, dtype)
 
-        if diffusion is None:
+        if fast:
             AVDi = np.einsum("iq,q,jq->ij", Vi, w, Di)
             AVDo = np.einsum("iq,q,jq->ij", Vo, w, Do)
             BVVi = np.einsum("iq,q,jq->ij", Vi, w, Vi)
@@ -114,14 +232,18 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             X1 = np.einsum("iq,q,jq->ij", Vi, w, Do)
             X2 = np.einsum("iq,q,jq->ij", Di, w, Vo)
             X3 = np.einsum("iq,q,jq->ij", Vi, w, Vo)
-            J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
-            M11 = c_in[:, None, None] * J(_sym(AVDi)) + pen * J(BVVi)
-            M22 = -c_out[:, None, None] * J(_sym(AVDo)) + pen * J(BVVo)
-            M12 = (c_out[:, None, None] * J(X1)
-                   - c_in[:, None, None] * J(X2) - pen * J(X3))
-            # SIPG is symmetric: M21 = M12^T blockwise
-            M21 = (c_out[:, None, None] * J(X1.T)
-                   - c_in[:, None, None] * J(X2.T) - pen * J(X3.T))
+            # M11 = c_in sym(AVDi) + pen BVVi (etc.): dictionary entries
+            vb.add((pi, pi), fg.in_pos, _sym(AVDi), c_in)
+            vb.add((pi, pi), fg.in_pos, BVVi, pen1)
+            vb.add((po, po), fg.out_pos, _sym(AVDo), -1.0 * c_out)
+            vb.add((po, po), fg.out_pos, BVVo, pen1)
+            vb.add((pi, po), fg.slot12, X1, c_out)
+            vb.add((pi, po), fg.slot12, X2, -1.0 * c_in)
+            vb.add((pi, po), fg.slot12, X3, -pen1)
+            vb.add((po, pi), fg.slot21, X1.T, c_out)
+            vb.add((po, pi), fg.slot21, X2.T, -1.0 * c_in)
+            vb.add((po, pi), fg.slot21, X3.T, -pen1)
+            continue
         else:
             # physical face quad points (on the intersection)
             x = face_phys_points(basis, fg, fin["points"])
@@ -143,10 +265,11 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                    - jnp.einsum("fq,iq,jq->fij", kzi, J(Vo), J(Di))
                    - pen * J(np.einsum("iq,q,jq->ij", Vo, w, Vi))[None])
 
-        vals[(pi, pi)] = vals[(pi, pi)].at[jnp.asarray(fg.in_pos)].add(M11)
-        vals[(po, po)] = vals[(po, po)].at[jnp.asarray(fg.out_pos)].add(M22)
-        vals[(pi, po)] = vals[(pi, po)].at[jnp.asarray(fg.slot12)].add(M12)
-        vals[(po, pi)] = vals[(po, pi)].at[jnp.asarray(fg.slot21)].add(M21)
+        nf = len(fg.face_ids)
+        vb.add_diag(pi, fg.in_pos, M11)
+        vb.add_diag(po, fg.out_pos, M22)
+        vb.add_off((pi, po), M12, nf)
+        vb.add_off((po, pi), M21, nf)
 
     # ---------------- Dirichlet boundary ----------------
     if dirichlet:
@@ -155,15 +278,16 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             sign = 1.0 if side == 1 else -1.0
             ft = tensor.face_tables(p, dim, ax, side, p + 2, family=basis.family)
             w, V, D = ft["weights"], ft["V"], ft["Dn"]
-            pen = pen_gpow * jnp.asarray(
-                boundary_penalty_coef(bg, penalty, penalty_scaling),
-                dtype)[:, None, None]
+            pen1 = pen_gpow * jnp.asarray(
+                boundary_penalty_coef(bg, penalty, penalty_scaling), dtype)
+            pen = pen1[:, None, None]
             c = gpow * jnp.asarray(-sign * bg.fmeas * bg.inv_h, dtype)
-            if diffusion is None:
+            if fast:
                 AVD = np.einsum("iq,q,jq->ij", V, w, D)
                 BVV = np.einsum("iq,q,jq->ij", V, w, V)
-                M = (c[:, None, None] * jnp.asarray(_sym(AVD), dtype)
-                     + pen * jnp.asarray(BVV, dtype))
+                vb.add((p, p), bg.pos, _sym(AVD), c)
+                vb.add((p, p), bg.pos, BVV, pen1)
+                continue
             else:
                 elems = mesh.bfaces.elem[bg.face_ids]
                 lo = mesh.lower[elems].copy()
@@ -178,9 +302,9 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                 M = (jnp.einsum("fq,iq,jq->fij", kz, jnp.asarray(V, dtype), jnp.asarray(D, dtype))
                      + jnp.einsum("fq,iq,jq->fij", kz, jnp.asarray(D, dtype), jnp.asarray(V, dtype))
                      + pen * jnp.asarray(np.einsum("iq,q,jq->ij", V, w, V), dtype)[None])
-            vals[(p, p)] = vals[(p, p)].at[jnp.asarray(bg.pos)].add(M)
+            vb.add_diag(p, bg.pos, M)
 
-    return BlockSparseMatrix(plan.pattern, dim, vals)
+    return BlockSparseMatrix(plan.pattern, dim, vb.finish())
 
 
 def assemble_penalty_only(basis: DGBasis, penalty: float = 2.0,

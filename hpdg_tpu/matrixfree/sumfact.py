@@ -186,6 +186,11 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
 
     def apply(x):
         y = bulk(x)
+        # collect all skeleton contributions per bucket and land them in
+        # ONE segment-sum each — at[].add per group makes XLA traverse
+        # the whole bucket array once per call
+        contribs = {p: [] for p in x}
+        targets = {p: [] for p in x}
         for g in groups:
             fg = g["fg"]
             J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
@@ -207,10 +212,10 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
             t2_in = zw * (-0.5 * k * jump) * J(fg.inv_h_in)[:, None]
             t1_out = zw * (k * avg) - penw * jump
             t2_out = zw * (-0.5 * k * jump) * J(fg.inv_h_out)[:, None]
-            y_in = t1_in @ Vi.T + t2_in @ Di.T
-            y_out = t1_out @ Vo.T + t2_out @ Do.T
-            y[fg.p_in] = y[fg.p_in].at[jnp.asarray(fg.in_pos)].add(y_in)
-            y[fg.p_out] = y[fg.p_out].at[jnp.asarray(fg.out_pos)].add(y_out)
+            contribs[fg.p_in].append(t1_in @ Vi.T + t2_in @ Di.T)
+            targets[fg.p_in].append(fg.in_pos)
+            contribs[fg.p_out].append(t1_out @ Vo.T + t2_out @ Do.T)
+            targets[fg.p_out].append(fg.out_pos)
         for g in bgroups:
             bg = g["bg"]
             J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
@@ -225,8 +230,16 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
             penw = J(g["pen_w"])
             t1 = zw * (-(k * dnq)) + penw * uq
             t2 = zw * (-(k * uq)) * (g["sign"] * J(bg.inv_h))[:, None]
-            yb = t1 @ V.T + t2 @ D.T
-            y[bg.p] = y[bg.p].at[jnp.asarray(bg.pos)].add(yb)
+            contribs[bg.p].append(t1 @ V.T + t2 @ D.T)
+            targets[bg.p].append(bg.pos)
+        import jax as _jax
+        for p in x:
+            if not contribs[p]:
+                continue
+            idx = jnp.asarray(np.concatenate(targets[p]))
+            c = jnp.concatenate(contribs[p], axis=0)
+            y[p] = y[p] + _jax.ops.segment_sum(c, idx,
+                                               num_segments=y[p].shape[0])
         return y
 
     return apply
