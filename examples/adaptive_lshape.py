@@ -7,6 +7,10 @@ rough) -> persist -> repeat.
     python examples/adaptive_lshape.py --steps 4 --frac 0.4
 """
 
+import sys as _sys
+import pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -3,6 +3,10 @@
     python examples/elasticity.py --n 2 --levels 1 --p 2
 """
 
+import sys as _sys
+import pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -8,6 +8,10 @@ step.
     python examples/heat.py --n 16 --p 2 --dt 0.01 --steps 10
 """
 
+import sys as _sys
+import pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

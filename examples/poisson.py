@@ -4,6 +4,10 @@
         --vtu out.vtu
 """
 
+import sys as _sys
+import pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -2,10 +2,14 @@
 
 TPU-native replacement of the reference's MPI layer
 (parallel/communicationhpdg.hh, iterationsteps/parmgsetup.hh): the mesh
-is slab-partitioned along axis 0 across a 1D device-mesh axis, element
-coefficient arrays are sharded on their leading axis, and the only
-communication in an operator apply is the exchange of one element layer
-with each neighbor — `jax.lax.ppermute` over ICI inside `shard_map`.
+is partitioned into slabs (1-axis) or blocks (multi-axis device grids,
+``hp.build_hp_sharded(device_grid=...)``) — or by cut planes on general
+adaptive meshes with hanging nodes (``hp.build_hp_sharded_general``) —
+element coefficient arrays are sharded on their leading axis, and the
+only communication in an operator apply is the exchange of one element
+layer with each neighbor — `jax.lax.ppermute` over ICI inside
+`shard_map`.  ``adaptive.sharded_adaptive_solve`` runs the full
+solve → estimate → mark → refine → repartition → migrate loop.
 
 The reference's four vector primitives (restrict / accumulate / collect
 / copy, communicationhpdg.hh:374-418) exist because its MPI vectors are

@@ -1,0 +1,89 @@
+"""Sharded adaptive refinement loop (solve → estimate → mark → refine →
+repartition → migrate) over a multi-device mesh.
+
+The reference's parallel adaptivity stack is dune-grid's distributed
+``adapt()`` plus the degree-map halo sync (parallel/updatedegrees.hh:11-45)
+and coefficient persistence (functionspacebases/gridadaptor.hh:166-224).
+The TPU-native shape of the same loop:
+
+* the SOLVE runs sharded (``build_hp_sharded_general`` + block-Jacobi
+  PCG with psum reductions) on the current mesh/partition;
+* estimation, Dörfler marking and 2:1-closed refinement are host-side
+  numpy passes (like all plan building — mesh surgery is metadata work,
+  not FLOPs);
+* after each refinement the slab partition is RE-BALANCED
+  (``slab_partition`` picks new cut planes for the grown element set)
+  and the solution migrates into the new layout by persist-interpolation
+  (ancestor evaluation, blocks/persist.py) followed by a scatter into
+  the new shard layout — the analog of dune-grid's loadBalance() + data
+  handle migration, with the whole re-layout expressed as one host
+  gather/scatter of bucketed arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.assemble import l2_functional
+from hpdg_tpu.matrixfree.norms import jump_indicator
+from hpdg_tpu.estimators.utility import mark_fraction
+from hpdg_tpu.mesh.adaptive import refine_local, close_marks
+from hpdg_tpu.blocks.persist import (save_state, interpolate_to,
+                                     degrees_after_refine)
+from hpdg_tpu.parallel.hp import (build_hp_sharded_general, hp_pcg_solve,
+                                  hp_norm)
+
+
+def sharded_adaptive_solve(mesh0, degrees0, f, devices=None,
+                           cycles: int = 3, frac: float = 0.3,
+                           penalty: float = 2.0,
+                           penalty_scaling: str = "normal",
+                           cg_iters: int = 300, dtype=jnp.float64):
+    """Run ``cycles`` sharded adaptive cycles of the SIPG Poisson problem
+    -Δu = f with homogeneous Dirichlet data.
+
+    Returns ``(mesh, degrees, x, info)`` where ``x`` is the final serial
+    bucketed solution and ``info`` records per cycle: element count,
+    total jump-indicator value, sharded residual norm, and the partition
+    balance (max/min owned-element count over shards — the re-layout
+    keeps this near 1 as refinement concentrates elements).
+    """
+    devices = devices if devices is not None else jax.devices()
+    mesh = mesh0
+    degrees = np.asarray(degrees0).reshape(-1)
+    x_serial = None
+    info = {"n_elements": [], "eta": [], "residual": [], "balance": []}
+    for c in range(cycles):
+        gbasis = DGBasis(mesh, degrees)
+        prob = build_hp_sharded_general(
+            mesh, degrees, devices=devices, penalty=penalty, dirichlet=True,
+            penalty_scaling=penalty_scaling, dtype=dtype)
+        counts = [sum(len(prob.owned_slots[(s, p)])
+                      for p in prob.degree_set) for s in range(prob.ndev)]
+        info["balance"].append(max(counts) / max(min(counts), 1))
+        b = prob.scatter_global(l2_functional(gbasis, f, dtype=dtype),
+                                gbasis, dtype=dtype)
+        x0 = (prob.scatter_global(x_serial, gbasis, dtype=dtype)
+              if x_serial is not None else None)
+        x_sh, rnorm = hp_pcg_solve(prob, b, iters=cg_iters, x0=x0)
+        info["residual"].append(float(rnorm) / max(float(hp_norm(b)), 1e-300))
+        xg = {p: jnp.asarray(v)
+              for p, v in prob.gather_global(x_sh, gbasis).items()}
+        eta = np.asarray(jump_indicator(gbasis, penalty=penalty,
+                                        penalty_scaling=penalty_scaling,
+                                        dtype=dtype)(xg))
+        info["n_elements"].append(mesh.n_elements)
+        info["eta"].append(float(np.sqrt(eta.sum())))
+        x_serial = xg
+        if c == cycles - 1:
+            break
+        # mark + refine + migrate (re-layout happens on the next build)
+        marks = close_marks(mesh, mark_fraction(eta, frac))
+        saved = save_state(gbasis, xg)
+        mesh = refine_local(mesh, marks)
+        degrees = degrees_after_refine(degrees, mesh)
+        x_serial = interpolate_to(saved, DGBasis(mesh, degrees), dtype=dtype)
+    return mesh, degrees, x_serial, info

@@ -6,8 +6,10 @@ MPI (``VariableSizeCommunicator`` + per-level ``CommHPDG``,
 parallel/communicationhpdg.hh:99-418).  XLA wants static shapes, so the
 TPU-native design makes every shard's program identical by construction:
 
-* **slab decomposition** along axis 0 of a structured mesh over a 1D
-  device mesh (ICI ring);
+* **slab or block decomposition**: axis 0 slabs over a 1D device mesh
+  (ICI ring), multi-axis block partitions over 2D/3D device meshes
+  (``device_grid=(4, 2)``), or cut-plane slabs of GENERAL adaptive
+  meshes with hanging nodes (``build_hp_sharded_general``);
 * **per-shard-identical padded bucket layouts**: the global degree set
   fixes the buckets; each shard stores its owned elements of degree p in
   a ``[m_p, (p+1)^d]`` block padded to the max count over shards
@@ -41,7 +43,8 @@ from hpdg_tpu import mesh as hmesh
 from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
 from hpdg_tpu.assemble.plan import (build_plan, penalty_coef,
-                                    boundary_penalty_coef)
+                                    boundary_penalty_coef,
+                                    face_group_tables)
 from hpdg_tpu.matrixfree.diagonal import sipg_diagonal_blocks
 from hpdg_tpu.matrixfree.sumfact import _fwd_spec, _bwd_spec
 
@@ -66,9 +69,22 @@ class HPSharded:
     diag: dict                    # p -> [ndev*m_p, bs, bs] diagonal blocks
     n_local: int
     layer: int
+    axes: tuple = ("x",)          # device-mesh axis names (one per grid axis)
+    device_grid: tuple = (1,)     # devices per partitioned mesh axis
+    dim: int = 0                  # mesh dimension (cells may be None)
+    gmesh: object = None          # the global Mesh (general-mesh path)
+
+    @property
+    def ndim(self) -> int:
+        return self.dim or len(self.cells)
+
+    @property
+    def pspec(self):
+        """PartitionSpec sharding dim 0 over ALL device axes."""
+        return P(tuple(self.axes), None)
 
     def zeros(self, dtype=jnp.float64):
-        dim = len(self.cells)
+        dim = self.ndim
         return {p: jax.device_put(
             jnp.zeros((self.ndev * self.m_own[p], (p + 1) ** dim), dtype),
             self.shardings[p]) for p in self.degree_set}
@@ -76,7 +92,7 @@ class HPSharded:
     def scatter_global(self, xg: dict, serial_basis: DGBasis, dtype=None):
         """Serial bucketed vector -> sharded layout (host; for tests)."""
         out = {}
-        dim = len(self.cells)
+        dim = self.ndim
         for p in self.degree_set:
             buf = np.zeros((self.ndev, self.m_own[p], (p + 1) ** dim))
             for s in range(self.ndev):
@@ -91,7 +107,7 @@ class HPSharded:
 
     def gather_global(self, xs: dict, serial_basis: DGBasis) -> dict:
         """Sharded layout -> serial bucketed vector (host; for tests)."""
-        dim = len(self.cells)
+        dim = self.ndim
         out = {}
         for p in serial_basis.bucket_degrees:
             out[p] = np.zeros((serial_basis.bucket_size(p), (p + 1) ** dim))
@@ -112,56 +128,262 @@ def _pad(a, n, fill=0):
     return out
 
 
+def _box_ids(lo, shape, cells):
+    """Global element ids of the lattice box [lo, lo+shape) in local
+    C-order (axis 0 slowest — matching hmesh.structured element order)."""
+    dim = len(cells)
+    grids = np.meshgrid(*[np.arange(lo[a], lo[a] + shape[a])
+                          for a in range(dim)], indexing="ij")
+    ids = np.zeros(tuple(shape), dtype=np.int64)
+    for a in range(dim):
+        ids = ids * cells[a] + grids[a]
+    return ids.reshape(-1)
+
+
 def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
                      dirichlet: bool = True, dtype=jnp.float64,
                      penalty_scaling: str = "measure",
-                     axis_name: str = "x") -> HPSharded:
+                     axis_name: str = "x",
+                     device_grid=None) -> HPSharded:
     """Build the sharded mixed-degree SIPG apply for a structured mesh.
 
     ``degrees``: global per-element degree array (element order of
     ``hmesh.structured(cells)``, axis 0 slowest — slabs are contiguous).
+
+    ``device_grid``: devices per partitioned mesh axis, e.g. ``(4, 2)``
+    partitions mesh axes 0 and 1 into 4x2 blocks over an 8-device 2D
+    jax.sharding.Mesh.  Default ``(len(devices),)`` — the 1-axis slab.
+    Multi-axis block partitions cut the halo surface per shard from one
+    full mesh cross-section to the block's own surface (the reference's
+    arbitrary-partition analog, parallel/communicationhpdg.hh:235-418 —
+    but laid out so every exchange is a nearest-neighbor ppermute over
+    one ICI mesh axis).
     """
     cells = tuple(int(c) for c in cells)
     dim = len(cells)
     degrees = np.asarray(degrees, dtype=_I).reshape(-1)
     devices = devices if devices is not None else jax.devices()
-    ndev = len(devices)
-    if cells[0] % ndev != 0:
-        raise ValueError(f"cells[0]={cells[0]} not divisible by {ndev}")
+    if device_grid is None:
+        device_grid = (len(devices),)
+    device_grid = tuple(int(d) for d in device_grid)
+    npax = len(device_grid)
+    if npax > dim:
+        raise ValueError(f"device_grid {device_grid} has more axes than the "
+                         f"mesh ({dim})")
+    ndev = int(np.prod(device_grid))
+    if len(devices) < ndev:
+        raise ValueError(f"need {ndev} devices, got {len(devices)}")
+    devices = list(devices)[:ndev]
+    for a in range(npax):
+        if cells[a] % device_grid[a]:
+            raise ValueError(f"cells[{a}]={cells[a]} not divisible by "
+                             f"device_grid[{a}]={device_grid[a]}")
+    axes = (axis_name,) if npax == 1 else tuple("xyzw"[a] for a in range(npax))
+    loc = tuple(cells[a] // device_grid[a] if a < npax else cells[a]
+                for a in range(dim))
     gmesh = hmesh.structured(cells)
-    if gmesh.faces.nc_code.max(initial=0) != 0:
-        raise ValueError("hp sharding: conforming meshes only (for now)")
-    n = gmesh.n_elements
-    layer = int(np.prod(cells[1:]))
-    n_local = n // ndev
-    DEG = tuple(sorted(int(d) for d in np.unique(degrees)))
+    n_local = int(np.prod(loc))
+    layer = n_local // loc[0]  # legacy: axis-0 cross-section size
+    # halo axes: partitioned axes with >1 device (others have no neighbor)
+    HAX = [a for a in range(npax) if device_grid[a] > 1]
+
+    # halo channels: channel 1+2*ha+side carries my (axis, side) ghost; I
+    # pack my OPPOSITE-side boundary layer for it (the lo-side ghost is the
+    # lo-neighbor's HIGH layer, shifted +1 along the device axis)
+    channels = {}
+    for ha, a in enumerate(HAX):
+        hi_perm = [(i, i + 1) for i in range(device_grid[a] - 1)]
+        lo_perm = [(i + 1, i) for i in range(device_grid[a] - 1)]
+        channels[1 + 2 * ha + 0] = (axes[a], hi_perm)
+        channels[1 + 2 * ha + 1] = (axes[a], lo_perm)
+
+    # local ids of the own-box boundary layer of (axis, side), layer C-order
+    def _own_layer_ids(a, side):
+        lshape = list(loc)
+        lshape[a] = 1
+        llo = [0] * dim
+        llo[a] = 0 if side == 0 else loc[a] - 1
+        return _box_ids(llo, lshape, loc)
 
     # ---------------- per-shard extended meshes + plans ----------------
     shards = []
+    send_ids = {}
     for s in range(ndev):
-        own = np.arange(s * n_local, (s + 1) * n_local)
-        gl = own[:layer] - layer if s > 0 else None
-        gr = own[-layer:] + layer if s < ndev - 1 else None
-        lo = [gmesh.lower[own]]
-        ex = [gmesh.extent[own]]
-        dg = [degrees[own]]
-        # ghost layers; edge shards get detached fakes (match nothing,
-        # never referenced by a nonzero-coefficient face)
-        for ids, mirror in ((gl, own[:layer]), (gr, own[-layer:])):
-            if ids is not None:
-                lo.append(gmesh.lower[ids])
-                ex.append(gmesh.extent[ids])
-                dg.append(degrees[ids])
-            else:
-                fl = gmesh.lower[mirror].copy()
-                fl[:, 0] -= 1000.0 + s  # detached
-                lo.append(fl)
-                ex.append(gmesh.extent[mirror])
-                dg.append(degrees[mirror])
-        emesh = hmesh.from_boxes(np.concatenate(lo), np.concatenate(ex))
+        S = np.unravel_index(s, device_grid)
+        olo = [S[a] * loc[a] if a < npax else 0 for a in range(dim)]
+        own = _box_ids(olo, loc, cells)
+        # ghost layers in channel order; shards with no neighbor on a side
+        # get detached fakes (match nothing, never referenced by a
+        # nonzero-coefficient face)
+        ghosts = []
+        for ha, a in enumerate(HAX):
+            for side in (0, 1):
+                gshape = list(loc)
+                gshape[a] = 1
+                has = (S[a] > 0) if side == 0 else (S[a] < device_grid[a] - 1)
+                if has:
+                    glo = list(olo)
+                    glo[a] = olo[a] - 1 if side == 0 else olo[a] + loc[a]
+                    ids = _box_ids(glo, gshape, cells)
+                    glow = gmesh.lower[ids]
+                    gext = gmesh.extent[ids]
+                    gdeg = degrees[ids]
+                else:
+                    mlo = list(olo)
+                    mlo[a] = olo[a] if side == 0 else olo[a] + loc[a] - 1
+                    mids = _box_ids(mlo, gshape, cells)
+                    glow = gmesh.lower[mids].copy()
+                    glow[:, a] -= 1000.0 + s  # detached
+                    gext = gmesh.extent[mids]
+                    gdeg = degrees[mids]
+                ghosts.append(dict(ch=1 + 2 * ha + side, lower=glow,
+                                   extent=gext, lay_deg=gdeg))
+                send_ids[(s, 1 + 2 * ha + side)] = own[
+                    _own_layer_ids(a, 1 - side)]
+        lo = [gmesh.lower[own]] + [g["lower"] for g in ghosts]
+        ex = [gmesh.extent[own]] + [g["extent"] for g in ghosts]
+        dg = [degrees[own]] + [g["lay_deg"] for g in ghosts]
+        emesh = hmesh.from_boxes(np.concatenate(lo), np.concatenate(ex),
+                                 validate=False)
         ebasis = DGBasis(emesh, np.concatenate(dg))
-        shards.append(dict(own=own, gl=gl, gr=gr, emesh=emesh, ebasis=ebasis,
+        shards.append(dict(own=own, ghosts=ghosts, emesh=emesh, ebasis=ebasis,
                            plan=build_plan(ebasis)))
+
+    return _finish_sharded(gmesh, degrees, shards, channels, send_ids,
+                           devices, device_grid, axes, penalty, dirichlet,
+                           dtype, penalty_scaling, cells=cells,
+                           n_local=n_local, layer=layer)
+
+
+def slab_partition(gmesh, ndev: int, axis: int = 0) -> np.ndarray:
+    """Balanced 1-axis slab partition of a general box mesh: pick
+    ``ndev - 1`` cut planes along ``axis`` (from coordinates that split
+    no element) balancing element counts; element -> slab of its center.
+    Raises if no valid balanced cut exists (e.g. fewer uncut planes than
+    shards)."""
+    xlo = gmesh.lower[:, axis]
+    xhi = xlo + gmesh.extent[:, axis]
+    tol = float(gmesh.extent.min()) * 1e-9
+    cands = np.unique(np.round(np.concatenate([xlo, xhi]), 12))
+    cands = cands[(cands > xlo.min() + tol) & (cands < xhi.max() - tol)]
+    valid = np.array([c for c in cands
+                      if not np.any((xlo < c - tol) & (xhi > c + tol))])
+    if len(valid) < ndev - 1:
+        raise ValueError(f"only {len(valid)} uncut planes along axis {axis} "
+                         f"for {ndev} shards")
+    centers = np.sort(xlo + 0.5 * gmesh.extent[:, axis])
+    n = len(centers)
+    counts = np.searchsorted(centers, valid - tol)
+    # monotone greedy with forced distinctness: plane k must come after
+    # plane k-1 and leave enough planes for the remaining cuts
+    planes = []
+    prev = -1
+    for k in range(1, ndev):
+        target = n * k / ndev
+        lo_i = prev + 1
+        hi_i = len(valid) - 1 - (ndev - 1 - k)  # leave room for later cuts
+        j = lo_i + int(np.argmin(np.abs(counts[lo_i:hi_i + 1] - target)))
+        planes.append(float(valid[j]))
+        prev = j
+    shard = np.searchsorted(planes, xlo + 0.5 * gmesh.extent[:, axis]).astype(
+        np.int64)
+    counts = np.bincount(shard, minlength=ndev)
+    if counts.min() == 0:
+        raise ValueError(f"empty shard in partition (counts {counts})")
+    return shard
+
+
+def build_hp_sharded_general(gmesh, degrees, devices=None,
+                             penalty: float = 2.0, dirichlet: bool = True,
+                             dtype=jnp.float64,
+                             penalty_scaling: str = "measure",
+                             axis_name: str = "x",
+                             elem_shard=None) -> HPSharded:
+    """Sharded mixed-degree SIPG on a GENERAL box mesh — including 2:1
+    hanging-node meshes from adaptive refinement (the sharded analog of
+    the reference's arbitrary-partition hp communication,
+    parallel/communicationhpdg.hh:235-418, which dune-parmg feeds with
+    adaptively refined distributed grids).
+
+    Partition: 1-axis slabs by cut planes along axis 0 (``slab_partition``)
+    or an explicit ``elem_shard`` assignment whose face couplings only
+    connect ring-adjacent shards.  Ghost sets are the face-adjacent
+    elements of the ring neighbors, exchanged per degree in ascending
+    global-element order (the order both sides can compute locally).
+    Nonconforming faces become extra face classes keyed by their
+    ``nc_code`` with tang-mapped trace tables — same mechanism as the
+    serial operator.
+    """
+    degrees = np.asarray(degrees, dtype=_I).reshape(-1)
+    devices = devices if devices is not None else jax.devices()
+    ndev = len(devices)
+    f = gmesh.faces
+    if elem_shard is None:
+        elem_shard = slab_partition(gmesh, ndev)
+    elem_shard = np.asarray(elem_shard).reshape(-1)
+    si, so = elem_shard[f.inside], elem_shard[f.outside]
+    if len(si) and int(np.abs(si - so).max()) > 1:
+        raise ValueError("partition couples non-adjacent shards")
+
+    channels = {1: (axis_name, [(i, i + 1) for i in range(ndev - 1)]),
+                2: (axis_name, [(i + 1, i) for i in range(ndev - 1)])}
+    shards = []
+    send_ids = {}
+    for s in range(ndev):
+        own = np.where(elem_shard == s)[0]
+        ghosts = []
+        for ch, nb in ((1, s - 1), (2, s + 1)):
+            mask = ((si == s) & (so == nb)) | ((si == nb) & (so == s))
+            els = np.concatenate([f.inside[mask], f.outside[mask]])
+            gids = np.unique(els[elem_shard[els] == nb]) if nb >= 0 \
+                and nb < ndev and mask.any() else np.empty(0, np.int64)
+            ghosts.append(dict(ch=ch, lower=gmesh.lower[gids],
+                               extent=gmesh.extent[gids],
+                               lay_deg=degrees[gids]))
+            # what I PACK on this channel is what my downstream neighbor
+            # receives: channel 1 permutes +1 (so I send my elements
+            # adjacent to s+1), channel 2 permutes -1 (adjacent to s-1);
+            # ascending global ids on both sides
+            snb = s + 1 if ch == 1 else s - 1
+            smask = (((si == s) & (so == snb)) | ((si == snb) & (so == s)))
+            sels = np.concatenate([f.inside[smask], f.outside[smask]])
+            mine = np.unique(sels[elem_shard[sels] == s]) if smask.any() \
+                else np.empty(0, np.int64)
+            send_ids[(s, ch)] = mine
+        lo = [gmesh.lower[own]] + [g["lower"] for g in ghosts]
+        ex = [gmesh.extent[own]] + [g["extent"] for g in ghosts]
+        dg = [degrees[own]] + [g["lay_deg"] for g in ghosts]
+        emesh = hmesh.from_boxes(np.concatenate(lo), np.concatenate(ex),
+                                 validate=False)
+        ebasis = DGBasis(emesh, np.concatenate(dg))
+        shards.append(dict(own=own, ghosts=ghosts, emesh=emesh, ebasis=ebasis,
+                           plan=build_plan(ebasis)))
+
+    return _finish_sharded(gmesh, degrees, shards, channels, send_ids,
+                           devices, (ndev,), (axis_name,), penalty, dirichlet,
+                           dtype, penalty_scaling, cells=None,
+                           n_local=max(len(sh["own"]) for sh in shards),
+                           layer=0)
+
+
+def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
+                    device_grid, axes, penalty, dirichlet, dtype,
+                    penalty_scaling, cells, n_local, layer) -> HPSharded:
+    """Common tail of the sharded builders: pad class sets across shards,
+    build the stacked per-shard plan data, and compile the SPMD body.
+
+    Contract with the front-ends: ``shards[s]`` has ``own`` (global ids,
+    the order defining owned slots), ``ghosts`` (blocks in a FIXED global
+    channel order; block ids == the neighbor's ``send_ids`` list for that
+    channel, so per-degree ranks agree on both sides), ``emesh``/
+    ``ebasis``/``plan`` over own+ghost elements (own first).
+    ``channels[ch] = (device_axis_name, ppermute_perm)``.
+    """
+    dim = gmesh.dim
+    ndev = len(shards)
+    DEG = tuple(sorted(int(d) for d in np.unique(degrees)))
+    CHS = sorted(channels)
+    n_own = [len(sh["own"]) for sh in shards]
 
     # ---------------- global class sets + padded sizes ----------------
     m_own = {p: max(int(np.sum(degrees[sh["own"]] == p)) for sh in shards)
@@ -169,16 +391,22 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
     m_ext = {p: max((sh["ebasis"].bucket_size(p)
                      if p in sh["ebasis"].bucket_degrees else 0)
                     for sh in shards) for p in DEG}
-    G = {}
+    G = {}  # (p, ch) -> padded halo-buffer length
     for p in DEG:
-        counts = []
-        for sh in shards:
-            od = degrees[sh["own"]]
-            counts.append(int(np.sum(od[:layer] == p)))
-            counts.append(int(np.sum(od[-layer:] == p)))
-        G[p] = max(counts)
-    FCLS = sorted({(fg.p_in, fg.p_out, fg.axis)
-                   for sh in shards for fg in sh["plan"].face_groups})
+        for ch in CHS:
+            G[(p, ch)] = max(int(np.sum(degrees[send_ids[(s, ch)]] == p))
+                             for s in range(ndev))
+    # face classes keyed by (p_in, p_out, axis, nc_code) — hanging-node
+    # sub-face classes get their own tang-mapped trace tables
+    FCLS = []
+    rep = {}
+    for sh in shards:
+        for fg in sh["plan"].face_groups:
+            c = (fg.p_in, fg.p_out, fg.axis, fg.nc_code)
+            if c not in rep:
+                rep[c] = (sh["ebasis"], fg)
+                FCLS.append(c)
+    FCLS = sorted(FCLS)
     BCLS = sorted({(bg.p, bg.axis, bg.side)
                    for sh in shards for bg in sh["plan"].boundary_groups
                    if dirichlet}) if dirichlet else []
@@ -186,7 +414,7 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
     Bmax = {c: 0 for c in BCLS}
     for sh in shards:
         for fg in sh["plan"].face_groups:
-            c = (fg.p_in, fg.p_out, fg.axis)
+            c = (fg.p_in, fg.p_out, fg.axis, fg.nc_code)
             Fmax[c] = max(Fmax[c], len(fg.face_ids))
         if dirichlet:
             for bg in sh["plan"].boundary_groups:
@@ -195,15 +423,17 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
                     Bmax[c] = max(Bmax[c], len(bg.face_ids))
 
     # ---------------- per-shard stacked plan data ----------------
-    data = {"ext_kind": {}, "ext_idx": {}, "send_first": {}, "send_last": {},
+    # send[(p, ch)]: owned slots of my degree-p elements packed for halo
+    # channel ch — the fixed-shape analog of the reference's
+    # variable-size per-element MPI buffers.
+    data = {"ext_kind": {}, "ext_idx": {}, "send": {},
             "bulk_coef": {}, "ownmask": {}, "dinv": {}, "diag": {},
             "fg": {}, "bg": {}}
     owned_slots = {}
     for p in DEG:
         ek = np.zeros((ndev, m_ext[p]), _I)
         ei = np.zeros((ndev, m_ext[p]), _I)
-        sf = np.zeros((ndev, max(G[p], 1)), _I)
-        sl = np.zeros((ndev, max(G[p], 1)), _I)
+        snd = {ch: np.zeros((ndev, max(G[(p, ch)], 1)), _I) for ch in CHS}
         bc = np.zeros((ndev, m_own[p], dim))
         om = np.zeros((ndev, m_own[p]))
         bs = (p + 1) ** dim
@@ -217,29 +447,32 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
             owned_slots[(s, p)] = own_p
             no = len(own_p)
             om[s, :no] = 1.0
+            # ghost-block ext-id offsets (fixed channel order)
+            blk_off = []
+            off = n_own[s]
+            for g in sh["ghosts"]:
+                blk_off.append(off)
+                off += len(g["lay_deg"])
             # ext bucket: owned slots first (ext element order), then ghosts
             if p in eb.bucket_degrees:
                 elems = eb.bucket_elems[p]  # ext element ids, sorted
                 for j, e in enumerate(elems):
-                    if e < n_local:            # owned
-                        ek[s, j], ei[s, j] = 0, j  # owned slot == j
-                    elif e < n_local + layer:  # ghostL: from left's LAST layer
-                        lay = degrees[own[:layer]] if s == 0 else \
-                            degrees[sh["gl"]]
-                        rank = int(np.sum(lay[:e - n_local] == p))
-                        ek[s, j], ei[s, j] = 1, rank
-                    else:                      # ghostR: from right's FIRST
-                        lay = degrees[own[-layer:]] if s == ndev - 1 else \
-                            degrees[sh["gr"]]
-                        rank = int(np.sum(lay[:e - n_local - layer] == p))
-                        ek[s, j], ei[s, j] = 2, rank
-            # send buffers: owned slots of degree-p elements in my
-            # first/last layer (owned slot = rank among owned deg-p)
-            first_ids = np.where(od[:layer] == p)[0]
-            last_ids = np.where(od[-layer:] == p)[0] + (n_local - layer)
-            slot_of = {int(e): k for k, e in enumerate(np.where(od == p)[0])}
-            sf[s, :len(first_ids)] = [slot_of[int(e)] for e in first_ids]
-            sl[s, :len(last_ids)] = [slot_of[int(e)] for e in last_ids]
+                    if e < n_own[s]:           # owned: owned slot == j
+                        ek[s, j], ei[s, j] = 0, j
+                        continue
+                    # rank among deg-p elements preceding it in its block
+                    # == its position in the sender's packed buffer (both
+                    # sides enumerate the block in the same order)
+                    gi = int(np.searchsorted(blk_off, e, side="right")) - 1
+                    g = sh["ghosts"][gi]
+                    pos = e - blk_off[gi]
+                    ek[s, j] = g["ch"]
+                    ei[s, j] = int(np.sum(g["lay_deg"][:pos] == p))
+            slot_of = {int(e): k for k, e in enumerate(own_p)}
+            for ch in CHS:
+                sel = send_ids[(s, ch)]
+                sel = sel[degrees[sel] == p]
+                snd[ch][s, :len(sel)] = [slot_of[int(e)] for e in sel]
             # bulk geometry of owned elements
             ext = gmesh.extent[own_p]
             if no:
@@ -255,15 +488,15 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
                 dv[s, :no] = np.linalg.inv(dr[s, :no])
         data["ext_kind"][p] = ek
         data["ext_idx"][p] = ei
-        data["send_first"][p] = sf
-        data["send_last"][p] = sl
+        for ch, arr in snd.items():
+            data["send"][(p, ch)] = arr
         data["bulk_coef"][p] = bc
         data["ownmask"][p] = om
         data["dinv"][p] = dv
         data["diag"][p] = dr
 
     for c in FCLS:
-        pi, po, ax = c
+        pi, po, ax, ncc = c
         F = Fmax[c]
         arr = dict(in_pos=np.zeros((ndev, F), _I),
                    out_pos=np.zeros((ndev, F), _I),
@@ -273,7 +506,7 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
                    ihi=np.zeros((ndev, F)), iho=np.zeros((ndev, F)))
         for s, sh in enumerate(shards):
             for fg in sh["plan"].face_groups:
-                if (fg.p_in, fg.p_out, fg.axis) != c:
+                if (fg.p_in, fg.p_out, fg.axis, fg.nc_code) != c:
                     continue
                 k = len(fg.face_ids)
                 arr["in_pos"][s, :k] = fg.in_pos
@@ -282,9 +515,9 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
                 # come first) or the dump row m_own[p]
                 ein = sh["emesh"].faces.inside[fg.face_ids]
                 eout = sh["emesh"].faces.outside[fg.face_ids]
-                arr["tgt_in"][s, :k] = np.where(ein < n_local, fg.in_pos,
+                arr["tgt_in"][s, :k] = np.where(ein < n_own[s], fg.in_pos,
                                                 m_own[pi])
-                arr["tgt_out"][s, :k] = np.where(eout < n_local, fg.out_pos,
+                arr["tgt_out"][s, :k] = np.where(eout < n_own[s], fg.out_pos,
                                                  m_own[po])
                 arr["fmeas"][s, :k] = fg.fmeas
                 arr["ihi"][s, :k] = fg.inv_h_in
@@ -305,7 +538,7 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
                 if (bg.p, bg.axis, bg.side) != c:
                     continue
                 elems = sh["emesh"].bfaces.elem[bg.face_ids]
-                keep = np.where(elems < n_local)[0]  # owned only: ghost
+                keep = np.where(elems < n_own[s])[0]  # owned only: ghost
                 # outer boundaries and detached fakes are not domain bdry
                 k = len(keep)
                 arr["pos"][s, :k] = bg.pos[keep]
@@ -317,13 +550,12 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
         data["bg"][c] = arr
 
     # ---------------- static trace tables ----------------
-    fam = "lobatto"
+    fam = shards[0]["ebasis"].family
     ftabs = {}
     for c in FCLS:
-        pi, po, ax = c
-        nq1 = max(pi, po) + 2
-        fin = tensor.face_tables(pi, dim, ax, 1, nq1, family=fam)
-        fout = tensor.face_tables(po, dim, ax, 0, nq1, family=fam)
+        pi, po, ax, ncc = c
+        ebasis_c, fg_c = rep[c]
+        fin, fout = face_group_tables(ebasis_c, fg_c, max(pi, po) + 2)
         ftabs[c] = (fin["weights"], fin["V"], fin["Dn"], fout["V"],
                     fout["Dn"])
     btabs = {}
@@ -335,37 +567,35 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
     vtabs = {p: tensor.volume_tables(p, dim, p + 2, family=fam) for p in DEG}
 
     # ---------------- the SPMD body ----------------
-    device_mesh = Mesh(np.array(devices), (axis_name,))
+    device_mesh = Mesh(np.array(devices).reshape(device_grid), axes)
     fwd, bwd = _fwd_spec(dim), _bwd_spec(dim)
-    right_perm = [(i, i + 1) for i in range(ndev - 1)]
-    left_perm = [(i + 1, i) for i in range(ndev - 1)]
     J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
 
     def body(d, x):
         # d, x: shard-local blocks; plan arrays carry a leading length-1
         # device axis (sliced off), x[p] is [m_own_p, bs_p]
         d = jax.tree.map(lambda a: a[0], d)
-        # halo exchange per degree
-        rl, rr = {}, {}
+        # halo exchange per degree per channel
+        recv = {}
         for p in DEG:
-            if G[p] == 0:
-                continue
-            sfirst = x[p][d["send_first"][p]]
-            slast = x[p][d["send_last"][p]]
-            rl[p] = jax.lax.ppermute(slast, axis_name, right_perm)
-            rr[p] = jax.lax.ppermute(sfirst, axis_name, left_perm)
+            for ch in CHS:
+                if G[(p, ch)] == 0:
+                    continue
+                name, perm = channels[ch]
+                buf = x[p][d["send"][(p, ch)]]
+                recv[(p, ch)] = jax.lax.ppermute(buf, name, perm)
         # materialize extended buckets
         xe = {}
         for p in DEG:
             k, i = d["ext_kind"][p], d["ext_idx"][p]
-            src0 = x[p][jnp.clip(i, 0, x[p].shape[0] - 1)]
-            if G[p]:
-                src1 = rl[p][jnp.clip(i, 0, rl[p].shape[0] - 1)]
-                src2 = rr[p][jnp.clip(i, 0, rr[p].shape[0] - 1)]
-                xe[p] = jnp.where((k == 0)[:, None], src0,
-                                  jnp.where((k == 1)[:, None], src1, src2))
-            else:
-                xe[p] = src0
+            out = x[p][jnp.clip(i, 0, x[p].shape[0] - 1)]
+            for ch in CHS:
+                if (p, ch) not in recv:
+                    continue
+                r = recv[(p, ch)]
+                sel = r[jnp.clip(i, 0, r.shape[0] - 1)]
+                out = jnp.where((k == ch)[:, None], sel, out)
+            xe[p] = out
         # bulk (owned only) + dump row
         y = {}
         for p in DEG:
@@ -390,9 +620,9 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
                 [yb, jnp.zeros((1, yb.shape[1]), dtype)], axis=0)
         # interior faces per class
         for c in FCLS:
-            pi, po, ax = c
+            pi, po, ax, ncc = c
             w, Vi, Di, Vo, Do = (J(t) for t in ftabs[c])
-            a = data_view(d, "fg", c)
+            a = d["fg"][c]
             u_in = xe[pi][a["in_pos"]]
             u_out = xe[po][a["out_pos"]]
             uinq = u_in @ Vi
@@ -414,7 +644,7 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
             p, ax, side = c
             w, V, D, sign = btabs[c]
             w, V, D = J(w), J(V), J(D)
-            a = data_view(d, "bg", c)
+            a = d["bg"][c]
             u = xe[p][a["pos"]]
             uq = u @ V
             dnq = (u @ D) * (sign * a["ih"].astype(dtype))[:, None]
@@ -427,11 +657,9 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
         return {p: y[p][:m_own[p]] * d["ownmask"][p].astype(dtype)[:, None]
                 for p in DEG}
 
-    def data_view(d, kind, c):
-        return d[kind][c]
-
-    x_specs = {p: P(axis_name, None) for p in DEG}
-    data_specs = jax.tree.map(lambda _: P(axis_name), data)
+    dim0 = tuple(axes)  # dim 0 sharded over ALL device axes (C-order)
+    x_specs = {p: P(dim0, None) for p in DEG}
+    data_specs = jax.tree.map(lambda _: P(dim0), data)
     sharded_body = jax.shard_map(body, mesh=device_mesh,
                                  in_specs=(data_specs, x_specs),
                                  out_specs=x_specs)
@@ -441,14 +669,13 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
         arr = jnp.asarray(a, dtype if np.asarray(a).dtype == np.float64
                           else None)
         return jax.device_put(arr, NamedSharding(device_mesh, P(
-            axis_name, *([None] * (arr.ndim - 1)))))
+            dim0, *([None] * (arr.ndim - 1)))))
 
     data_dev = jax.tree.map(_place, data)
     japply = jax.jit(sharded_body)
     apply = lambda x: japply(data_dev, x)  # noqa: E731
 
-    shardings = {p: NamedSharding(device_mesh, P(axis_name, None))
-                 for p in DEG}
+    shardings = {p: NamedSharding(device_mesh, P(dim0, None)) for p in DEG}
 
     # block-Jacobi preconditioner (shard-local, elementwise)
     dinv_dev = {p: data_dev["dinv"][p] for p in DEG}
@@ -466,10 +693,12 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
     diag_flat = {p: diag_dev[p].reshape((-1,) + diag_dev[p].shape[2:])
                  for p in DEG}
     return HPSharded(cells=cells, degrees=degrees, ndev=ndev,
-                     axis_name=axis_name, device_mesh=device_mesh,
+                     axis_name=axes[0], device_mesh=device_mesh,
                      degree_set=DEG, m_own=m_own, shardings=shardings,
                      owned_slots=owned_slots, apply=apply, dinv_mul=dinv_mul,
-                     diag=diag_flat, n_local=n_local, layer=layer)
+                     diag=diag_flat, n_local=n_local, layer=layer,
+                     axes=axes, device_grid=device_grid, dim=dim,
+                     gmesh=gmesh)
 
 
 # ---------------------------------------------------------------------------
@@ -486,6 +715,37 @@ def hp_axpy(alpha, x: dict, y: dict) -> dict:
 
 def hp_norm(a: dict):
     return jnp.sqrt(jnp.real(hp_dot(a, a)))
+
+
+def hp_pcg_solve(prob: HPSharded, b: dict, iters: int = 200, x0: dict = None):
+    """Block-Jacobi-preconditioned CG on sharded bucket dicts, one
+    compiled program (fori_loop; psum dot products over the device mesh).
+    Returns (x, ||r||)."""
+
+    def safe_div(a, d):
+        return jnp.where(jnp.abs(d) > 0, a / jnp.where(d == 0, 1.0, d), 0.0)
+
+    @jax.jit
+    def run(b, x):
+        r = hp_axpy(-1.0, prob.apply(x), b)
+        z = prob.dinv_mul(r)
+        rz = hp_dot(r, z)
+
+        def body(i, st):
+            x, r, z, pv, rz = st
+            Ap = prob.apply(pv)
+            alpha = safe_div(rz, hp_dot(pv, Ap))
+            x = hp_axpy(alpha, pv, x)
+            r = hp_axpy(-alpha, Ap, r)
+            z = prob.dinv_mul(r)
+            rz_new = hp_dot(r, z)
+            pv = hp_axpy(safe_div(rz_new, rz), pv, z)
+            return x, r, z, pv, rz_new
+
+        st = jax.lax.fori_loop(0, iters, body, (x, r, z, z, rz))
+        return st[0], hp_norm(st[1])
+
+    return run(b, x0 if x0 is not None else jax.tree.map(jnp.zeros_like, b))
 
 
 # ---------------------------------------------------------------------------
@@ -505,7 +765,7 @@ def _hp_transfer(probf: HPSharded, probc: HPSharded, degf, degc,
     same mesh/partition (DGOrderTransfer analog, ordertransfer.hh:45-124
     — block-diagonal, so it shards with the elements and needs no
     communication)."""
-    dim = len(probf.cells)
+    dim = probf.ndim
     ndev = probf.ndev
     pairs = sorted({(int(a), int(b)) for a, b in zip(degf, degc)})
     M = {}
@@ -566,11 +826,12 @@ def _hp_transfer(probf: HPSharded, probc: HPSharded, degf, degc,
         return {pf: xf[pf][:probf.m_own[pf]] for pf in DEGF}
 
     mesh = probf.device_mesh
-    fspec = {p: P(axis_name, None) for p in DEGF}
-    cspec = {p: P(axis_name, None) for p in DEGC}
-    dspec = jax.tree.map(lambda _: P(axis_name), tdata)
+    dim0 = tuple(probf.axes)
+    fspec = {p: P(dim0, None) for p in DEGF}
+    cspec = {p: P(dim0, None) for p in DEGC}
+    dspec = jax.tree.map(lambda _: P(dim0), tdata)
     tdev = jax.tree.map(lambda a: jax.device_put(
-        jnp.asarray(a), NamedSharding(mesh, P(axis_name, None))), tdata)
+        jnp.asarray(a), NamedSharding(mesh, P(dim0, None))), tdata)
     rshard = jax.shard_map(restrict_body, mesh=mesh,
                            in_specs=(dspec, fspec), out_specs=cspec)
     pshard = jax.shard_map(prolong_body, mesh=mesh,
@@ -581,7 +842,7 @@ def _hp_transfer(probf: HPSharded, probc: HPSharded, degf, degc,
 def build_hp_sharded_pmg(cells, degrees, devices=None, penalty: float = 2.0,
                          dirichlet: bool = True, dtype=jnp.float64,
                          penalty_scaling: str = "measure",
-                         cheb_degree: int = 3,
+                         cheb_degree: int = 3, device_grid=None,
                          coarse_cg_iters: int = 60) -> HPShardedPMG:
     """Sharded mixed-degree p-multigrid: level degree maps follow the
     reference's min(k_e, order) with order halving to 1
@@ -603,7 +864,8 @@ def build_hp_sharded_pmg(cells, degrees, devices=None, penalty: float = 2.0,
 
     probs = [build_hp_sharded(cells, d, devices=devices, penalty=penalty,
                               dirichlet=dirichlet, dtype=dtype,
-                              penalty_scaling=penalty_scaling)
+                              penalty_scaling=penalty_scaling,
+                              device_grid=device_grid)
              for d in dmaps]
     axis_name = probs[0].axis_name
     transfers = [_hp_transfer(probs[l + 1], probs[l], dmaps[l + 1], dmaps[l],
@@ -766,13 +1028,22 @@ def _hp_h_transfer(probf: HPSharded, probc: HPSharded, p: int,
     haxes = [a for a in range(dim) if halve[a]]
     nc = 2 ** len(haxes)
     Mc = probc.m_own[p]
+    dgrid = probf.device_grid
+    npax = len(dgrid)
+    locf = tuple(cf[a] // dgrid[a] if a < npax else cf[a] for a in range(dim))
 
     # children of coarse lattice element (fine ids), C-order lattice maps
-    def lattice_id(coords, cells):
-        e = 0
+    def owner_slot(coords):
+        """(shard flat index, local slot) of fine lattice coords."""
+        S = [coords[a] // locf[a] for a in range(npax)]
+        sflat = 0
+        for a in range(npax):
+            sflat = sflat * dgrid[a] + S[a]
+        slot = 0
         for a in range(dim):
-            e = e * cells[a] + coords[a]
-        return e
+            lc = coords[a] - (S[a] * locf[a] if a < npax else 0)
+            slot = slot * locf[a] + lc
+        return sflat, slot
 
     child = np.zeros((ndev, Mc, nc), _I)
     for s in range(ndev):
@@ -790,19 +1061,18 @@ def _hp_h_transfer(probf: HPSharded, probc: HPSharded, p: int,
                 for t, a in enumerate(haxes):
                     fco[a] = 2 * coords[a] + ((var >> (len(haxes) - 1 - t))
                                               & 1)
-                ef = lattice_id(fco, cf)
-                # fine owned slot: rank within the fine shard's bucket
-                sf = ef - (ef // probf.n_local) * probf.n_local
-                assert ef // probf.n_local == s, "partition misaligned"
-                child[s, k, var] = sf  # uniform degree: slot == local id
+                sflat, slot = owner_slot(fco)
+                assert sflat == s, "partition misaligned"
+                child[s, k, var] = slot  # uniform degree: slot == local id
     Ts = _child_T_matrices(p, dim, halve, dtype)
 
     mesh = probf.device_mesh
-    fspec = {p: P(axis_name, None)}
-    cspec = {p: P(axis_name, None)}
-    dspec = P(axis_name)
+    dim0 = tuple(probf.axes)
+    fspec = {p: P(dim0, None)}
+    cspec = {p: P(dim0, None)}
+    dspec = P(dim0)
     cdev = jax.device_put(jnp.asarray(child),
-                          NamedSharding(mesh, P(axis_name, None, None)))
+                          NamedSharding(mesh, P(dim0, None, None)))
 
     Mf = probf.m_own[p]
 
@@ -832,7 +1102,7 @@ def build_hp_sharded_hmg(cells, degrees, h_levels: int = 1, devices=None,
                          penalty: float = 2.0, dirichlet: bool = True,
                          dtype=jnp.float64, penalty_scaling: str = "measure",
                          cheb_degree: int = 5, cells_chain=None,
-                         h_first: bool = False,
+                         h_first: bool = False, device_grid=None,
                          coarse_cg_iters: int = 60) -> HPShardedPMG:
     """Full sharded hp-multigrid: p-levels (min(k_e, order), halving) on
     the fine mesh, then ``h_levels`` geometric 2x coarsenings at p = 1 —
@@ -850,8 +1120,9 @@ def build_hp_sharded_hmg(cells, degrees, h_levels: int = 1, devices=None,
     coarse solve; semicoarsening at full p contracts at ~0.13)."""
     degrees = np.asarray(degrees, dtype=_I).reshape(-1)
     devices = devices if devices is not None else jax.devices()
-    ndev = len(devices)
     dim = len(cells)
+    dgrid = tuple(device_grid) if device_grid is not None \
+        else (len(devices),)
 
     # p-level degree maps
     dmaps = [degrees]
@@ -866,16 +1137,19 @@ def build_hp_sharded_hmg(cells, degrees, h_levels: int = 1, devices=None,
         hcells = [tuple(cells)]
         for _ in range(h_levels):
             nxt = tuple(c // 2 for c in hcells[-1])
-            if any(c % 2 for c in hcells[-1]) or nxt[0] % ndev:
-                raise ValueError(f"cannot h-coarsen {hcells[-1]} over {ndev}"
-                                 " devices (need even cells + divisible "
-                                 "slabs)")
+            bad = any(c % 2 for c in hcells[-1]) or any(
+                nxt[a] % dgrid[a] for a in range(len(dgrid)))
+            if bad:
+                raise ValueError(f"cannot h-coarsen {hcells[-1]} over "
+                                 f"device grid {dgrid} (need even cells + "
+                                 "divisible partitions)")
             hcells.append(nxt)
     if h_first and len(np.unique(degrees)) != 1:
         raise ValueError("h_first needs a uniform degree map")
 
     kw = dict(devices=devices, penalty=penalty, dirichlet=dirichlet,
-              dtype=dtype, penalty_scaling=penalty_scaling)
+              dtype=dtype, penalty_scaling=penalty_scaling,
+              device_grid=device_grid)
     probs = []
     transfers = []
     if h_first:

@@ -55,6 +55,214 @@ def test_hp_sharded_apply_matches_serial(cells, degs, ndev, scaling, diri):
     assert _rel_err(y_ref, yg) < 1e-11
 
 
+@pytest.mark.parametrize("cells,degs,device_grid,scaling,diri", [
+    ((4, 4), [2, 4], (2, 2), "normal", True),     # 2D mesh, 2x2 devices
+    ((8, 4), [1, 3], (4, 2), "measure", False),   # 2D mesh, 4x2 devices
+    ((4, 4, 3), [2, 3], (2, 2), "normal", True),  # 3D mesh, 2x2 devices
+    ((4, 2, 2), [2], (2, 2, 2), "normal", True),  # 3D mesh, 2x2x2 devices
+    ((8, 3), [2, 4], (8, 1), "normal", True),     # trivial second axis
+])
+def test_hp_sharded_2d_device_grid_matches_serial(cells, degs, device_grid,
+                                                  scaling, diri):
+    """Multi-axis block partitions (ROADMAP item 3): the halo exchange
+    gains one ppermute pair per partitioned mesh axis; the apply must
+    still equal the serial mixed-degree operator."""
+    rng = np.random.default_rng(1887)
+    n = int(np.prod(cells))
+    dim = len(cells)
+    degrees = rng.choice(degs, size=n)
+    gbasis = DGBasis(hmesh.structured(cells), degrees)
+    op = sipg_operator(gbasis, penalty=2.0, dirichlet=diri,
+                       penalty_scaling=scaling)
+    x = {p: jnp.asarray(rng.standard_normal(
+        (gbasis.bucket_size(p), (p + 1) ** dim)))
+        for p in gbasis.bucket_degrees}
+    y_ref = op(x)
+    ndev = int(np.prod(device_grid))
+    prob = build_hp_sharded(cells, degrees, devices=jax.devices()[:ndev],
+                            penalty=2.0, dirichlet=diri,
+                            penalty_scaling=scaling,
+                            device_grid=device_grid)
+    assert prob.device_grid == device_grid
+    ys = prob.apply(prob.scatter_global(x, gbasis))
+    yg = prob.gather_global(ys, gbasis)
+    assert _rel_err(y_ref, yg) < 1e-11
+
+
+def test_hp_sharded_2d_grid_mg_pcg_solves():
+    """Full sharded hp-multigrid (p-levels + h-levels) over a 2x2x2
+    device grid solves to 1e-12 and matches the serial solution."""
+    from hpdg_tpu.parallel.hp import build_hp_sharded_hmg
+    rng = np.random.default_rng(3)
+    cells = (4, 4, 4)
+    degrees = rng.choice([1, 2], size=64)
+    pmg = build_hp_sharded_hmg(cells, degrees, h_levels=1,
+                               devices=jax.devices()[:8],
+                               device_grid=(2, 2, 2), penalty=2.0,
+                               dirichlet=True, penalty_scaling="normal")
+    assert [P.cells for P in pmg.levels] == [(2, 2, 2), (4, 4, 4), (4, 4, 4)]
+    fine = pmg.levels[-1]
+    gbasis = DGBasis(hmesh.structured(cells), degrees)
+    b = fine.scatter_global(
+        l2_functional(gbasis, lambda x: jnp.ones_like(x[..., 0])), gbasis)
+    x, rel = hp_pmg_pcg_solve(pmg, b, iters=25)
+    assert float(rel) < 1e-12
+
+    from hpdg_tpu.assemble import assemble_laplace
+    from hpdg_tpu.linalg import blockmatrix as bm, blockvector as bv
+    from hpdg_tpu.solvers.multigrid import multigrid_solver
+    from hpdg_tpu.solvers.cg import loop_solve
+    A = assemble_laplace(gbasis, penalty=2.0, dirichlet=True,
+                         penalty_scaling="normal")
+    bser = l2_functional(gbasis, lambda x: jnp.ones_like(x[..., 0]))
+    step, _ = multigrid_solver(gbasis, A)
+    xs, _ = loop_solve(step, bv.zeros_like(bser), bser,
+                       matvec_fn=lambda v: bm.matvec(A, v), tol=1e-12,
+                       maxiter=60)
+    xg = fine.gather_global(x, gbasis)
+    err = max(np.abs(np.asarray(xs[p]) - xg[p]).max() for p in xs)
+    assert err < 1e-9, err
+
+
+@pytest.mark.parametrize("cells,marks_frac,degs,ndev,scaling", [
+    ((8, 4), 0.25, [2, 3], 4, "normal"),
+    ((8, 4), 0.4, [1, 2], 8, "measure"),
+    ((4, 4, 2), 0.3, [2], 4, "normal"),
+])
+def test_hp_sharded_general_hanging_nodes_matches_serial(cells, marks_frac,
+                                                         degs, ndev, scaling):
+    """Sharded hanging-node meshes (ROADMAP item 5): the general-mesh
+    slab partition with nc face classes (tang-mapped trace tables per
+    class) must reproduce the serial operator on an adaptively refined
+    mesh."""
+    from hpdg_tpu.mesh.adaptive import refine_local, close_marks
+    from hpdg_tpu.parallel.hp import build_hp_sharded_general
+    rng = np.random.default_rng(1887)
+    m0 = hmesh.structured(cells)
+    marks = rng.random(m0.n_elements) < marks_frac
+    marks |= ~marks.any()  # at least one
+    gmesh = refine_local(m0, close_marks(m0, marks))
+    assert gmesh.faces.nc_code.max() > 0  # genuinely non-conforming
+    dim = len(cells)
+    degrees = rng.choice(degs, size=gmesh.n_elements)
+    gbasis = DGBasis(gmesh, degrees)
+    op = sipg_operator(gbasis, penalty=2.0, dirichlet=True,
+                       penalty_scaling=scaling)
+    x = {p: jnp.asarray(rng.standard_normal(
+        (gbasis.bucket_size(p), (p + 1) ** dim)))
+        for p in gbasis.bucket_degrees}
+    y_ref = op(x)
+    prob = build_hp_sharded_general(gmesh, degrees,
+                                    devices=jax.devices()[:ndev],
+                                    penalty=2.0, dirichlet=True,
+                                    penalty_scaling=scaling)
+    ys = prob.apply(prob.scatter_global(x, gbasis))
+    yg = prob.gather_global(ys, gbasis)
+    assert _rel_err(y_ref, yg) < 1e-11
+
+
+def test_hp_sharded_general_pcg_solves():
+    """Block-Jacobi PCG on the sharded general-mesh operator converges
+    to the serial solution (hanging nodes + mixed degrees, 8 devices)."""
+    from hpdg_tpu.mesh.adaptive import refine_local, close_marks
+    from hpdg_tpu.parallel.hp import build_hp_sharded_general, hp_dot, hp_axpy
+    rng = np.random.default_rng(5)
+    m0 = hmesh.structured((8, 4))
+    marks = rng.random(m0.n_elements) < 0.3
+    gmesh = refine_local(m0, close_marks(m0, marks))
+    degrees = rng.choice([2, 3], size=gmesh.n_elements)
+    gbasis = DGBasis(gmesh, degrees)
+    prob = build_hp_sharded_general(gmesh, degrees,
+                                    devices=jax.devices()[:8],
+                                    penalty=2.0, dirichlet=True,
+                                    penalty_scaling="normal")
+    b = prob.scatter_global(
+        l2_functional(gbasis, lambda x: jnp.ones_like(x[..., 0])), gbasis)
+
+    def safe_div(a, d):
+        return jnp.where(jnp.abs(d) > 0, a / jnp.where(d == 0, 1.0, d), 0.0)
+
+    @jax.jit
+    def run(b):
+        x = jax.tree.map(jnp.zeros_like, b)
+        r = b
+        z = prob.dinv_mul(r)
+        rz = hp_dot(r, z)
+
+        def body(i, st):
+            x, r, z, pv, rz = st
+            Ap = prob.apply(pv)
+            alpha = safe_div(rz, hp_dot(pv, Ap))
+            x = hp_axpy(alpha, pv, x)
+            r = hp_axpy(-alpha, Ap, r)
+            z = prob.dinv_mul(r)
+            rz_new = hp_dot(r, z)
+            pv = hp_axpy(safe_div(rz_new, rz), pv, z)
+            return x, r, z, pv, rz_new
+
+        st = jax.lax.fori_loop(0, 250, body, (x, r, z, z, rz))
+        return st[0], hp_norm(st[1])
+
+    x_sh, rnorm = run(b)
+    assert float(rnorm) < 1e-10 * float(hp_norm(b))
+
+    # matches the serial sparse-matrix solve
+    from hpdg_tpu.assemble import assemble_laplace
+    from hpdg_tpu.linalg import blockmatrix as bm
+    from hpdg_tpu.solvers.cg import pcg
+    from hpdg_tpu.solvers.smoothers import block_jacobi_preconditioner
+    A = assemble_laplace(gbasis, penalty=2.0, dirichlet=True,
+                         penalty_scaling="normal")
+    bser = l2_functional(gbasis, lambda x: jnp.ones_like(x[..., 0]))
+    xs, _ = pcg(lambda v: bm.matvec(A, v), bser,
+                precond=block_jacobi_preconditioner(A), tol=1e-12,
+                maxiter=400)
+    xg = prob.gather_global(x_sh, gbasis)
+    err = max(np.abs(np.asarray(xs[p]) - xg[p]).max() for p in xs)
+    assert err < 1e-8, err
+
+
+def test_sharded_adaptive_loop():
+    """Sharded adaptivity (ROADMAP item 4): solve -> estimate -> mark ->
+    refine -> REPARTITION -> migrate over 8 devices.  The element count
+    grows, the jump indicator decreases, the rebalanced partition stays
+    even, and every cycle's sharded solve converges."""
+    from hpdg_tpu.parallel.adaptive import sharded_adaptive_solve
+
+    def f(x):
+        return jnp.ones_like(x[..., 0])
+
+    m0 = hmesh.structured((16, 4))
+    mesh, degrees, x, info = sharded_adaptive_solve(
+        m0, np.full(64, 2), f, devices=jax.devices()[:8], cycles=3,
+        frac=0.25, penalty=2.0, penalty_scaling="normal", cg_iters=250)
+    assert info["n_elements"][0] == 64
+    assert info["n_elements"][-1] > 64
+    assert mesh.faces.nc_code.max() > 0          # hanging nodes appeared
+    assert info["eta"][-1] < info["eta"][0]      # the estimator decreased
+    # re-layout keeps the partition balanced; the bound is set by how many
+    # valid cut planes the refined mesh leaves between slabs (elements in
+    # one column cannot be split across shards)
+    assert max(info["balance"]) < 2.5
+    assert all(r < 1e-9 for r in info["residual"])  # every solve converged
+
+    # final solution matches a serial solve on the final mesh
+    from hpdg_tpu.assemble import assemble_laplace
+    from hpdg_tpu.linalg import blockmatrix as bm
+    from hpdg_tpu.solvers.cg import pcg
+    from hpdg_tpu.solvers.smoothers import block_jacobi_preconditioner
+    gb = DGBasis(mesh, degrees)
+    A = assemble_laplace(gb, penalty=2.0, dirichlet=True,
+                         penalty_scaling="normal")
+    bser = l2_functional(gb, f)
+    xs, _ = pcg(lambda v: bm.matvec(A, v), bser,
+                precond=block_jacobi_preconditioner(A), tol=1e-12,
+                maxiter=600)
+    err = max(np.abs(np.asarray(xs[p]) - np.asarray(x[p])).max()
+              for p in xs)
+    assert err < 1e-7, err
+
+
 def test_hp_sharded_padding_rows_stay_zero():
     """Padding rows must remain exactly zero through an apply — global
     reductions (CG dots) rely on it."""

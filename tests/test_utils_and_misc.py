@@ -100,3 +100,30 @@ def test_l1_smoother_converges_and_shifts_positive():
         x = step(x, b)
     r = float(bv.norm(bv.sub(b, bm.matvec(A, x))))
     assert r < 0.2 * r0  # converging (slowly, as Jacobi does)
+
+
+def test_checkpoint_sharded_roundtrip(tmp_path):
+    """orbax checkpoint of a SHARDED bucket dict: save, restore into the
+    same shardings, bitwise equality + metadata roundtrip."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from hpdg_tpu.parallel.hp import build_hp_sharded
+    from hpdg_tpu.utils.checkpoint import save_solver_state, load_sharded
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(2)
+    cells = (8, 2)
+    degrees = rng.choice([1, 2], size=16)
+    prob = build_hp_sharded(cells, degrees, devices=jax.devices()[:8])
+    x = prob.zeros()
+    x = {p: v + p for p, v in x.items()}
+    save_solver_state(tmp_path / "ck", x, degrees, iteration=7, cells=cells)
+    y, meta = load_sharded(tmp_path / "ck", shardings=prob.shardings)
+    assert meta["iteration"] == 7 and tuple(meta["cells"]) == cells
+    assert np.array_equal(np.asarray(meta["degrees"]), degrees)
+    for p in x:
+        assert y[p].sharding == prob.shardings[p] or \
+            y[p].sharding.is_equivalent_to(prob.shardings[p], y[p].ndim)
+        assert np.array_equal(np.asarray(y[p]), np.asarray(x[p]))
