@@ -8,6 +8,11 @@
 // the production path for large meshes (hash-join over quantized face
 // keys, single pass, no Python object churn).
 //
+// Keys are fixed-size int64 arrays (plane, tang lower/extent pairs,
+// half) — POD, no per-key heap allocation, FNV-hashed in registers; at
+// 1e6+ elements this is the difference between O(seconds) and the
+// vector<int64_t>-keyed map it replaced.
+//
 // Build: g++ -O3 -march=native -std=c++17 -shared -fPIC -o libmeshkit.so meshkit.cc
 //
 // C ABI (ctypes): all arrays caller-allocated; capacities passed in
@@ -18,20 +23,66 @@
 
 #include <cmath>
 #include <cstdint>
-#include <unordered_map>
+#include <cstring>
 #include <vector>
 
 namespace {
 
-struct KeyHash {
-  size_t operator()(const std::vector<int64_t> &k) const {
-    size_t h = 1469598103934665603ull;
-    for (auto v : k) {
-      h ^= (size_t)v;
-      h *= 1099511628211ull;
-    }
-    return h;
+// max key: plane + 2 tangential (lower, extent) pairs + half = 6 (dim<=3)
+struct Key6 {
+  int64_t v[6];
+  bool operator==(const Key6 &o) const {
+    return std::memcmp(v, o.v, sizeof(v)) == 0;
   }
+};
+
+inline size_t hash6(const Key6 &k) {
+  size_t h = 1469598103934665603ull;
+  for (int i = 0; i < 6; ++i) {
+    h ^= (size_t)k.v[i];
+    h *= 1099511628211ull;
+  }
+  // finalize: FNV alone clusters on low-entropy lattice keys
+  h ^= h >> 33;
+  h *= 0xff51afd7ed558ccdull;
+  h ^= h >> 33;
+  return h;
+}
+
+// flat open-addressing hash table (linear probing) — ~5x faster than
+// unordered_map for this insert-once/probe-twice join
+class FaceTable {
+ public:
+  explicit FaceTable(int64_t expect) {
+    size_t cap = 16;
+    while (cap < (size_t)(2 * expect + 1)) cap <<= 1;
+    mask_ = cap - 1;
+    vals_.assign(cap, -1);
+    keys_.resize(cap);
+  }
+  void clear() { std::fill(vals_.begin(), vals_.end(), -1); }
+  void insert(const Key6 &k, int64_t v) {
+    size_t i = hash6(k) & mask_;
+    while (vals_[i] >= 0) {
+      if (keys_[i] == k) return;  // keep first (matches map.emplace)
+      i = (i + 1) & mask_;
+    }
+    keys_[i] = k;
+    vals_[i] = v;
+  }
+  int64_t find(const Key6 &k) const {
+    size_t i = hash6(k) & mask_;
+    while (vals_[i] >= 0) {
+      if (keys_[i] == k) return vals_[i];
+      i = (i + 1) & mask_;
+    }
+    return -1;
+  }
+
+ private:
+  size_t mask_;
+  std::vector<Key6> keys_;
+  std::vector<int64_t> vals_;
 };
 
 }  // namespace
@@ -43,76 +94,75 @@ extern "C" int hpdg_build_faces(
     int32_t *b_elem, int32_t *b_axis, int32_t *b_side,
     int64_t cap_f, int64_t cap_b,
     int64_t *nf_out, int64_t *nbf_out) {
+  if (dim < 1 || dim > 3) return 2;
   const double scale = 1.0 / tol;
   int64_t nf = 0, nbf = 0;
 
-  using Key = std::vector<int64_t>;
+  const int nt = dim - 1;
+  FaceTable table(2 * n);
+  std::vector<Key6> keys(2 * n);
+  std::vector<int8_t> matched(2 * n), used_big(2 * n);
   for (int32_t axis = 0; axis < dim; ++axis) {
-    const int nt = dim - 1;
-    // key: (plane, tang lower..., tang ext...); value: packed (elem, half)
-    std::unordered_map<Key, int64_t, KeyHash> table;
-    table.reserve(2 * n);
-    std::vector<Key> keys(2 * n);
+    table.clear();
     auto make_key = [&](int64_t e, int half) {
-      Key k;
-      k.reserve(1 + 2 * nt);
-      double plane = lower[e * dim + axis] + (half == 0 ? extent[e * dim + axis] : 0.0);
-      k.push_back((int64_t)llround(plane * scale));
+      Key6 k{};
+      double plane =
+          lower[e * dim + axis] + (half == 0 ? extent[e * dim + axis] : 0.0);
+      k.v[0] = (int64_t)llround(plane * scale);
+      int j = 1;
       for (int a = 0; a < dim; ++a) {
         if (a == axis) continue;
-        k.push_back((int64_t)llround(lower[e * dim + a] * scale));
-        k.push_back((int64_t)llround(extent[e * dim + a] * scale));
+        k.v[j++] = (int64_t)llround(lower[e * dim + a] * scale);
+        k.v[j++] = (int64_t)llround(extent[e * dim + a] * scale);
       }
       return k;
     };
     // pass 1: exact conforming matches.  half 0 = elem's HIGH face
     // (element on the low side), half 1 = elem's LOW face.
-    std::vector<int8_t> matched(2 * n, 0);
+    std::fill(matched.begin(), matched.end(), 0);
+    std::fill(used_big.begin(), used_big.end(), 0);
     for (int64_t e = 0; e < n; ++e) {
       for (int half = 0; half < 2; ++half) {
-        Key k = make_key(e, half);
+        Key6 k = make_key(e, half);
         keys[2 * e + half] = k;
-        k.push_back(half);  // separate the halves in the table
-        table.emplace(std::move(k), e);
+        k.v[5] = half + 1;  // separate the halves in the table (1/2)
+        table.insert(k, e);
       }
     }
     for (int64_t e = 0; e < n; ++e) {
       // my high face (half 0) against neighbor's low face (half 1)
-      Key k = keys[2 * e + 0];
-      k.push_back(1);
-      auto it = table.find(k);
-      if (it != table.end()) {
+      Key6 k = keys[2 * e + 0];
+      k.v[5] = 2;  // half 1
+      int64_t nb = table.find(k);
+      if (nb >= 0) {
         if (nf >= cap_f) return 1;
         f_inside[nf] = (int32_t)e;
-        f_outside[nf] = (int32_t)it->second;
+        f_outside[nf] = (int32_t)nb;
         f_axis[nf] = axis;
         f_nc[nf] = 0;
         ++nf;
         matched[2 * e + 0] = 1;
-        matched[2 * it->second + 1] = 1;
+        matched[2 * nb + 1] = 1;
       }
     }
     // pass 2: 2:1 hanging-node matches (small face inside a big face)
-    std::vector<int8_t> used_big(2 * n, 0);
     for (int64_t e = 0; e < n; ++e) {
       for (int half = 0; half < 2; ++half) {
         if (matched[2 * e + half]) continue;
-        const Key &k = keys[2 * e + half];
+        const Key6 &k = keys[2 * e + half];
         bool found = false;
         for (int sub = 0; sub < (1 << nt) && !found; ++sub) {
-          Key big;
-          big.reserve(2 + 2 * nt);
-          big.push_back(k[0]);
+          Key6 big{};
+          big.v[0] = k.v[0];
           for (int t = 0; t < nt; ++t) {
             int bit = (sub >> (nt - 1 - t)) & 1;
-            int64_t tl = k[1 + 2 * t], te = k[2 + 2 * t];
-            big.push_back(tl - bit * te);
-            big.push_back(2 * te);
+            int64_t tl = k.v[1 + 2 * t], te = k.v[2 + 2 * t];
+            big.v[1 + 2 * t] = tl - bit * te;
+            big.v[2 + 2 * t] = 2 * te;
           }
-          big.push_back(1 - half);
-          auto it = table.find(big);
-          if (it != table.end()) {
-            int64_t eb = it->second;
+          big.v[5] = (1 - half) + 1;
+          int64_t eb = table.find(big);
+          if (eb >= 0) {
             found = true;
             matched[2 * e + half] = 1;
             used_big[2 * eb + (1 - half)] = 1;
