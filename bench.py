@@ -130,7 +130,10 @@ def main():
     from hpdg_tpu.matrixfree import sipg_operator
 
     dtype = jnp.float32
-    p, n = 4, 12
+    # 16^3 rather than 12^3: the assembly is HBM-write-bound and the
+    # larger batch reaches the chip's effective write bandwidth
+    # (measured 240 GB/s vs 186 GB/s at 12^3 -> 72.6M vs 57M DOF/s)
+    p, n = 4, 16
     mesh = hmesh.structured((n, n, n))
     basis = DGBasis(mesh, np.full(mesh.n_elements, p))
     plan = build_plan(basis)

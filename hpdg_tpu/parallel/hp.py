@@ -843,12 +843,18 @@ def build_hp_sharded_pmg(cells, degrees, devices=None, penalty: float = 2.0,
                          dirichlet: bool = True, dtype=jnp.float64,
                          penalty_scaling: str = "measure",
                          cheb_degree: int = 3, device_grid=None,
+                         gmesh=None,
                          coarse_cg_iters: int = 60) -> HPShardedPMG:
     """Sharded mixed-degree p-multigrid: level degree maps follow the
     reference's min(k_e, order) with order halving to 1
     (solversetup.hh:71-108), every level a sharded hp operator with
     Chebyshev(cheb_degree) smoothing on the block-Jacobi-preconditioned
     operator, and a sharded block-Jacobi-PCG coarse solve.
+
+    ``gmesh``: a GENERAL box mesh (incl. hanging nodes) to use instead
+    of ``hmesh.structured(cells)`` — every level then goes through
+    ``build_hp_sharded_general`` with ONE shared cut-plane partition so
+    the element-local p-transfers need no communication.
 
     Chebyshev (matvecs only, no extra communication) rather than damped
     Jacobi: the level operators are RE-ASSEMBLED (matrix-free), not
@@ -862,11 +868,20 @@ def build_hp_sharded_pmg(cells, degrees, devices=None, penalty: float = 2.0,
         dmaps.append(np.minimum(degrees, order).astype(_I))
     dmaps = dmaps[::-1]  # coarsest..finest
 
-    probs = [build_hp_sharded(cells, d, devices=devices, penalty=penalty,
-                              dirichlet=dirichlet, dtype=dtype,
-                              penalty_scaling=penalty_scaling,
-                              device_grid=device_grid)
-             for d in dmaps]
+    if gmesh is not None:
+        devices_ = devices if devices is not None else jax.devices()
+        shard = slab_partition(gmesh, len(devices_))
+        probs = [build_hp_sharded_general(
+            gmesh, d, devices=devices_, penalty=penalty,
+            dirichlet=dirichlet, dtype=dtype,
+            penalty_scaling=penalty_scaling, elem_shard=shard)
+            for d in dmaps]
+    else:
+        probs = [build_hp_sharded(cells, d, devices=devices, penalty=penalty,
+                                  dirichlet=dirichlet, dtype=dtype,
+                                  penalty_scaling=penalty_scaling,
+                                  device_grid=device_grid)
+                 for d in dmaps]
     axis_name = probs[0].axis_name
     transfers = [_hp_transfer(probs[l + 1], probs[l], dmaps[l + 1], dmaps[l],
                               axis_name, dtype)
