@@ -150,6 +150,25 @@ class _ValueBuilder:
         return vals
 
 
+def pullback_diffusion(F):
+    """Tensor coefficient of the affine geometry map ``x -> F x``:
+    solving the Laplace problem on the image mesh F(Omega) equals
+    solving -div(K grad u) = |det F| f on the reference box mesh with
+    K = |det F| F^-1 F^-T.  This is how general (non-axis-aligned)
+    element geometries enter the framework — the mathematical content of
+    the reference's per-point jacobianInverseTransposed
+    (gausslobattoipdgassembler.hh:320-364) expressed as data."""
+    F = np.asarray(F, np.float64)
+    Fi = np.linalg.inv(F)
+    K0 = abs(np.linalg.det(F)) * (Fi @ Fi.T)
+
+    def K(x):
+        return jnp.broadcast_to(jnp.asarray(K0, x.dtype),
+                                x.shape[:-1] + K0.shape)
+
+    return K
+
+
 def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                      dirichlet: bool = False, diffusion=None,
                      dtype=jnp.float64, plan: AssemblyPlan | None = None,
@@ -157,9 +176,16 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                      penalty_scaling: str = "measure") -> BlockSparseMatrix:
     """Assemble the (optionally variable-coefficient) SIPG stiffness matrix.
 
-    ``diffusion``: optional vectorized scalar coefficient ``K(x)`` taking
-    an array ``(..., dim)`` of physical points.  The analog of
-    BuildingBlocks::laplace (buildingblocks/matrices.hh:29-89).
+    ``diffusion``: optional vectorized coefficient ``K(x)`` taking an
+    array ``(..., dim)`` of physical points and returning values of
+    shape ``(...)`` (scalar medium) or ``(..., dim, dim)`` (symmetric
+    TENSOR medium).  The analog of BuildingBlocks::laplace
+    (buildingblocks/matrices.hh:29-89); the tensor case additionally
+    covers the pullback of general (affine/curvilinear) geometries,
+    where the reference reads jacobianInverseTransposed per quad point
+    (gausslobattoipdgassembler.hh:320-364): solving on the image
+    Phi(box) equals solving on the box with
+    K = |det DPhi| DPhi^-1 DPhi^-T.
 
     ``geom_scale``: optional (possibly traced) scalar s; assembles the
     operator of the mesh with all extents multiplied by s.  For the
@@ -181,6 +207,10 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
     # constant coefficients take the dictionary-GEMM fast path; variable
     # diffusion needs per-quad-point einsums (the generic builder)
     fast = diffusion is None
+    kmat = False
+    if diffusion is not None:
+        probe = np.asarray(diffusion(jnp.full((1, dim), 0.5, dtype)))
+        kmat = probe.ndim >= 3
     vb = _DictBuilder(plan, dim, dtype) if fast else _ValueBuilder(plan, dim,
                                                                    dtype)
 
@@ -202,11 +232,20 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             x = (mesh.lower[elems][:, None, :]
                  + vt["points"][None, :, :] * ext[:, None, :])
             k = jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
-            kw = k * jnp.asarray(w, dtype)[None, :]
-            bulk = gpow * jnp.einsum("eq,ea,aiq,ajq->eij", kw,
-                                     jnp.asarray(invh2, dtype),
-                                     jnp.asarray(G, dtype),
-                                     jnp.asarray(G, dtype))
+            if kmat:
+                # tensor medium: detJ / (h_a h_b) geometry factors
+                cof = (detJ[:, None, None]
+                       / (ext[:, :, None] * ext[:, None, :]))
+                bulk = gpow * jnp.einsum(
+                    "eqab,q,eab,aiq,bjq->eij", k, jnp.asarray(w, dtype),
+                    jnp.asarray(cof, dtype), jnp.asarray(G, dtype),
+                    jnp.asarray(G, dtype))
+            else:
+                kw = k * jnp.asarray(w, dtype)[None, :]
+                bulk = gpow * jnp.einsum("eq,ea,aiq,ajq->eij", kw,
+                                         jnp.asarray(invh2, dtype),
+                                         jnp.asarray(G, dtype),
+                                         jnp.asarray(G, dtype))
             vb.set_bulk(p, bulk)
 
     # ---------------- interior faces ----------------
@@ -247,23 +286,51 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
         else:
             # physical face quad points (on the intersection)
             x = face_phys_points(basis, fg, fin["points"])
-            k = jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)  # (nf, q)
+            k = jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
             J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
             wj = J(w)
-            kzi = k * wj[None, :] * c_in[:, None]  # -0.5 |f|/h_in K w
-            kzo = k * wj[None, :] * c_out[:, None]
-            M11 = (jnp.einsum("fq,iq,jq->fij", kzi, J(Vi), J(Di))
-                   + jnp.einsum("fq,iq,jq->fij", kzi, J(Di), J(Vi))
-                   + pen * J(np.einsum("iq,q,jq->ij", Vi, w, Vi))[None])
-            M22 = (-jnp.einsum("fq,iq,jq->fij", kzo, J(Vo), J(Do))
-                   - jnp.einsum("fq,iq,jq->fij", kzo, J(Do), J(Vo))
-                   + pen * J(np.einsum("iq,q,jq->ij", Vo, w, Vo))[None])
-            M12 = (jnp.einsum("fq,iq,jq->fij", kzo, J(Vi), J(Do))
-                   - jnp.einsum("fq,iq,jq->fij", kzi, J(Di), J(Vo))
-                   - pen * J(np.einsum("iq,q,jq->ij", Vi, w, Vo))[None])
-            M21 = (jnp.einsum("fq,iq,jq->fij", kzo, J(Do), J(Vi))
-                   - jnp.einsum("fq,iq,jq->fij", kzi, J(Vo), J(Di))
-                   - pen * J(np.einsum("iq,q,jq->ij", Vo, w, Vi))[None])
+            BVVi = J(np.einsum("iq,q,jq->ij", Vi, w, Vi))
+            BVVo = J(np.einsum("iq,q,jq->ij", Vo, w, Vo))
+            BVio = J(np.einsum("iq,q,jq->ij", Vi, w, Vo))
+            if kmat:
+                # tensor medium: co-normal derivative traces
+                # (K grad phi).n = sum_b K[ax, b] Dall[b] / h_elem_b
+                ein = mesh.faces.inside[fg.face_ids]
+                eout = mesh.faces.outside[fg.face_ids]
+                KDi = jnp.einsum("fqb,biq,fb->fiq", k[..., ax, :],
+                                 J(fin["Dall"]),
+                                 J(1.0 / mesh.extent[ein]))
+                KDo = jnp.einsum("fqb,biq,fb->fiq", k[..., ax, :],
+                                 J(fout["Dall"]),
+                                 J(1.0 / mesh.extent[eout]))
+                half = gpow * (-0.5) * J(fg.fmeas)[:, None] * wj[None, :]
+                M11 = (jnp.einsum("fq,iq,fjq->fij", half, J(Vi), KDi)
+                       + jnp.einsum("fq,fiq,jq->fij", half, KDi, J(Vi))
+                       + pen * BVVi[None])
+                M22 = (-jnp.einsum("fq,iq,fjq->fij", half, J(Vo), KDo)
+                       - jnp.einsum("fq,fiq,jq->fij", half, KDo, J(Vo))
+                       + pen * BVVo[None])
+                M12 = (jnp.einsum("fq,iq,fjq->fij", half, J(Vi), KDo)
+                       - jnp.einsum("fq,fiq,jq->fij", half, KDi, J(Vo))
+                       - pen * BVio[None])
+                M21 = (-jnp.einsum("fq,iq,fjq->fij", half, J(Vo), KDi)
+                       + jnp.einsum("fq,fiq,jq->fij", half, KDo, J(Vi))
+                       - pen * BVio.T[None])
+            else:
+                kzi = k * wj[None, :] * c_in[:, None]  # -0.5 |f|/h_in K w
+                kzo = k * wj[None, :] * c_out[:, None]
+                M11 = (jnp.einsum("fq,iq,jq->fij", kzi, J(Vi), J(Di))
+                       + jnp.einsum("fq,iq,jq->fij", kzi, J(Di), J(Vi))
+                       + pen * BVVi[None])
+                M22 = (-jnp.einsum("fq,iq,jq->fij", kzo, J(Vo), J(Do))
+                       - jnp.einsum("fq,iq,jq->fij", kzo, J(Do), J(Vo))
+                       + pen * BVVo[None])
+                M12 = (jnp.einsum("fq,iq,jq->fij", kzo, J(Vi), J(Do))
+                       - jnp.einsum("fq,iq,jq->fij", kzi, J(Di), J(Vo))
+                       - pen * BVio[None])
+                M21 = (jnp.einsum("fq,iq,jq->fij", kzo, J(Do), J(Vi))
+                       - jnp.einsum("fq,iq,jq->fij", kzi, J(Vo), J(Di))
+                       - pen * BVio.T[None])
 
         nf = len(fg.face_ids)
         vb.add_diag(pi, fg.in_pos, M11)
@@ -298,10 +365,22 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                 for t, a in enumerate(tang):
                     x[:, :, a] += ft["points"][None, :, t] * mesh.extent[elems, a][:, None]
                 k = jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
-                kz = k * jnp.asarray(w, dtype)[None, :] * c[:, None]
-                M = (jnp.einsum("fq,iq,jq->fij", kz, jnp.asarray(V, dtype), jnp.asarray(D, dtype))
-                     + jnp.einsum("fq,iq,jq->fij", kz, jnp.asarray(D, dtype), jnp.asarray(V, dtype))
-                     + pen * jnp.asarray(np.einsum("iq,q,jq->ij", V, w, V), dtype)[None])
+                J = lambda a_: jnp.asarray(a_, dtype)  # noqa: E731
+                BVV = J(np.einsum("iq,q,jq->ij", V, w, V))
+                if kmat:
+                    # co-normal trace with outward normal sign * e_ax
+                    KD = sign * jnp.einsum(
+                        "fqb,biq,fb->fiq", k[..., ax, :], J(ft["Dall"]),
+                        J(1.0 / mesh.extent[elems]))
+                    cf = gpow * (-1.0) * J(bg.fmeas)[:, None] * J(w)[None, :]
+                    M = (jnp.einsum("fq,iq,fjq->fij", cf, J(V), KD)
+                         + jnp.einsum("fq,fiq,jq->fij", cf, KD, J(V))
+                         + pen * BVV[None])
+                else:
+                    kz = k * J(w)[None, :] * c[:, None]
+                    M = (jnp.einsum("fq,iq,jq->fij", kz, J(V), J(D))
+                         + jnp.einsum("fq,iq,jq->fij", kz, J(D), J(V))
+                         + pen * BVV[None])
             vb.add_diag(p, bg.pos, M)
 
     return BlockSparseMatrix(plan.pattern, dim, vb.finish())

@@ -61,10 +61,22 @@ def _bucket_geometry(basis: DGBasis, p: int):
     return ext, detJ
 
 
+def _is_tensor_coefficient(diffusion, dim, dtype):
+    """True if K(x) returns a (dim, dim) tensor per point."""
+    if diffusion is None:
+        return False
+    probe = np.asarray(diffusion(jnp.full((1, dim), 0.5, dtype)))
+    return probe.ndim >= 3
+
+
 def laplace_bulk_operator(basis: DGBasis, diffusion=None, dtype=jnp.float64):
-    """Matrix-free (K ∇u, ∇v) over all elements (SumFactLaplaceOperator)."""
+    """Matrix-free (K ∇u, ∇v) over all elements (SumFactLaplaceOperator).
+
+    ``diffusion`` may return a scalar or a symmetric (dim, dim) TENSOR
+    per point (anisotropic media / general-geometry pullback)."""
     dim = basis.dim
     fwd, bwd = _fwd_spec(dim), _bwd_spec(dim)
+    kmat = _is_tensor_coefficient(diffusion, dim, dtype)
     prep = {}
     for p in basis.bucket_degrees:
         vt = tensor.volume_tables(p, dim, p + 2, family=basis.family)
@@ -77,28 +89,50 @@ def laplace_bulk_operator(basis: DGBasis, diffusion=None, dtype=jnp.float64):
             elems = basis.bucket_elems[p]
             xq = (basis.mesh.lower[elems][:, None, :]
                   + vt["points"][None, :, :] * ext[:, None, :])
-        prep[p] = (t1.values, t1.derivatives, coef, wq, xq, vt["points"].shape[0])
+        prep[p] = (t1.values, t1.derivatives, coef, wq, xq, ext, detJ)
 
     def apply(x):
         y = {}
-        for p, (V, D, coef, wq, xq, nq) in prep.items():
+        for p, (V, D, coef, wq, xq, ext, detJ) in prep.items():
             shp = x[p].shape
             d1 = V.shape[0]
             u = x[p].reshape((shp[0],) + (d1,) * dim)
             kq = None
             if xq is not None:
-                kq = diffusion(jnp.asarray(xq, dtype)).reshape(
-                    (shp[0],) + wq.shape)
+                kq = diffusion(jnp.asarray(xq, dtype))
             out = 0.0
-            for a in range(dim):
-                tabs = [D if b == a else V for b in range(dim)]
-                du = _chain(u, tabs, fwd, dtype)
-                g = du * jnp.asarray(wq, dtype)[None]
+            if kmat:
+                # tensor medium: all reference-gradient fields, mixed by
+                # K per point: g_a = w detJ/ (h_a h_b) sum_b K_ab du_b
+                invh = jnp.asarray(1.0 / ext, dtype)       # (n, dim)
+                wdet = (jnp.asarray(wq, dtype)[None]
+                        * jnp.asarray(detJ, dtype).reshape(
+                            (-1,) + (1,) * dim))
+                kq = kq.reshape((shp[0],) + wq.shape + (dim, dim))
+                dus = []
+                for b in range(dim):
+                    tabs = [D if c == b else V for c in range(dim)]
+                    dus.append(_chain(u, tabs, fwd, dtype)
+                               * invh[:, b].reshape((-1,) + (1,) * dim))
+                for a in range(dim):
+                    g = 0.0
+                    for b in range(dim):
+                        g = g + kq[..., a, b] * dus[b]
+                    g = g * wdet * invh[:, a].reshape((-1,) + (1,) * dim)
+                    tabs = [D if c == a else V for c in range(dim)]
+                    out = out + _chain(g, tabs, bwd, dtype)
+            else:
                 if kq is not None:
-                    g = g * kq
-                g = g * jnp.asarray(coef[:, a], dtype).reshape(
-                    (-1,) + (1,) * dim)
-                out = out + _chain(g, tabs, bwd, dtype)
+                    kq = kq.reshape((shp[0],) + wq.shape)
+                for a in range(dim):
+                    tabs = [D if b == a else V for b in range(dim)]
+                    du = _chain(u, tabs, fwd, dtype)
+                    g = du * jnp.asarray(wq, dtype)[None]
+                    if kq is not None:
+                        g = g * kq
+                    g = g * jnp.asarray(coef[:, a], dtype).reshape(
+                        (-1,) + (1,) * dim)
+                    out = out + _chain(g, tabs, bwd, dtype)
             y[p] = out.reshape(shp)
         return y
 
@@ -131,6 +165,7 @@ def _face_prep(basis: DGBasis, plan: AssemblyPlan, dtype):
         groups.append(dict(
             fg=fg, w=fin["weights"], Vi=fin["V"], Di=fin["Dn"],
             Vo=fout["V"], Do=fout["Dn"], pmax=pmax, pts=fin["points"],
+            Dalli=fin["Dall"], Dallo=fout["Dall"],
         ))
     return groups
 
@@ -148,6 +183,7 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
     plan = plan or build_plan(basis)
     dim = basis.dim
     mesh = basis.mesh
+    kmat = _is_tensor_coefficient(diffusion, dim, dtype)
     bulk = laplace_bulk_operator(basis, diffusion=diffusion, dtype=dtype)
     groups = _face_prep(basis, plan, dtype)
 
@@ -161,6 +197,9 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                       * g["w"][None, :])
         if diffusion is not None:
             g["xq"] = face_phys_points(basis, fg, g["pts"])
+        if kmat:
+            g["ext_in"] = mesh.extent[mesh.faces.inside[fg.face_ids]]
+            g["ext_out"] = mesh.extent[mesh.faces.outside[fg.face_ids]]
 
     bgroups = []
     if dirichlet:
@@ -182,6 +221,10 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                 for t, a in enumerate(tang):
                     x[:, :, a] += ft["points"][None, :, t] * mesh.extent[elems, a][:, None]
                 item["xq"] = x
+            if kmat:
+                elems = mesh.bfaces.elem[bg.face_ids]
+                item["Dall"] = ft["Dall"]
+                item["ext"] = mesh.extent[elems]
             bgroups.append(item)
 
     def apply(x):
@@ -199,15 +242,40 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
             u_out = x[fg.p_out][jnp.asarray(fg.out_pos)]
             uinq = u_in @ Vi
             uoutq = u_out @ Vo
+            jump = uinq - uoutq
+            zw = J(g["z"])[:, None] * J(g["w"])[None, :]  # |f| w_q
+            penw = J(g["pen_w"])
+            if kmat:
+                # tensor medium: co-normal derivatives via the full
+                # trace-gradient tables (K folded in, so no extra k)
+                kq = diffusion(jnp.asarray(g["xq"], dtype))
+                Ka = kq[..., fg.axis, :]          # (nf, q, dim)
+                ihi = J(1.0 / g["ext_in"])        # (nf, dim)
+                iho = J(1.0 / g["ext_out"])
+                Dalli, Dallo = J(g["Dalli"]), J(g["Dallo"])
+                duin = jnp.einsum("fi,biq->fbq", u_in, Dalli)
+                duout = jnp.einsum("fi,biq->fbq", u_out, Dallo)
+                dninq = jnp.einsum("fqb,fb,fbq->fq", Ka, ihi, duin)
+                dnoutq = jnp.einsum("fqb,fb,fbq->fq", Ka, iho, duout)
+                avg = 0.5 * (dninq + dnoutq)
+                t1_in = zw * (-avg) + penw * jump
+                t1_out = zw * avg - penw * jump
+                t2b = zw * (-0.5 * jump)
+                contribs[fg.p_in].append(
+                    t1_in @ Vi.T
+                    + jnp.einsum("fq,fqb,fb,biq->fi", t2b, Ka, ihi, Dalli))
+                targets[fg.p_in].append(fg.in_pos)
+                contribs[fg.p_out].append(
+                    t1_out @ Vo.T
+                    + jnp.einsum("fq,fqb,fb,biq->fi", t2b, Ka, iho, Dallo))
+                targets[fg.p_out].append(fg.out_pos)
+                continue
             dninq = (u_in @ Di) * J(fg.inv_h_in)[:, None]
             dnoutq = (u_out @ Do) * J(fg.inv_h_out)[:, None]
-            jump = uinq - uoutq
             avg = 0.5 * (dninq + dnoutq)
             k = 1.0
             if diffusion is not None:
                 k = diffusion(jnp.asarray(g["xq"], dtype))
-            zw = J(g["z"])[:, None] * J(g["w"])[None, :]  # |f| w_q
-            penw = J(g["pen_w"])
             t1_in = zw * (-(k * avg)) + penw * jump
             t2_in = zw * (-0.5 * k * jump) * J(fg.inv_h_in)[:, None]
             t1_out = zw * (k * avg) - penw * jump
@@ -222,12 +290,26 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
             V, D = J(g["V"]), J(g["D"])
             u = x[bg.p][jnp.asarray(bg.pos)]
             uq = u @ V
+            zw = J(bg.fmeas)[:, None] * J(g["w"])[None, :]
+            penw = J(g["pen_w"])
+            if kmat:
+                kq = diffusion(jnp.asarray(g["xq"], dtype))
+                Ka = kq[..., bg.axis, :]
+                ih = J(1.0 / g["ext"])
+                Dall = J(g["Dall"])
+                du = jnp.einsum("fi,biq->fbq", u, Dall)
+                dnKq = g["sign"] * jnp.einsum("fqb,fb,fbq->fq", Ka, ih, du)
+                t1 = zw * (-dnKq) + penw * uq
+                t2b = zw * (-uq)
+                contribs[bg.p].append(
+                    t1 @ V.T + g["sign"] * jnp.einsum(
+                        "fq,fqb,fb,biq->fi", t2b, Ka, ih, Dall))
+                targets[bg.p].append(bg.pos)
+                continue
             dnq = (u @ D) * (g["sign"] * J(bg.inv_h))[:, None]
             k = 1.0
             if diffusion is not None:
                 k = diffusion(jnp.asarray(g["xq"], dtype))
-            zw = J(bg.fmeas)[:, None] * J(g["w"])[None, :]
-            penw = J(g["pen_w"])
             t1 = zw * (-(k * dnq)) + penw * uq
             t2 = zw * (-(k * uq)) * (g["sign"] * J(bg.inv_h))[:, None]
             contribs[bg.p].append(t1 @ V.T + t2 @ D.T)

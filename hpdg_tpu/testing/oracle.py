@@ -66,7 +66,12 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
     (gausslobattoipdgassembler.hh): bulk/face Gauss-Lobatto rules of DUNE
     order 2p (resp. 2 max(p_in, p_out)); penalty sigma*max(p)^2/|f|;
     [u] = u_in - u_out with the normal pointing inside -> outside.
-    ``diffusion``: optional scalar coefficient K(x) (callable on (dim,)).
+    ``diffusion``: optional coefficient K(x) (callable on (dim,)),
+    returning a scalar or a symmetric (dim, dim) TENSOR — the tensor
+    case covers anisotropic media and the pullback of general
+    (affine/curvilinear) element geometries, where the reference reads
+    jacobianInverseTransposed per quad point
+    (gausslobattoipdgassembler.hh:320-364).
     """
     mesh = basis.mesh
     dim = mesh.dim
@@ -86,7 +91,11 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
         for q in range(len(w)):
             G = _grad_phi(nodes, pts[q], h)
             x = mesh.lower[e] + pts[q] * h
-            A[o:o + n, o:o + n] += w[q] * detJ * K(x) * (G @ G.T)
+            kq = K(x)
+            if np.ndim(kq) == 2:
+                A[o:o + n, o:o + n] += w[q] * detJ * (G @ kq @ G.T)
+            else:
+                A[o:o + n, o:o + n] += w[q] * detJ * kq * (G @ G.T)
 
     # ---- interior faces (geometry-driven: handles hanging nodes too) ----
     for f in range(len(mesh.faces)):
@@ -124,10 +133,16 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
             xo[ax] = 0.0
             vi = _phi(nodes_i, xi)
             vo = _phi(nodes_o, xo)
-            # physical normal derivative, normal = +e_ax
-            dni = _grad_phi(nodes_i, xi, hi)[:, ax]
-            dno = _grad_phi(nodes_o, xo, ho)[:, ax]
-            k = K(xphys)
+            # physical co-normal derivative (K grad phi).n, normal = +e_ax
+            kq = K(xphys)
+            if np.ndim(kq) == 2:
+                dni = _grad_phi(nodes_i, xi, hi) @ kq[ax]
+                dno = _grad_phi(nodes_o, xo, ho) @ kq[ax]
+                k = 1.0
+            else:
+                dni = _grad_phi(nodes_i, xi, hi)[:, ax]
+                dno = _grad_phi(nodes_o, xo, ho)[:, ax]
+                k = kq
             z = tw[q] * fmeas
             M11 = -0.5 * k * (np.outer(vi, dni) + np.outer(dni, vi)) + mu * np.outer(vi, vi)
             M12 = -0.5 * k * np.outer(vi, dno) + 0.5 * k * np.outer(dni, vo) - mu * np.outer(vi, vo)
@@ -162,9 +177,14 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
             for q in range(len(tw)):
                 x = _face_point(tpts[q], ax, side, dim)
                 v = _phi(nodes, x)
-                dn = sign * _grad_phi(nodes, x, h)[:, ax]
                 xphys = mesh.lower[e] + x * h
-                k = K(xphys)
+                kq = K(xphys)
+                if np.ndim(kq) == 2:
+                    dn = sign * (_grad_phi(nodes, x, h) @ kq[ax])
+                    k = 1.0
+                else:
+                    dn = sign * _grad_phi(nodes, x, h)[:, ax]
+                    k = kq
                 z = tw[q] * fmeas
                 A[o:o + n, o:o + n] += z * (
                     -k * (np.outer(v, dn) + np.outer(dn, v)) + mu * np.outer(v, v)

@@ -6,6 +6,7 @@ fast GL assembler vs generic fufem assembler, ||dA||_F < 1e-11).
 
 import numpy as np
 import pytest
+import jax.numpy as jnp
 
 from hpdg_tpu import mesh as hmesh
 from hpdg_tpu.basis.dgbasis import DGBasis
@@ -239,3 +240,130 @@ def test_geom_scale_matches_rescaled_mesh(scaling):
         Ad = bm.to_dense(A, basis)
         A2d = bm.to_dense(A2, basis2)
         assert frob_close(Ad, A2d, 1e-12), (cells, scaling)
+
+
+def _spd_tensor_2d(x):
+    """Smooth SPD tensor field K(x) (2D), genuinely anisotropic/rotated."""
+    import jax.numpy as jnp
+    a = 1.5 + jnp.sin(x[..., 0])
+    b = 0.5 * jnp.cos(x[..., 1])
+    c = 2.0 + x[..., 0] * x[..., 1]
+    return jnp.stack([jnp.stack([a, b], -1),
+                      jnp.stack([b, c], -1)], -2)
+
+
+def _spd_tensor_3d(x):
+    import jax.numpy as jnp
+    d = x.shape[-1]
+    eye = jnp.eye(d)
+    # K = (2 + sin) I + 0.4 * v v^T with v = (1,1,..)/sqrt(d): SPD
+    s = 2.0 + jnp.sin(x[..., 0] + x[..., 1])
+    v = jnp.ones(d) / jnp.sqrt(d)
+    return s[..., None, None] * eye + 0.4 * jnp.outer(v, v)
+
+
+@pytest.mark.parametrize("cells,degs,diri,kfun", [
+    ((3, 3), [1, 2, 3], True, _spd_tensor_2d),
+    ((3, 2), [2], False, _spd_tensor_2d),
+    ((2, 2, 2), [1, 2], True, _spd_tensor_3d),
+])
+def test_tensor_diffusion_vs_oracle(cells, degs, diri, kfun):
+    """MATRIX-valued diffusion (anisotropic medium / general-geometry
+    pullback): assembled operator matches the per-element oracle.  The
+    reference reads jacobianInverseTransposed per quad point
+    (gausslobattoipdgassembler.hh:320-364); the tensor coefficient is
+    the same mathematics as a data field."""
+    rng = np.random.default_rng(11)
+    m = hmesh.structured(cells)
+    basis = DGBasis(m, rng.choice(degs, size=m.n_elements))
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=diri, diffusion=kfun)
+    Ad = bm.to_dense(A, basis)
+
+    def K(x):
+        return np.asarray(kfun(jnp.asarray(x)))
+    Aref = oracle.sipg_matrix(basis, penalty=2.0, dirichlet=diri,
+                              diffusion=K)
+    assert np.linalg.norm(Ad - Aref) / np.linalg.norm(Aref) < 1e-11
+    # symmetry (K symmetric => SIPG symmetric)
+    assert np.abs(Ad - Ad.T).max() < 1e-11
+
+
+def test_tensor_diffusion_hanging_nodes_vs_oracle():
+    """Tensor diffusion on a 2:1 hanging-node mesh (tang-mapped Dall
+    traces on the coarse side)."""
+    from hpdg_tpu.mesh.adaptive import refine_local
+    m0 = hmesh.structured((2, 2))
+    m = refine_local(m0, np.array([True, False, False, True]))
+    basis = DGBasis(m, np.full(m.n_elements, 2))
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                         diffusion=_spd_tensor_2d)
+    Ad = bm.to_dense(A, basis)
+
+    def K(x):
+        return np.asarray(_spd_tensor_2d(jnp.asarray(x)))
+    Aref = oracle.sipg_matrix(basis, penalty=2.0, dirichlet=True,
+                              diffusion=K)
+    assert np.linalg.norm(Ad - Aref) / np.linalg.norm(Aref) < 1e-11
+
+
+def test_scalar_tensor_consistency():
+    """K = k*I as a tensor must equal the scalar-diffusion assembly."""
+    m = hmesh.structured((3, 3))
+    basis = DGBasis(m, np.full(9, 3))
+    ks = lambda x: 2.0 + x[..., 0]  # noqa: E731
+
+    def kt(x):
+        return ks(x)[..., None, None] * jnp.eye(2)
+    A1 = bm.to_dense(assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                                      diffusion=ks), basis)
+    A2 = bm.to_dense(assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                                      diffusion=kt), basis)
+    assert np.abs(A1 - A2).max() < 1e-12
+
+
+def test_affine_pullback_matches_stretched_mesh():
+    """General-geometry reduction: the Laplacian on an axis-stretched
+    image mesh Phi(x) = diag(s) x equals the tensor-coefficient problem
+    K = det(S) S^-2 on the unit box mesh (for diagonal maps both sides
+    are assemblable -> exact cross-check of the pullback identity)."""
+    s = np.array([2.0, 0.5])
+    m_ref = hmesh.structured((3, 2))
+    m_img = hmesh.structured((3, 2), upper=(3 * 0, 0))  # placeholder
+    m_img = hmesh.from_boxes(m_ref.lower * s, m_ref.extent * s)
+    basis_ref = DGBasis(m_ref, np.full(6, 2))
+    basis_img = DGBasis(m_img, np.full(6, 2))
+    detS = float(np.prod(s))
+
+    def K(x):
+        return jnp.broadcast_to(jnp.diag(jnp.asarray(detS / s**2)),
+                                x.shape[:-1] + (2, 2))
+    # penalty terms scale differently under the map, so compare the
+    # CONSISTENCY part only: assemble with penalty=0, no dirichlet
+    A_pull = bm.to_dense(assemble_laplace(basis_ref, penalty=0.0,
+                                          diffusion=K), basis_ref)
+    A_img = bm.to_dense(assemble_laplace(basis_img, penalty=0.0), basis_img)
+    assert np.linalg.norm(A_pull - A_img) / np.linalg.norm(A_img) < 1e-12
+
+
+def test_pullback_diffusion_helper():
+    """pullback_diffusion(F): rotated affine map — the pulled-back
+    operator is symmetric, and for rotations (det=1, F^-1 F^-T = I) it
+    reduces to the plain Laplacian."""
+    from hpdg_tpu.assemble import pullback_diffusion
+    th = 0.3
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    m = hmesh.structured((3, 2))
+    basis = DGBasis(m, np.full(6, 2))
+    A_rot = bm.to_dense(assemble_laplace(
+        basis, penalty=2.0, dirichlet=True,
+        diffusion=pullback_diffusion(R)), basis)
+    A_eye = bm.to_dense(assemble_laplace(basis, penalty=2.0, dirichlet=True),
+                        basis)
+    assert np.abs(A_rot - A_eye).max() < 1e-12
+    # a shear map gives a genuinely different, still symmetric operator
+    S = np.array([[1.0, 0.7], [0.0, 1.0]])
+    A_sh = bm.to_dense(assemble_laplace(
+        basis, penalty=2.0, dirichlet=True,
+        diffusion=pullback_diffusion(S)), basis)
+    assert np.abs(A_sh - A_sh.T).max() < 1e-11
+    assert np.linalg.norm(A_sh - A_eye) > 1e-2

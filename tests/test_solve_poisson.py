@@ -142,3 +142,35 @@ def test_block_jacobi_preconditioning_accelerates_cg():
     # block Jacobi roughly halves kappa for this config (44 vs 65 iters)
     assert int(info_p["iterations"]) < 0.75 * int(info_n["iterations"]), \
         (int(info_p["iterations"]), int(info_n["iterations"]))
+
+
+def test_anisotropic_tensor_mg_solve():
+    """End-to-end: -div(K grad u) = f with a rotated anisotropic TENSOR
+    K solved by the Galerkin hp-multigrid to 1e-10 (general-geometry /
+    anisotropic-media path)."""
+    import jax.numpy as jnp
+    from hpdg_tpu.solvers.multigrid import multigrid_solver
+    from hpdg_tpu.solvers.cg import loop_solve
+
+    th = 0.5
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    K0 = R @ np.diag([5.0, 0.5]) @ R.T
+
+    def K(x):
+        return jnp.broadcast_to(jnp.asarray(K0), x.shape[:-1] + (2, 2))
+
+    m = hmesh.structured((8, 8))
+    basis = DGBasis(m, np.full(64, 3))
+    # sigma must dominate the co-normal diffusion scale (lambda_max = 5)
+    # for SIPG coercivity -- same convention as the reference, where
+    # sigma is a user input (variableipdg.hh:253-255); penalty=2 is
+    # verifiably INDEFINITE here (min eig -7.9), penalty=12 SPD
+    A = assemble_laplace(basis, penalty=12.0, dirichlet=True, diffusion=K,
+                         penalty_scaling="normal")
+    b = l2_functional(basis, lambda x: jnp.ones_like(x[..., 0]))
+    step, _ = multigrid_solver(basis, A)
+    x, info = loop_solve(step, bv.zeros_like(b), b,
+                         matvec_fn=lambda v: bm.matvec(A, v), tol=1e-11,
+                         maxiter=80)
+    r = bv.sub(b, bm.matvec(A, x))
+    assert float(bv.norm(r)) / float(bv.norm(b)) < 1e-8
