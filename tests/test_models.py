@@ -63,3 +63,26 @@ def test_obstacle_problem_preset():
     assert max(info["truncated"]) > 0
     for p in x:
         assert np.all(np.asarray(x[p]) >= -0.2 - 1e-9)
+
+
+def test_poisson_problem_tensor_diffusion():
+    """The Poisson preset carries TENSOR coefficients end-to-end
+    (anisotropic medium / affine-geometry pullback)."""
+    import jax.numpy as jnp
+    from hpdg_tpu.assemble import pullback_diffusion
+    S = np.array([[1.0, 0.4], [0.0, 1.0]])  # shear map
+    m = hmesh.structured((6, 6))
+    basis = DGBasis(m, np.full(36, 2))
+    prob = PoissonProblem(basis, penalty=4.0, dirichlet=True,
+                                 diffusion=pullback_diffusion(S))
+    b = prob.rhs(lambda x: jnp.ones_like(x[..., 0]))
+    x, info = prob.solve(b, tol=1e-10, maxiter=80)
+    from hpdg_tpu.linalg import blockmatrix as bm, blockvector as bv
+    r = bv.sub(b, bm.matvec(prob.A, x))
+    assert float(bv.norm(r)) / float(bv.norm(b)) < 1e-8
+    # matrix-free apply agrees with the assembled operator
+    op = prob.operator()
+    y1, y2 = op(x), bm.matvec(prob.A, x)
+    err = max(np.abs(np.asarray(y1[p]) - np.asarray(y2[p])).max()
+              for p in y1)
+    assert err < 1e-11
