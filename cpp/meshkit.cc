@@ -152,13 +152,19 @@ extern "C" int hpdg_build_faces(
         const Key6 &k = keys[2 * e + half];
         bool found = false;
         for (int sub = 0; sub < (1 << nt) && !found; ++sub) {
+          // probe keys quantize FLOAT arithmetic: llround(2*te*s) !=
+          // 2*llround(te*s) for extents like 1/3 — integer doubling
+          // silently missed valid 2:1 matches
           Key6 big{};
           big.v[0] = k.v[0];
-          for (int t = 0; t < nt; ++t) {
+          int t = 0;
+          for (int a = 0; a < dim; ++a) {
+            if (a == axis) continue;
             int bit = (sub >> (nt - 1 - t)) & 1;
-            int64_t tl = k.v[1 + 2 * t], te = k.v[2 + 2 * t];
-            big.v[1 + 2 * t] = tl - bit * te;
-            big.v[2 + 2 * t] = 2 * te;
+            double tl = lower[e * dim + a], te = extent[e * dim + a];
+            big.v[1 + 2 * t] = (int64_t)llround((tl - bit * te) * scale);
+            big.v[2 + 2 * t] = (int64_t)llround(2.0 * te * scale);
+            ++t;
           }
           big.v[5] = (1 - half) + 1;
           int64_t eb = table.find(big);

@@ -151,6 +151,13 @@ def _build_faces(lower: np.ndarray, extent: np.ndarray) -> tuple[Faces, Boundary
         plane = keys[mb, 0]
         tlow = keys[mb, 1::2]
         text = keys[mb, 2::2]
+        # FLOAT tangential data for probe-key construction: the probe must
+        # quantize the float arithmetic (rint((tl - bit*te)*s),
+        # rint(2*te*s)), NOT do integer arithmetic on quantized values —
+        # rint(2x*s) != 2*rint(x*s) for extents like 1/3, which silently
+        # broke valid 2:1 matches
+        tlowf = lower[mb % n][:, tang]
+        textf = extent[mb % n][:, tang]
         # big-face lookup: (plane, half, lower..., ext...) -> leftover idx
         lookup = {}
         for k in range(len(mb)):
@@ -165,9 +172,11 @@ def _build_faces(lower: np.ndarray, extent: np.ndarray) -> tuple[Faces, Boundary
             # (a big face pairs with up to 2^(dim-1) small faces)
             for sub in range(2**nt):
                 bits = [(sub >> (nt - 1 - t)) & 1 for t in range(nt)]
-                big_low = tuple(tlow[k, t] - bits[t] * text[k, t]
+                big_low = tuple(int(np.rint(
+                    (tlowf[k, t] - bits[t] * textf[k, t]) * scale))
+                    for t in range(nt))
+                big_ext = tuple(int(np.rint(2.0 * textf[k, t] * scale))
                                 for t in range(nt))
-                big_ext = tuple(2 * text[k, t] for t in range(nt))
                 kk = lookup.get((plane[k], 1 - half) + big_low + big_ext)
                 if kk is not None:
                     matched[k] = True

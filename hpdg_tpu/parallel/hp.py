@@ -144,7 +144,7 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
                      dirichlet: bool = True, dtype=jnp.float64,
                      penalty_scaling: str = "measure",
                      axis_name: str = "x",
-                     device_grid=None) -> HPSharded:
+                     device_grid=None, diffusion=None) -> HPSharded:
     """Build the sharded mixed-degree SIPG apply for a structured mesh.
 
     ``degrees``: global per-element degree array (element order of
@@ -252,7 +252,8 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
     return _finish_sharded(gmesh, degrees, shards, channels, send_ids,
                            devices, device_grid, axes, penalty, dirichlet,
                            dtype, penalty_scaling, cells=cells,
-                           n_local=n_local, layer=layer)
+                           n_local=n_local, layer=layer,
+                           diffusion=diffusion)
 
 
 def slab_partition(gmesh, ndev: int, axis: int = 0) -> np.ndarray:
@@ -298,7 +299,7 @@ def build_hp_sharded_general(gmesh, degrees, devices=None,
                              dtype=jnp.float64,
                              penalty_scaling: str = "measure",
                              axis_name: str = "x",
-                             elem_shard=None) -> HPSharded:
+                             elem_shard=None, diffusion=None) -> HPSharded:
     """Sharded mixed-degree SIPG on a GENERAL box mesh — including 2:1
     hanging-node meshes from adaptive refinement (the sharded analog of
     the reference's arbitrary-partition hp communication,
@@ -363,12 +364,13 @@ def build_hp_sharded_general(gmesh, degrees, devices=None,
                            devices, (ndev,), (axis_name,), penalty, dirichlet,
                            dtype, penalty_scaling, cells=None,
                            n_local=max(len(sh["own"]) for sh in shards),
-                           layer=0)
+                           layer=0, diffusion=diffusion)
 
 
 def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                     device_grid, axes, penalty, dirichlet, dtype,
-                    penalty_scaling, cells, n_local, layer) -> HPSharded:
+                    penalty_scaling, cells, n_local, layer,
+                    diffusion=None) -> HPSharded:
     """Common tail of the sharded builders: pad class sets across shards,
     build the stacked per-shard plan data, and compile the SPMD body.
 
@@ -381,6 +383,12 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
     """
     dim = gmesh.dim
     ndev = len(shards)
+    if diffusion is not None:
+        kp = np.asarray(diffusion(jnp.full((1, dim), 0.5)))
+        if kp.ndim >= 3:
+            raise NotImplementedError(
+                "sharded operators support scalar diffusion; tensor media "
+                "go through the serial assembled path for now")
     DEG = tuple(sorted(int(d) for d in np.unique(degrees)))
     CHS = sorted(channels)
     n_own = [len(sh["own"]) for sh in shards]
@@ -429,6 +437,8 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
     data = {"ext_kind": {}, "ext_idx": {}, "send": {},
             "bulk_coef": {}, "ownmask": {}, "dinv": {}, "diag": {},
             "fg": {}, "bg": {}}
+    if diffusion is not None:
+        data["bulk_k"] = {}
     owned_slots = {}
     for p in DEG:
         ek = np.zeros((ndev, m_ext[p]), _I)
@@ -439,6 +449,10 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
         bs = (p + 1) ** dim
         dv = np.zeros((ndev, m_own[p], bs, bs))
         dr = np.broadcast_to(np.eye(bs), (ndev, m_own[p], bs, bs)).copy()
+        if diffusion is not None:
+            vtp = tensor.volume_tables(p, dim, p + 2,
+                                       family=shards[0]["ebasis"].family)
+            bk = np.zeros((ndev, m_own[p], len(vtp["weights"])))
         for s, sh in enumerate(shards):
             eb = sh["ebasis"]
             own = sh["own"]
@@ -477,11 +491,16 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
             ext = gmesh.extent[own_p]
             if no:
                 bc[s, :no] = np.prod(ext, axis=1)[:, None] / ext**2
+                if diffusion is not None:
+                    xq = (gmesh.lower[own_p][:, None, :]
+                          + vtp["points"][None, :, :] * ext[:, None, :])
+                    bk[s, :no] = np.asarray(diffusion(jnp.asarray(xq)))
             # diagonal blocks (from the extended mesh: includes interface
             # and true domain-boundary faces; ghost blocks unused)
             D = sipg_diagonal_blocks(sh["ebasis"], penalty=penalty,
                                      dirichlet=dirichlet, plan=sh["plan"],
                                      penalty_scaling=penalty_scaling,
+                                     diffusion=diffusion,
                                      dtype=jnp.float64)
             if p in D and no:
                 dr[s, :no] = np.asarray(D[p])[:no]
@@ -494,6 +513,8 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
         data["ownmask"][p] = om
         data["dinv"][p] = dv
         data["diag"][p] = dr
+        if diffusion is not None:
+            data["bulk_k"][p] = bk
 
     for c in FCLS:
         pi, po, ax, ncc = c
@@ -504,6 +525,10 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                    tgt_out=np.full((ndev, F), m_own[po], _I),
                    fmeas=np.zeros((ndev, F)), pen=np.zeros((ndev, F)),
                    ihi=np.zeros((ndev, F)), iho=np.zeros((ndev, F)))
+        if diffusion is not None:
+            ebasis_c, fg_c = rep[c]
+            fin_c, _ = face_group_tables(ebasis_c, fg_c, max(pi, po) + 2)
+            arr["kq"] = np.zeros((ndev, F, len(fin_c["weights"])))
         for s, sh in enumerate(shards):
             for fg in sh["plan"].face_groups:
                 if (fg.p_in, fg.p_out, fg.axis, fg.nc_code) != c:
@@ -524,6 +549,11 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                 arr["iho"][s, :k] = fg.inv_h_out
                 arr["pen"][s, :k] = penalty_coef(fg, penalty, max(pi, po),
                                                  penalty_scaling)
+                if diffusion is not None:
+                    from hpdg_tpu.assemble.plan import face_phys_points
+                    xq = face_phys_points(sh["ebasis"], fg, fin_c["points"])
+                    arr["kq"][s, :k] = np.asarray(
+                        diffusion(jnp.asarray(xq)))
         data["fg"][c] = arr
 
     for c in BCLS:
@@ -533,6 +563,10 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                    tgt=np.full((ndev, B), m_own[p], _I),
                    fmeas=np.zeros((ndev, B)), pen=np.zeros((ndev, B)),
                    ih=np.zeros((ndev, B)))
+        if diffusion is not None:
+            ftc = tensor.face_tables(p, dim, ax, side, p + 2,
+                                     family=shards[0]["ebasis"].family)
+            arr["kq"] = np.zeros((ndev, B, len(ftc["weights"])))
         for s, sh in enumerate(shards):
             for bg in sh["plan"].boundary_groups:
                 if (bg.p, bg.axis, bg.side) != c:
@@ -547,6 +581,20 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                 arr["ih"][s, :k] = bg.inv_h[keep]
                 arr["pen"][s, :k] = boundary_penalty_coef(
                     bg, penalty, penalty_scaling)[keep]
+                if diffusion is not None:
+                    em = sh["emesh"]
+                    els = elems[keep]
+                    lo = em.lower[els].copy()
+                    if side == 1:
+                        lo[:, ax] += em.extent[els, ax]
+                    tangs = [a_ for a_ in range(dim) if a_ != ax]
+                    xq = np.repeat(lo[:, None, :], len(ftc["weights"]),
+                                   axis=1)
+                    for t_, a_ in enumerate(tangs):
+                        xq[:, :, a_] += (ftc["points"][None, :, t_]
+                                         * em.extent[els, a_][:, None])
+                    arr["kq"][s, :k] = np.asarray(
+                        diffusion(jnp.asarray(xq)))
         data["bg"][c] = arr
 
     # ---------------- static trace tables ----------------
@@ -607,12 +655,18 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
             wq = jnp.asarray(vt["weights"], dtype).reshape(
                 (len(t1.qweights),) * dim)
             coef = d["bulk_coef"][p]
+            kq = None
+            if "bulk_k" in d:
+                kq = d["bulk_k"][p].astype(dtype).reshape(
+                    (x[p].shape[0],) + wq.shape)
             out = 0.0
             for a in range(dim):
                 tabs = [J(D) if b == a else J(V) for b in range(dim)]
                 du = jnp.einsum(fwd, u, *tabs, preferred_element_type=dtype)
                 g = du * wq[None] * coef[:, a].astype(dtype).reshape(
                     (-1,) + (1,) * dim)
+                if kq is not None:
+                    g = g * kq
                 out = out + jnp.einsum(bwd, g, *tabs,
                                        preferred_element_type=dtype)
             yb = out.reshape(x[p].shape)
@@ -633,10 +687,11 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
             avg = 0.5 * (dninq + dnoutq)
             zw = a["fmeas"].astype(dtype)[:, None] * w[None, :]
             penw = a["pen"].astype(dtype)[:, None] * w[None, :]
-            t1_in = -zw * avg + penw * jump
-            t2_in = zw * (-0.5 * jump) * a["ihi"].astype(dtype)[:, None]
-            t1_out = zw * avg - penw * jump
-            t2_out = zw * (-0.5 * jump) * a["iho"].astype(dtype)[:, None]
+            kf = a["kq"].astype(dtype) if "kq" in a else 1.0
+            t1_in = -zw * (kf * avg) + penw * jump
+            t2_in = zw * (-0.5 * kf * jump) * a["ihi"].astype(dtype)[:, None]
+            t1_out = zw * (kf * avg) - penw * jump
+            t2_out = zw * (-0.5 * kf * jump) * a["iho"].astype(dtype)[:, None]
             y[pi] = y[pi].at[a["tgt_in"]].add(t1_in @ Vi.T + t2_in @ Di.T)
             y[po] = y[po].at[a["tgt_out"]].add(t1_out @ Vo.T + t2_out @ Do.T)
         # Dirichlet boundary per class
@@ -650,8 +705,9 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
             dnq = (u @ D) * (sign * a["ih"].astype(dtype))[:, None]
             zw = a["fmeas"].astype(dtype)[:, None] * w[None, :]
             penw = a["pen"].astype(dtype)[:, None] * w[None, :]
-            t1 = -zw * dnq + penw * uq
-            t2 = zw * (-uq) * (sign * a["ih"].astype(dtype))[:, None]
+            kf = a["kq"].astype(dtype) if "kq" in a else 1.0
+            t1 = -zw * (kf * dnq) + penw * uq
+            t2 = zw * (-(kf * uq)) * (sign * a["ih"].astype(dtype))[:, None]
             y[p] = y[p].at[a["tgt"]].add(t1 @ V.T + t2 @ D.T)
         # drop dump rows, zero padding rows
         return {p: y[p][:m_own[p]] * d["ownmask"][p].astype(dtype)[:, None]

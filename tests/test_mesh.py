@@ -87,3 +87,30 @@ def test_unmatched_interior_faces_raise():
     # the 4:1 interface is (mis)classified as boundary, as before; only
     # the 3 conforming faces among the quarter-cells remain interior
     assert len(m.faces) == 3
+
+
+def test_2to1_matching_thirds_extents():
+    """Regression: 2:1 probe keys must quantize FLOAT arithmetic —
+    rint(2x*s) != 2*rint(x*s) for extents like 1/3, which used to make
+    valid hanging-node faces fail to match (caught by the strict
+    topology validator)."""
+    import numpy as np
+    from hpdg_tpu import mesh as hmesh
+    from hpdg_tpu.mesh.adaptive import refine_local, close_marks
+    from hpdg_tpu.mesh.structured import from_boxes
+    rng = np.random.default_rng(21)
+    m0 = hmesh.structured((8, 3))  # y-extent 1/3: the rounding trap
+    g = refine_local(m0, close_marks(m0, rng.random(24) < 0.3))
+    assert g.faces.nc_code.max() > 0
+    # python and native matchers agree exactly
+    g2 = from_boxes(g.lower, g.extent, topology="native")
+    if g2 is not None:
+        fs = lambda m: set(zip(m.faces.inside.tolist(),  # noqa: E731
+                               m.faces.outside.tolist(),
+                               m.faces.axis.tolist(),
+                               m.faces.nc_code.tolist()))
+        assert fs(g) == fs(g2)
+    # 3D thirds too
+    m3 = hmesh.structured((4, 3, 3))
+    g3 = refine_local(m3, close_marks(m3, rng.random(36) < 0.3))
+    assert np.isclose(g3.volumes.sum(), 1.0)

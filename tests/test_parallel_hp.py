@@ -419,3 +419,44 @@ def test_sharded_tnnmg_matches_serial():
     en = info_p["energy"]
     assert all(b2 <= a2 + 1e-12 for a2, b2 in zip(en, en[1:]))
     assert max(info_p["truncated"]) > 0  # the obstacle is genuinely active
+
+
+@pytest.mark.parametrize("builder", ["lattice", "general"])
+def test_hp_sharded_variable_diffusion_matches_serial(builder):
+    """Spatially varying scalar diffusion K(x) through the sharded
+    operator (bulk + face + boundary K plan data): equals the serial
+    coefficient operator (IPDGCoefficientOperator analog, multi-chip)."""
+    from hpdg_tpu.parallel.hp import build_hp_sharded_general
+
+    def K(x):
+        return 1.0 + 0.5 * jnp.sin(3.0 * x[..., 0]) * x[..., 1]
+
+    rng = np.random.default_rng(21)
+    cells = (8, 3)
+    dim = 2
+    if builder == "lattice":
+        gmesh = hmesh.structured(cells)
+        degrees = rng.choice([2, 3], size=gmesh.n_elements)
+        prob = build_hp_sharded(cells, degrees, devices=jax.devices()[:4],
+                                penalty=2.0, dirichlet=True,
+                                penalty_scaling="normal", diffusion=K)
+    else:
+        from hpdg_tpu.mesh.adaptive import refine_local, close_marks
+        m0 = hmesh.structured(cells)
+        gmesh = refine_local(m0, close_marks(m0, rng.random(24) < 0.3))
+        degrees = rng.choice([2, 3], size=gmesh.n_elements)
+        prob = build_hp_sharded_general(gmesh, degrees,
+                                        devices=jax.devices()[:4],
+                                        penalty=2.0, dirichlet=True,
+                                        penalty_scaling="normal",
+                                        diffusion=K)
+    gbasis = DGBasis(gmesh, degrees)
+    op = sipg_operator(gbasis, penalty=2.0, dirichlet=True, diffusion=K,
+                       penalty_scaling="normal")
+    x = {p: jnp.asarray(rng.standard_normal(
+        (gbasis.bucket_size(p), (p + 1) ** dim)))
+        for p in gbasis.bucket_degrees}
+    y_ref = op(x)
+    ys = prob.apply(prob.scatter_global(x, gbasis))
+    yg = prob.gather_global(ys, gbasis)
+    assert _rel_err(y_ref, yg) < 1e-11
