@@ -23,8 +23,12 @@ from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
 def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
                         penalty: float = 2.0, dirichlet: bool = False,
                         dtype=jnp.float64, plan: AssemblyPlan | None = None,
-                        penalty_scaling: str = "measure"):
-    """Returns apply: {p: [n, dim*(p+1)^dim]} -> same (jit-safe)."""
+                        penalty_scaling: str = "measure",
+                        include_bulk: bool = True):
+    """Returns apply: {p: [n, dim*(p+1)^dim]} -> same (jit-safe).
+
+    ``include_bulk=False`` gives the skeleton/boundary terms only (used
+    by the sharded layer's masked boundary corrections)."""
     plan = plan or build_plan(basis)
     mesh = basis.mesh
     d = mesh.dim
@@ -70,8 +74,11 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
 
     def apply(x):
         y = {}
+        if not include_bulk:
+            y = {p: jnp.zeros_like(x[p]) for p in x}
         # -------- bulk: 2 mu eps(u):eps(v) + lam div div --------
-        for p, (G, w, ext, detJ) in bulk_prep.items():
+        for p, (G, w, ext, detJ) in (bulk_prep.items() if include_bulk
+                                     else ()):
             nl = (p + 1) ** d
             u = x[p].reshape(-1, d, nl)
             n = u.shape[0]

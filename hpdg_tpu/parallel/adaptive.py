@@ -41,9 +41,17 @@ def sharded_adaptive_solve(mesh0, degrees0, f, devices=None,
                            cycles: int = 3, frac: float = 0.3,
                            penalty: float = 2.0,
                            penalty_scaling: str = "normal",
-                           cg_iters: int = 300, dtype=jnp.float64):
+                           cg_iters: int = 300, dtype=jnp.float64,
+                           hp_mode: bool = False,
+                           smooth_cut: float = 0.5, max_p: int = 6):
     """Run ``cycles`` sharded adaptive cycles of the SIPG Poisson problem
     -Δu = f with homogeneous Dirichlet data.
+
+    ``hp_mode``: apply the Legendre-decay smoothness indicator to every
+    marked element (Houston & Süli rule, smoothnessindicator.hh:12-41):
+    indicator < ``smooth_cut`` ⇒ raise the element's degree (up to
+    ``max_p``); otherwise h-refine — the sharded analog of the serial
+    hp workflow in examples/adaptive_lshape.py.
 
     Returns ``(mesh, degrees, x, info)`` where ``x`` is the final serial
     bucketed solution and ``info`` records per cycle: element count,
@@ -80,10 +88,18 @@ def sharded_adaptive_solve(mesh0, degrees0, f, devices=None,
         x_serial = xg
         if c == cycles - 1:
             break
-        # mark + refine + migrate (re-layout happens on the next build)
-        marks = close_marks(mesh, mark_fraction(eta, frac))
+        # mark + hp decision + refine + migrate (re-layout on next build)
+        marks = mark_fraction(eta, frac)
+        new_deg = np.asarray(degrees).copy()
+        if hp_mode:
+            from hpdg_tpu.estimators.smoothness import smoothness_indicator
+            smooth = smoothness_indicator(gbasis, xg)
+            raise_p = marks & (smooth < smooth_cut) & (new_deg < max_p)
+            new_deg[raise_p] += 1
+            marks = marks & ~raise_p
+        marks = close_marks(mesh, marks)
         saved = save_state(gbasis, xg)
         mesh = refine_local(mesh, marks)
-        degrees = degrees_after_refine(degrees, mesh)
+        degrees = degrees_after_refine(new_deg, mesh)
         x_serial = interpolate_to(saved, DGBasis(mesh, degrees), dtype=dtype)
     return mesh, degrees, x_serial, info

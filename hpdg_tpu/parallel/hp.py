@@ -899,7 +899,7 @@ def build_hp_sharded_pmg(cells, degrees, devices=None, penalty: float = 2.0,
                          dirichlet: bool = True, dtype=jnp.float64,
                          penalty_scaling: str = "measure",
                          cheb_degree: int = 3, device_grid=None,
-                         gmesh=None,
+                         gmesh=None, diffusion=None,
                          coarse_cg_iters: int = 60) -> HPShardedPMG:
     """Sharded mixed-degree p-multigrid: level degree maps follow the
     reference's min(k_e, order) with order halving to 1
@@ -930,13 +930,15 @@ def build_hp_sharded_pmg(cells, degrees, devices=None, penalty: float = 2.0,
         probs = [build_hp_sharded_general(
             gmesh, d, devices=devices_, penalty=penalty,
             dirichlet=dirichlet, dtype=dtype,
-            penalty_scaling=penalty_scaling, elem_shard=shard)
+            penalty_scaling=penalty_scaling, elem_shard=shard,
+            diffusion=diffusion)
             for d in dmaps]
     else:
         probs = [build_hp_sharded(cells, d, devices=devices, penalty=penalty,
                                   dirichlet=dirichlet, dtype=dtype,
                                   penalty_scaling=penalty_scaling,
-                                  device_grid=device_grid)
+                                  device_grid=device_grid,
+                                  diffusion=diffusion)
                  for d in dmaps]
     axis_name = probs[0].axis_name
     transfers = [_hp_transfer(probs[l + 1], probs[l], dmaps[l + 1], dmaps[l],

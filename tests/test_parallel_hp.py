@@ -460,3 +460,65 @@ def test_hp_sharded_variable_diffusion_matches_serial(builder):
     ys = prob.apply(prob.scatter_global(x, gbasis))
     yg = prob.gather_global(ys, gbasis)
     assert _rel_err(y_ref, yg) < 1e-11
+
+
+def test_sharded_hp_adaptive_loop():
+    """Sharded hp-adaptivity: the smoothness indicator drives the
+    p-vs-h decision across devices (serial hp workflow of
+    examples/adaptive_lshape.py, multi-chip).  Both branches are
+    exercised: with the default cut a smooth problem raises p and keeps
+    the mesh; with the cut at 0 every marked element h-refines."""
+    from hpdg_tpu.parallel.adaptive import sharded_adaptive_solve
+
+    def f(x):
+        return jnp.ones_like(x[..., 0])
+
+    m0 = hmesh.structured((16, 4))
+    # smooth branch: p grows, mesh unchanged (solution is analytic)
+    mesh, degrees, x, info = sharded_adaptive_solve(
+        m0, np.full(64, 2), f, devices=jax.devices()[:8], cycles=3,
+        frac=0.3, penalty=2.0, penalty_scaling="normal", cg_iters=250,
+        hp_mode=True)
+    assert info["eta"][-1] < info["eta"][0]
+    assert all(r < 1e-9 for r in info["residual"])
+    assert degrees.max() > 2
+    assert mesh.n_elements == 64
+    # rough branch: forcing the indicator to classify rough h-refines
+    mesh2, degrees2, _, info2 = sharded_adaptive_solve(
+        m0, np.full(64, 2), f, devices=jax.devices()[:8], cycles=2,
+        frac=0.3, penalty=2.0, penalty_scaling="normal", cg_iters=250,
+        hp_mode=True, smooth_cut=0.0)
+    assert mesh2.n_elements > 64
+    assert degrees2.max() == 2
+
+
+@pytest.mark.parametrize("cells,p,ndev,diri,scaling", [
+    ((8, 3), 2, 8, True, "normal"),
+    ((8, 3), 3, 4, False, "measure"),
+    ((8, 2, 2), 2, 4, True, "normal"),
+])
+def test_sharded_elasticity_matches_serial(cells, p, ndev, diri, scaling):
+    """Multi-chip linear elasticity (BASELINE config 4 on the device
+    mesh): extended-template apply + ppermute halo + masked boundary
+    corrections equals the serial vector-valued operator."""
+    from hpdg_tpu.parallel.elasticity import build_sharded_elasticity
+    from hpdg_tpu.matrixfree.elasticity import elasticity_operator
+
+    dim = len(cells)
+    n = int(np.prod(cells))
+    gbasis = DGBasis(hmesh.structured(cells), np.full(n, p))
+    op = elasticity_operator(gbasis, mu=1.0, lam=2.0, penalty=8.0,
+                             dirichlet=diri, penalty_scaling=scaling)
+    rng = np.random.default_rng(1887)
+    bs = dim * (p + 1) ** dim
+    x = {p: jnp.asarray(rng.standard_normal((n, bs)))}
+    y_ref = np.asarray(op(x)[p])
+
+    prob = build_sharded_elasticity(cells, p, mu=1.0, lam=2.0,
+                                    devices=jax.devices()[:ndev],
+                                    penalty=8.0, dirichlet=diri,
+                                    penalty_scaling=scaling)
+    xs = jax.device_put(x[p], prob.sharding)
+    ys = np.asarray(prob.apply(xs))
+    err = np.abs(ys - y_ref).max() / max(np.abs(y_ref).max(), 1.0)
+    assert err < 1e-11, err
