@@ -45,7 +45,7 @@ def solve_tnnmg_sharded(pmg: HPShardedPMG, b: dict, lo: dict, up: dict,
     parallel-weak, so the linear solve compensates — the reference's
     single MG step leans on its sequential nonlinear GS instead)."""
     fine = pmg.levels[-1]
-    dim = len(fine.cells)
+    dim = fine.ndim
     # padding rows sit at the trivial constraint lo = up = 0 and always
     # count as truncated — subtract them from the reported count
     n_pad_dofs = sum(

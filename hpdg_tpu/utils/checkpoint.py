@@ -87,3 +87,55 @@ def save_solver_state(path, x: dict, degrees, iteration: int = 0,
     if extra:
         meta.update(extra)
     save_sharded(path, x, meta)
+
+
+class SolverCheckpointManager:
+    """Rotating checkpoints for long iterative/adaptive runs: keep the
+    last ``max_to_keep`` iterates, save every ``save_every`` steps
+    (orbax CheckpointManager under the hood; sharded leaves write their
+    own shards)."""
+
+    def __init__(self, path, max_to_keep: int = 3, save_every: int = 1):
+        ocp = _ocp()
+        self._ocp = ocp
+        opts = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                            save_interval_steps=save_every)
+        self._mgr = ocp.CheckpointManager(Path(path).absolute(),
+                                          options=opts)
+
+    def save(self, step: int, x: dict) -> bool:
+        ok = self._mgr.save(step, args=self._ocp.args.StandardSave(
+            {str(k): v for k, v in x.items()}))
+        return bool(ok)
+
+    def steps(self):
+        return list(self._mgr.all_steps())
+
+    def latest_step(self):
+        return self._mgr.latest_step()
+
+    def restore(self, step: int | None = None, shardings: dict | None = None):
+        ocp = self._ocp
+        step = self._mgr.latest_step() if step is None else step
+        if shardings is not None:
+            import jax as _jax
+            meta = self._mgr.item_metadata(step)
+            tree = getattr(meta, "tree", meta)
+            tpl = {str(k): _jax.ShapeDtypeStruct(
+                tuple(tree[str(k)].shape), tree[str(k)].dtype, sharding=s)
+                for k, s in shardings.items()}
+            out = self._mgr.restore(step,
+                                    args=ocp.args.StandardRestore(tpl))
+        else:
+            out = self._mgr.restore(step)
+        res = {}
+        for k, v in out.items():
+            try:
+                res[int(k)] = v
+            except ValueError:
+                res[k] = v
+        return res
+
+    def close(self):
+        self._mgr.wait_until_finished()
+        self._mgr.close()

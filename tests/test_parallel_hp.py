@@ -522,3 +522,37 @@ def test_sharded_elasticity_matches_serial(cells, p, ndev, diri, scaling):
     ys = np.asarray(prob.apply(xs))
     err = np.abs(ys - y_ref).max() / max(np.abs(y_ref).max(), 1.0)
     assert err < 1e-11, err
+
+
+def test_sharded_tnnmg_on_hanging_node_mesh():
+    """Sharded obstacle solve over a general hanging-node mesh: the
+    full TNNMG machinery rides the general-mesh sharded hierarchy."""
+    from hpdg_tpu.assemble import assemble_laplace
+    from hpdg_tpu.solvers.tnnmg import solve_tnnmg
+    from hpdg_tpu.parallel.obstacle import solve_tnnmg_sharded
+    from hpdg_tpu.mesh.adaptive import refine_local, close_marks
+
+    rng = np.random.default_rng(13)
+    m0 = hmesh.structured((8, 4))
+    gmesh = refine_local(m0, close_marks(m0, rng.random(32) < 0.3))
+    degrees = rng.choice([2, 3], size=gmesh.n_elements)
+    gb = DGBasis(gmesh, degrees)
+    kw = dict(penalty=2.0, dirichlet=True, penalty_scaling="normal")
+    A = assemble_laplace(gb, **kw)
+    b = l2_functional(gb, lambda x: jnp.ones_like(x[..., 0]))
+    lo = {p: jnp.full_like(v, -jnp.inf) for p, v in b.items()}
+    up = {p: jnp.full_like(v, 0.008) for p, v in b.items()}
+
+    x_ser, info_s = solve_tnnmg(A, b, gb, lo, up, tol=1e-11, maxiter=120)
+
+    pmg = build_hp_sharded_pmg(None, degrees, devices=jax.devices()[:8],
+                               gmesh=gmesh, **kw)
+    fine = pmg.levels[-1]
+    x_sh, info_p = solve_tnnmg_sharded(
+        pmg, fine.scatter_global(b, gb), fine.scatter_global(lo, gb),
+        fine.scatter_global(up, gb), tol=1e-11, maxiter=60)
+    xg = fine.gather_global(x_sh, gb)
+    err = max(np.abs(np.asarray(x_ser[p]) - xg[p]).max() for p in x_ser)
+    assert err < 1e-9, err
+    assert abs(info_s["energy"][-1] - info_p["energy"][-1]) < 1e-10
+    assert max(info_p["truncated"]) > 0

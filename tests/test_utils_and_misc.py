@@ -127,3 +127,28 @@ def test_checkpoint_sharded_roundtrip(tmp_path):
         assert y[p].sharding == prob.shardings[p] or \
             y[p].sharding.is_equivalent_to(prob.shardings[p], y[p].ndim)
         assert np.array_equal(np.asarray(y[p]), np.asarray(x[p]))
+
+
+def test_checkpoint_manager_rotation(tmp_path):
+    """Rotating solver checkpoints: last max_to_keep survive; restore
+    places leaves back into the target shardings."""
+    import jax
+    import numpy as np
+    import pytest
+    from hpdg_tpu.parallel.hp import build_hp_sharded
+    from hpdg_tpu.utils.checkpoint import SolverCheckpointManager
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    prob = build_hp_sharded((8, 2), np.full(16, 2),
+                            devices=jax.devices()[:8])
+    mgr = SolverCheckpointManager(tmp_path / "run", max_to_keep=2)
+    for step in range(4):
+        x = {p: v + step for p, v in prob.zeros().items()}
+        assert mgr.save(step, x)
+    mgr._mgr.wait_until_finished()
+    assert mgr.steps() == [2, 3]
+    y = mgr.restore(shardings=prob.shardings)
+    for p in y:
+        assert float(np.asarray(y[p]).max()) == 3.0
+        assert y[p].sharding.is_equivalent_to(prob.shardings[p], y[p].ndim)
+    mgr.close()
