@@ -164,15 +164,20 @@ def main():
         log(f"# matrix-free bench failed: {e}")
 
     # ---- extra: fused Pallas uniform-SIPG apply ----
-    try:
-        from hpdg_tpu.ops.pallas_uniform import pallas_uniform_sipg_operator
-        pal = jax.jit(pallas_uniform_sipg_operator(basis2, penalty=2.0,
-                                                   dirichlet=True))
-        t_pal = timeit(pal, x)
-        log(f"# pallas fused apply ({n2}^3): {t_pal*1e3:.2f} ms -> "
-            f"{basis2.ndof/t_pal:,.0f} DOF/s")
-    except Exception as e:
-        log(f"# pallas bench failed: {e}")
+    # (one retry: the remote-compile service occasionally 500s under
+    # load; the kernel itself compiles fine — verified in isolation)
+    for attempt in (1, 2):
+        try:
+            from hpdg_tpu.ops.pallas_uniform import \
+                pallas_uniform_sipg_operator
+            pal = jax.jit(pallas_uniform_sipg_operator(basis2, penalty=2.0,
+                                                       dirichlet=True))
+            t_pal = timeit(pal, x)
+            log(f"# pallas fused apply ({n2}^3): {t_pal*1e3:.2f} ms -> "
+                f"{basis2.ndof/t_pal:,.0f} DOF/s")
+            break
+        except Exception as e:
+            log(f"# pallas bench attempt {attempt} failed: {e}")
 
     # ---- extra: multigrid, MEASURED time to <=1e-8 relative residual ----
     # Scheme: f32 V-cycles on the TPU inside an f64 iterative-refinement

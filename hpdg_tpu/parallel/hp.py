@@ -1321,3 +1321,230 @@ def build_hp_sharded_hmg(cells, degrees, h_levels: int = 1, devices=None,
         return run(nlev - 1, x, b)
 
     return HPShardedPMG(levels=probs, degree_maps=level_deg, step=step)
+
+
+# ---------------------------------------------------------------------------
+# sharded h-levels on GENERAL adaptive meshes (refinement-history chain)
+# ---------------------------------------------------------------------------
+
+def _geo_T(p: int, dim: int, scale, shift, family, dtype):
+    """Parent-basis-at-child-nodes transfer block for the affine embed
+    x_parent = shift + scale * x_child: (bs_child, bs_parent)."""
+    from hpdg_tpu.basis import lagrange
+    nodes = lagrange.nodes_1d(p, family)
+    mi = tensor.multiindices(p, dim)
+    xp = np.asarray(shift)[None, :] + nodes[mi] * np.asarray(scale)[None, :]
+    T = np.ones((len(mi), len(mi)))
+    for a in range(dim):
+        va = lagrange.lagrange_values(nodes, xp[:, a])  # (p+1, bs)
+        T = T * va[mi[:, a], :].T
+    return jnp.asarray(T, dtype)
+
+
+def _hp_h_transfer_general(probf: HPSharded, probc: HPSharded,
+                           fine_mesh, coarse_mesh, p: int, dtype):
+    """Sharded geometric transfer between an adaptively refined mesh and
+    its PARENT mesh (refinement-history h-level), uniform degree p.
+
+    The partition is induced from the coarse mesh (children live on
+    their parent's shard), so the transfer is element-local: per fine
+    element one dense (bs, bs) block selected by its affine embedding
+    class (identity for kept elements, one of 2^dim child maps
+    otherwise) — assembleDGGridTransferHierarchy semantics
+    (dgtodggridtransferassembler.hh:308-340) on the device mesh."""
+    dim = probf.ndim
+    ndev = probf.ndev
+    anc = fine_mesh.parent
+    scale = fine_mesh.extent / coarse_mesh.extent[anc]
+    shift = (fine_mesh.lower - coarse_mesh.lower[anc]) \
+        / coarse_mesh.extent[anc]
+    q = np.rint(np.concatenate([scale, shift], axis=1) * 2**20).astype(
+        np.int64)
+    uniq, cls = np.unique(q, axis=0, return_inverse=True)
+    Ts = [_geo_T(p, dim, uniq[c, :dim] / 2**20, uniq[c, dim:] / 2**20,
+                 "lobatto", dtype)
+          for c in range(len(uniq))]
+
+    Mf, Mc = probf.m_own[p], probc.m_own[p]
+    fidx = {c: np.full((ndev, 1), Mf, _I) for c in range(len(uniq))}
+    cidx = {c: np.full((ndev, 1), Mc, _I) for c in range(len(uniq))}
+    counts = {c: [0] * ndev for c in range(len(uniq))}
+    per = {(s, c): ([], []) for s in range(ndev) for c in range(len(uniq))}
+    for s in range(ndev):
+        own_f = probf.owned_slots[(s, p)]   # global fine ids, slot order
+        slot_c = {int(e): k for k, e in
+                  enumerate(probc.owned_slots[(s, p)])}
+        for k, ef in enumerate(own_f):
+            c = int(cls[ef])
+            ec = int(anc[ef])
+            if ec not in slot_c:
+                raise ValueError("induced partition misaligned: child and "
+                                 "parent on different shards")
+            per[(s, c)][0].append(k)
+            per[(s, c)][1].append(slot_c[ec])
+            counts[c][s] += 1
+    for c in range(len(uniq)):
+        C = max(max(counts[c]), 1)
+        fidx[c] = np.full((ndev, C), Mf, _I)
+        cidx[c] = np.full((ndev, C), Mc, _I)
+        for s in range(ndev):
+            fs, cs = per[(s, c)]
+            fidx[c][s, :len(fs)] = fs
+            cidx[c][s, :len(cs)] = cs
+
+    mesh = probf.device_mesh
+    dim0 = tuple(probf.axes)
+    tdata = {"fi": fidx, "ci": cidx}
+    dspec = jax.tree.map(lambda _: P(dim0), tdata)
+    tdev = jax.tree.map(lambda a: jax.device_put(
+        jnp.asarray(a), NamedSharding(mesh, P(dim0, None))), tdata)
+    fspec = {p: P(dim0, None)}
+    cspec = {p: P(dim0, None)}
+
+    def restrict_body(d, rf):
+        d = jax.tree.map(lambda a: a[0], d)
+        rc = jnp.zeros((Mc + 1, (p + 1) ** dim), dtype)
+        for c in range(len(uniq)):
+            vals = rf[p][jnp.clip(d["fi"][c], 0, Mf - 1)] @ Ts[c]
+            mask = (d["fi"][c] < Mf).astype(dtype)[:, None]
+            rc = rc.at[d["ci"][c]].add(vals * mask)
+        return {p: rc[:Mc]}
+
+    def prolong_body(d, xc):
+        d = jax.tree.map(lambda a: a[0], d)
+        xf = jnp.zeros((Mf + 1, (p + 1) ** dim), dtype)
+        for c in range(len(uniq)):
+            vals = xc[p][jnp.clip(d["ci"][c], 0, Mc - 1)] @ Ts[c].T
+            xf = xf.at[d["fi"][c]].set(vals)
+        return {p: xf[:Mf]}
+
+    rshard = jax.shard_map(restrict_body, mesh=mesh,
+                           in_specs=(dspec, fspec), out_specs=cspec)
+    pshard = jax.shard_map(prolong_body, mesh=mesh,
+                           in_specs=(dspec, cspec), out_specs=fspec)
+    return (lambda rf: rshard(tdev, rf)), (lambda xc: pshard(tdev, xc))
+
+
+def build_hp_sharded_hmg_general(gmesh, degrees, devices=None,
+                                 h_levels: int | None = None,
+                                 penalty: float = 2.0,
+                                 dirichlet: bool = True, dtype=jnp.float64,
+                                 penalty_scaling: str = "measure",
+                                 cheb_degree: int = 5, diffusion=None,
+                                 coarse_cg_iters: int = 60) -> HPShardedPMG:
+    """Full sharded hp-multigrid on an ADAPTIVELY refined mesh: p-levels
+    (min(k_e, order), halving) on the fine mesh, then geometric h-levels
+    following the refinement-history chain (parent meshes) at p = 1.
+    The partition is computed on the COARSEST mesh and induced on every
+    finer one (children stay on their parent's shard — no communication
+    in the h-transfers), the sharded analog of attaching comms to every
+    level of an adaptively refined distributed grid
+    (parmgsetup.hh:97-150 + 201-211)."""
+    degrees = np.asarray(degrees, dtype=_I).reshape(-1)
+    devices = devices if devices is not None else jax.devices()
+    ndev = len(devices)
+
+    # mesh chain fine -> coarse along parent links
+    chain = [gmesh]
+    while chain[-1].parent_mesh is not None and (
+            h_levels is None or len(chain) <= h_levels):
+        chain.append(chain[-1].parent_mesh)
+    # coarse partition, induced upward
+    shard_chain = [None] * len(chain)
+    shard_chain[-1] = slab_partition(chain[-1], ndev)
+    for li in range(len(chain) - 2, -1, -1):
+        shard_chain[li] = shard_chain[li + 1][chain[li].parent]
+
+    # p-level degree maps on the fine mesh
+    dmaps = [degrees]
+    while dmaps[-1].max() > 1:
+        order = max(1, int(dmaps[-1].max()) // 2)
+        dmaps.append(np.minimum(degrees, order).astype(_I))
+
+    kw = dict(devices=devices, penalty=penalty, dirichlet=dirichlet,
+              dtype=dtype, penalty_scaling=penalty_scaling,
+              diffusion=diffusion)
+    probs = []
+    # coarsest..finest: h-levels (p=1) on parent meshes, then p-levels
+    for li in range(len(chain) - 1, 0, -1):
+        probs.append(build_hp_sharded_general(
+            chain[li], np.ones(chain[li].n_elements, _I),
+            elem_shard=shard_chain[li], **kw))
+    for dm in reversed(dmaps):
+        probs.append(build_hp_sharded_general(
+            gmesh, dm, elem_shard=shard_chain[0], **kw))
+    level_deg = ([np.ones(chain[li].n_elements, _I)
+                  for li in range(len(chain) - 1, 0, -1)]
+                 + [dm for dm in reversed(dmaps)])
+
+    transfers = []
+    nh = len(chain) - 1
+    for i in range(len(probs) - 1):
+        if i < nh:  # h-pair: probs[i] on chain[nh-i], probs[i+1] finer
+            lf = nh - i - 1
+            transfers.append(_hp_h_transfer_general(
+                probs[i + 1], probs[i], chain[lf], chain[lf + 1], 1, dtype))
+        else:
+            transfers.append(_hp_transfer(probs[i + 1], probs[i],
+                                          level_deg[i + 1], level_deg[i],
+                                          probs[0].axes[0], dtype))
+
+    from hpdg_tpu.solvers import smoothers as sm
+    smooths = []
+    for prob in probs:
+        @jax.jit
+        def rho_est(prob=prob):
+            v0 = {p: jnp.ones_like(v) for p, v in prob.zeros(dtype).items()}
+
+            def body(i, v):
+                w = prob.dinv_mul(prob.apply(v))
+                return jax.tree.map(lambda a: a / hp_norm(w), w)
+
+            v = jax.lax.fori_loop(0, 15, body, v0)
+            return hp_norm(prob.dinv_mul(prob.apply(v)))
+        rho = float(rho_est())
+        smooths.append(sm.chebyshev_smoother(prob.apply, prob.dinv_mul,
+                                             lmax=1.05 * rho,
+                                             degree=cheb_degree))
+
+    def safe_div(a, d):
+        return jnp.where(jnp.abs(d) > 0, a / jnp.where(d == 0, 1.0, d), 0.0)
+
+    def coarse_solve(b):
+        prob = probs[0]
+        x = jax.tree.map(jnp.zeros_like, b)
+        r = b
+        z = prob.dinv_mul(r)
+        rz = hp_dot(r, z)
+
+        def body(i, st):
+            x, r, z, pv, rz = st
+            Ap = prob.apply(pv)
+            alpha = safe_div(rz, hp_dot(pv, Ap))
+            x = hp_axpy(alpha, pv, x)
+            r = hp_axpy(-alpha, Ap, r)
+            z = prob.dinv_mul(r)
+            rz_new = hp_dot(r, z)
+            pv = hp_axpy(safe_div(rz_new, rz), pv, z)
+            return x, r, z, pv, rz_new
+
+        st = jax.lax.fori_loop(0, coarse_cg_iters, body, (x, r, z, z, rz))
+        return st[0]
+
+    nlev = len(probs)
+
+    def run(l, x, b):
+        if l == 0:
+            return coarse_solve(b)
+        x = smooths[l](x, b)
+        r = {p: b[p] - v for p, v in probs[l].apply(x).items()}
+        restrict, prolong = transfers[l - 1]
+        rc = restrict(r)
+        xc = run(l - 1, jax.tree.map(jnp.zeros_like, rc), rc)
+        x = hp_axpy(1.0, prolong(xc), x)
+        return smooths[l](x, b)
+
+    def step(x, b):
+        return run(nlev - 1, x, b)
+
+    return HPShardedPMG(levels=probs, degree_maps=level_deg, step=step)

@@ -43,3 +43,13 @@ def test_heat_example(capsys):
 def test_elasticity_example(capsys):
     run_example("elasticity.py", ["--n", "2", "--levels", "1", "--p", "1"])
     assert "elasticity" in capsys.readouterr().out
+
+
+def test_parallel_poisson_example(capsys):
+    import jax
+    import pytest
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    run_example("parallel_poisson.py", ["--cells", "8,4", "--iters", "15"])
+    out = capsys.readouterr().out
+    assert "sharded MG-PCG" in out

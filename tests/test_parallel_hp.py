@@ -556,3 +556,42 @@ def test_sharded_tnnmg_on_hanging_node_mesh():
     assert err < 1e-9, err
     assert abs(info_s["energy"][-1] - info_p["energy"][-1]) < 1e-10
     assert max(info_p["truncated"]) > 0
+
+
+def test_hp_sharded_hmg_general_adaptive_chain():
+    """Sharded h-levels on an ADAPTIVELY refined mesh: the hierarchy
+    follows the refinement-history chain (parent meshes) with the
+    partition induced from the coarsest mesh, so h-transfers are
+    element-local.  The MG-PCG solve reaches 1e-12 and matches serial."""
+    from hpdg_tpu.mesh.adaptive import refine_local, close_marks
+    from hpdg_tpu.parallel.hp import build_hp_sharded_hmg_general
+    rng = np.random.default_rng(17)
+    m0 = hmesh.structured((8, 4))
+    m1 = refine_local(m0, close_marks(m0, rng.random(32) < 0.4))
+    gmesh = refine_local(m1, close_marks(m1, rng.random(m1.n_elements) < 0.3))
+    degrees = rng.choice([1, 2], size=gmesh.n_elements)
+    pmg = build_hp_sharded_hmg_general(gmesh, degrees,
+                                       devices=jax.devices()[:4],
+                                       penalty=2.0, dirichlet=True,
+                                       penalty_scaling="normal")
+    assert len(pmg.levels) >= 4  # 2 h-levels + >=2 p-levels
+    fine = pmg.levels[-1]
+    gbasis = DGBasis(gmesh, degrees)
+    b = fine.scatter_global(
+        l2_functional(gbasis, lambda x: jnp.ones_like(x[..., 0])), gbasis)
+    x, rel = hp_pmg_pcg_solve(pmg, b, iters=30)
+    assert float(rel) < 1e-12
+
+    from hpdg_tpu.assemble import assemble_laplace
+    from hpdg_tpu.linalg import blockmatrix as bm
+    from hpdg_tpu.solvers.cg import pcg
+    from hpdg_tpu.solvers.smoothers import block_jacobi_preconditioner
+    A = assemble_laplace(gbasis, penalty=2.0, dirichlet=True,
+                         penalty_scaling="normal")
+    bser = l2_functional(gbasis, lambda x: jnp.ones_like(x[..., 0]))
+    xs, _ = pcg(lambda v: bm.matvec(A, v), bser,
+                precond=block_jacobi_preconditioner(A), tol=1e-12,
+                maxiter=500)
+    xg = fine.gather_global(x, gbasis)
+    err = max(np.abs(np.asarray(xs[p]) - xg[p]).max() for p in xs)
+    assert err < 1e-8, err
