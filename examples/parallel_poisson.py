@@ -15,8 +15,15 @@ import sys as _sys
 import pathlib as _pathlib
 _sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
 
+import os
+
 import numpy as np
 import jax
+
+# honor the documented JAX_PLATFORMS=cpu invocation even where a
+# sitecustomize hook force-selects a TPU backend at interpreter start
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 
 from hpdg_tpu import mesh as hmesh
