@@ -34,7 +34,9 @@ from hpdg_tpu.mesh.adaptive import refine_local, close_marks
 from hpdg_tpu.blocks.persist import (save_state, interpolate_to,
                                      degrees_after_refine)
 from hpdg_tpu.parallel.hp import (build_hp_sharded_general, hp_pcg_solve,
-                                  hp_norm)
+                                  build_hp_sharded_pmg,
+                                  build_hp_sharded_hmg_general,
+                                  hp_pmg_pcg_solve, hp_norm)
 
 
 def sharded_adaptive_solve(mesh0, degrees0, f, devices=None,
@@ -43,7 +45,8 @@ def sharded_adaptive_solve(mesh0, degrees0, f, devices=None,
                            penalty_scaling: str = "normal",
                            cg_iters: int = 300, dtype=jnp.float64,
                            hp_mode: bool = False,
-                           smooth_cut: float = 0.5, max_p: int = 6):
+                           smooth_cut: float = 0.5, max_p: int = 6,
+                           solver: str = "jacobi-pcg"):
     """Run ``cycles`` sharded adaptive cycles of the SIPG Poisson problem
     -Δu = f with homogeneous Dirichlet data.
 
@@ -66,9 +69,24 @@ def sharded_adaptive_solve(mesh0, degrees0, f, devices=None,
     info = {"n_elements": [], "eta": [], "residual": [], "balance": []}
     for c in range(cycles):
         gbasis = DGBasis(mesh, degrees)
-        prob = build_hp_sharded_general(
-            mesh, degrees, devices=devices, penalty=penalty, dirichlet=True,
-            penalty_scaling=penalty_scaling, dtype=dtype)
+        if solver == "mg-pcg":
+            # full sharded hp-multigrid per cycle: p-levels + the
+            # refinement-history h-levels accumulated so far
+            if mesh.parent_mesh is not None:
+                pmg = build_hp_sharded_hmg_general(
+                    mesh, degrees, devices=devices, penalty=penalty,
+                    dirichlet=True, penalty_scaling=penalty_scaling,
+                    dtype=dtype)
+            else:
+                pmg = build_hp_sharded_pmg(
+                    None, degrees, gmesh=mesh, devices=devices,
+                    penalty=penalty, dirichlet=True,
+                    penalty_scaling=penalty_scaling, dtype=dtype)
+            prob = pmg.levels[-1]
+        else:
+            prob = build_hp_sharded_general(
+                mesh, degrees, devices=devices, penalty=penalty,
+                dirichlet=True, penalty_scaling=penalty_scaling, dtype=dtype)
         counts = [sum(len(prob.owned_slots[(s, p)])
                       for p in prob.degree_set) for s in range(prob.ndev)]
         info["balance"].append(max(counts) / max(min(counts), 1))
@@ -76,7 +94,11 @@ def sharded_adaptive_solve(mesh0, degrees0, f, devices=None,
                                 gbasis, dtype=dtype)
         x0 = (prob.scatter_global(x_serial, gbasis, dtype=dtype)
               if x_serial is not None else None)
-        x_sh, rnorm = hp_pcg_solve(prob, b, iters=cg_iters, x0=x0)
+        if solver == "mg-pcg":
+            x_sh, rnorm = hp_pmg_pcg_solve(pmg, b, iters=cg_iters)
+            rnorm = rnorm * hp_norm(b)  # hp_pmg returns a RELATIVE norm
+        else:
+            x_sh, rnorm = hp_pcg_solve(prob, b, iters=cg_iters, x0=x0)
         info["residual"].append(float(rnorm) / max(float(hp_norm(b)), 1e-300))
         xg = {p: jnp.asarray(v)
               for p, v in prob.gather_global(x_sh, gbasis).items()}

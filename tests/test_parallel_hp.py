@@ -595,3 +595,56 @@ def test_hp_sharded_hmg_general_adaptive_chain():
     xg = fine.gather_global(x, gbasis)
     err = max(np.abs(np.asarray(xs[p]) - xg[p]).max() for p in xs)
     assert err < 1e-8, err
+
+
+def test_sharded_elasticity_pcg_solves():
+    """Sharded elasticity solve (block-Jacobi PCG, psum reductions)
+    matches the serial assembled solve."""
+    from hpdg_tpu.parallel.elasticity import (build_sharded_elasticity,
+                                              elasticity_pcg_solve)
+    from hpdg_tpu.assemble.elasticity import (assemble_elasticity,
+                                              l2_functional_vec)
+    from hpdg_tpu.linalg import blockmatrix as bm
+    from hpdg_tpu.solvers.cg import pcg
+    from hpdg_tpu.solvers.smoothers import block_jacobi_preconditioner
+
+    cells, p = (8, 4), 2
+    n = 32
+    gb = DGBasis(hmesh.structured(cells), np.full(n, p))
+    kw = dict(mu=1.0, lam=2.0, penalty=8.0, dirichlet=True)
+    A = assemble_elasticity(gb, **kw)
+
+    def f(x):
+        return jnp.stack([jnp.ones_like(x[..., 0]),
+                          0.5 * jnp.ones_like(x[..., 0])], axis=-1)
+
+    b = l2_functional_vec(gb, f)
+    xs, _ = pcg(lambda v: bm.matvec(A, v), b,
+                precond=block_jacobi_preconditioner(A), tol=1e-12,
+                maxiter=600)
+
+    prob = build_sharded_elasticity(cells, p, devices=jax.devices()[:8],
+                                    **kw)
+    bsh = jax.device_put(jnp.asarray(b[p]), prob.sharding)
+    x_sh, rn = elasticity_pcg_solve(prob, bsh, iters=500, **kw)
+    assert float(rn) < 1e-10 * float(jnp.linalg.norm(bsh))
+    err = np.abs(np.asarray(x_sh) - np.asarray(xs[p])).max()
+    assert err < 1e-8, err
+
+
+def test_sharded_adaptive_loop_mg_solver():
+    """The adaptive loop with the FULL sharded multigrid as its solver:
+    p-levels + the refinement-history h-levels accumulated so far."""
+    from hpdg_tpu.parallel.adaptive import sharded_adaptive_solve
+
+    def f(x):
+        return jnp.ones_like(x[..., 0])
+
+    m0 = hmesh.structured((16, 4))
+    mesh, degrees, x, info = sharded_adaptive_solve(
+        m0, np.full(64, 2), f, devices=jax.devices()[:8], cycles=2,
+        frac=0.3, penalty=2.0, penalty_scaling="normal", cg_iters=25,
+        solver="mg-pcg")
+    assert info["n_elements"][-1] > 64
+    assert info["eta"][-1] < info["eta"][0]
+    assert all(r < 1e-10 for r in info["residual"])
