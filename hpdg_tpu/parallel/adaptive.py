@@ -36,6 +36,7 @@ from hpdg_tpu.blocks.persist import (save_state, interpolate_to,
 from hpdg_tpu.parallel.hp import (build_hp_sharded_general, hp_pcg_solve,
                                   build_hp_sharded_pmg,
                                   build_hp_sharded_hmg_general,
+                                  balanced_partition,
                                   hp_pmg_pcg_solve, hp_norm)
 
 
@@ -46,7 +47,8 @@ def sharded_adaptive_solve(mesh0, degrees0, f, devices=None,
                            cg_iters: int = 300, dtype=jnp.float64,
                            hp_mode: bool = False,
                            smooth_cut: float = 0.5, max_p: int = 6,
-                           solver: str = "jacobi-pcg"):
+                           solver: str = "jacobi-pcg",
+                           partition: str = "planes"):
     """Run ``cycles`` sharded adaptive cycles of the SIPG Poisson problem
     -Δu = f with homogeneous Dirichlet data.
 
@@ -84,9 +86,12 @@ def sharded_adaptive_solve(mesh0, degrees0, f, devices=None,
                     penalty_scaling=penalty_scaling, dtype=dtype)
             prob = pmg.levels[-1]
         else:
+            shard = (balanced_partition(mesh, len(devices))
+                     if partition == "balanced" else None)
             prob = build_hp_sharded_general(
                 mesh, degrees, devices=devices, penalty=penalty,
-                dirichlet=True, penalty_scaling=penalty_scaling, dtype=dtype)
+                dirichlet=True, penalty_scaling=penalty_scaling, dtype=dtype,
+                elem_shard=shard)
         counts = [sum(len(prob.owned_slots[(s, p)])
                       for p in prob.degree_set) for s in range(prob.ndev)]
         info["balance"].append(max(counts) / max(min(counts), 1))

@@ -294,26 +294,47 @@ def slab_partition(gmesh, ndev: int, axis: int = 0) -> np.ndarray:
     return shard
 
 
+def balanced_partition(gmesh, ndev: int) -> np.ndarray:
+    """PERFECTLY balanced jagged partition: order elements
+    lexicographically by center coordinates and cut into equal-count
+    runs.  Cross-shard face couplings then span a small bounded set of
+    shard offsets, each served by one extra ppermute channel (no ring
+    restriction)."""
+    centers = gmesh.lower + 0.5 * gmesh.extent
+    order = np.lexsort(tuple(centers[:, a]
+                             for a in range(gmesh.dim - 1, -1, -1)))
+    shard = np.empty(gmesh.n_elements, np.int64)
+    bounds = np.linspace(0, gmesh.n_elements, ndev + 1).astype(np.int64)
+    for sidx in range(ndev):
+        shard[order[bounds[sidx]:bounds[sidx + 1]]] = sidx
+    return shard
+
+
 def build_hp_sharded_general(gmesh, degrees, devices=None,
                              penalty: float = 2.0, dirichlet: bool = True,
                              dtype=jnp.float64,
                              penalty_scaling: str = "measure",
                              axis_name: str = "x",
-                             elem_shard=None, diffusion=None) -> HPSharded:
+                             elem_shard=None, diffusion=None,
+                             max_offset: int = 8) -> HPSharded:
     """Sharded mixed-degree SIPG on a GENERAL box mesh — including 2:1
-    hanging-node meshes from adaptive refinement (the sharded analog of
-    the reference's arbitrary-partition hp communication,
+    hanging-node meshes from adaptive refinement — under an ARBITRARY
+    element partition (the sharded analog of the reference's
+    arbitrary-partition hp communication,
     parallel/communicationhpdg.hh:235-418, which dune-parmg feeds with
     adaptively refined distributed grids).
 
-    Partition: 1-axis slabs by cut planes along axis 0 (``slab_partition``)
-    or an explicit ``elem_shard`` assignment whose face couplings only
-    connect ring-adjacent shards.  Ghost sets are the face-adjacent
-    elements of the ring neighbors, exchanged per degree in ascending
-    global-element order (the order both sides can compute locally).
-    Nonconforming faces become extra face classes keyed by their
-    ``nc_code`` with tang-mapped trace tables — same mechanism as the
-    serial operator.
+    Partition: 1-axis slabs by cut planes (``slab_partition``, default),
+    a perfectly balanced jagged partition (``balanced_partition``), or
+    any explicit ``elem_shard`` map.  Every distinct shard OFFSET
+    appearing in the face couplings gets its own halo channel (one
+    ppermute of a fixed-size per-degree buffer); ring partitions use 2
+    channels, jagged ones a few more (bounded by ``max_offset``).
+    Ghost sets are the face-adjacent elements of each neighbor shard,
+    exchanged per degree in ascending global-element order (the order
+    both sides compute locally).  Nonconforming faces become extra face
+    classes keyed by their ``nc_code`` with tang-mapped trace tables —
+    same mechanism as the serial operator.
     """
     degrees = np.asarray(degrees, dtype=_I).reshape(-1)
     devices = devices if devices is not None else jax.devices()
@@ -323,34 +344,44 @@ def build_hp_sharded_general(gmesh, degrees, devices=None,
         elem_shard = slab_partition(gmesh, ndev)
     elem_shard = np.asarray(elem_shard).reshape(-1)
     si, so = elem_shard[f.inside], elem_shard[f.outside]
-    if len(si) and int(np.abs(si - so).max()) > 1:
-        raise ValueError("partition couples non-adjacent shards")
+    offsets = sorted({int(o) for o in np.unique(so - si)} |
+                     {int(o) for o in np.unique(si - so)})
+    offsets = [o for o in offsets if o != 0]
+    if offsets and max(abs(o) for o in offsets) > max_offset:
+        raise ValueError(f"partition couples shards {max(map(abs, offsets))}"
+                         f" apart (> max_offset={max_offset})")
 
-    channels = {1: (axis_name, [(i, i + 1) for i in range(ndev - 1)]),
-                2: (axis_name, [(i + 1, i) for i in range(ndev - 1)])}
+    # one channel per shard offset o: shard t packs its elements adjacent
+    # to shard t - o and the ppermute moves src -> src - o, so shard s
+    # receives the elements of shard s + o that touch it
+    channels = {}
+    for k, o in enumerate(offsets):
+        perm = [(i, i - o) for i in range(ndev)
+                if 0 <= i - o < ndev]
+        channels[k + 1] = (axis_name, perm)
+
+    def _adj(a, b):
+        """Elements of shard a face-adjacent to shard b, ascending ids."""
+        mask = ((si == a) & (so == b)) | ((si == b) & (so == a))
+        if not mask.any():
+            return np.empty(0, np.int64)
+        els = np.concatenate([f.inside[mask], f.outside[mask]])
+        return np.unique(els[elem_shard[els] == a])
+
     shards = []
     send_ids = {}
     for s in range(ndev):
         own = np.where(elem_shard == s)[0]
         ghosts = []
-        for ch, nb in ((1, s - 1), (2, s + 1)):
-            mask = ((si == s) & (so == nb)) | ((si == nb) & (so == s))
-            els = np.concatenate([f.inside[mask], f.outside[mask]])
-            gids = np.unique(els[elem_shard[els] == nb]) if nb >= 0 \
-                and nb < ndev and mask.any() else np.empty(0, np.int64)
-            ghosts.append(dict(ch=ch, lower=gmesh.lower[gids],
+        for k, o in enumerate(offsets):
+            nb = s + o
+            gids = _adj(nb, s) if 0 <= nb < ndev else np.empty(0, np.int64)
+            ghosts.append(dict(ch=k + 1, lower=gmesh.lower[gids],
                                extent=gmesh.extent[gids],
                                lay_deg=degrees[gids]))
-            # what I PACK on this channel is what my downstream neighbor
-            # receives: channel 1 permutes +1 (so I send my elements
-            # adjacent to s+1), channel 2 permutes -1 (adjacent to s-1);
-            # ascending global ids on both sides
-            snb = s + 1 if ch == 1 else s - 1
-            smask = (((si == s) & (so == snb)) | ((si == snb) & (so == s)))
-            sels = np.concatenate([f.inside[smask], f.outside[smask]])
-            mine = np.unique(sels[elem_shard[sels] == s]) if smask.any() \
+            rcv = s - o
+            send_ids[(s, k + 1)] = _adj(s, rcv) if 0 <= rcv < ndev \
                 else np.empty(0, np.int64)
-            send_ids[(s, ch)] = mine
         lo = [gmesh.lower[own]] + [g["lower"] for g in ghosts]
         ex = [gmesh.extent[own]] + [g["extent"] for g in ghosts]
         dg = [degrees[own]] + [g["lay_deg"] for g in ghosts]

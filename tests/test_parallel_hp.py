@@ -648,3 +648,55 @@ def test_sharded_adaptive_loop_mg_solver():
     assert info["n_elements"][-1] > 64
     assert info["eta"][-1] < info["eta"][0]
     assert all(r < 1e-10 for r in info["residual"])
+
+
+@pytest.mark.parametrize("refine_frac", [0.0, 0.35])
+def test_hp_sharded_jagged_partition_matches_serial(refine_frac):
+    """ARBITRARY (jagged, perfectly balanced) partitions: every shard
+    offset in the face couplings gets its own ppermute channel; the
+    apply equals the serial operator — no ring restriction left."""
+    from hpdg_tpu.mesh.adaptive import refine_local, close_marks
+    from hpdg_tpu.parallel.hp import (build_hp_sharded_general,
+                                      balanced_partition)
+    rng = np.random.default_rng(33)
+    gmesh = hmesh.structured((6, 5))  # 30 elements: ragged over 8 shards
+    if refine_frac:
+        gmesh = refine_local(gmesh, close_marks(
+            gmesh, rng.random(30) < refine_frac))
+    degrees = rng.choice([2, 3], size=gmesh.n_elements)
+    shard = balanced_partition(gmesh, 8)
+    counts = np.bincount(shard, minlength=8)
+    assert counts.max() - counts.min() <= 1  # perfect balance
+    gbasis = DGBasis(gmesh, degrees)
+    op = sipg_operator(gbasis, penalty=2.0, dirichlet=True,
+                       penalty_scaling="normal")
+    x = {p: jnp.asarray(rng.standard_normal(
+        (gbasis.bucket_size(p), (p + 1) ** 2)))
+        for p in gbasis.bucket_degrees}
+    y_ref = op(x)
+    prob = build_hp_sharded_general(gmesh, degrees,
+                                    devices=jax.devices()[:8],
+                                    penalty=2.0, dirichlet=True,
+                                    penalty_scaling="normal",
+                                    elem_shard=shard)
+    ys = prob.apply(prob.scatter_global(x, gbasis))
+    yg = prob.gather_global(ys, gbasis)
+    assert _rel_err(y_ref, yg) < 1e-11
+
+
+def test_sharded_adaptive_loop_balanced_partition():
+    """Adaptive loop with PERFECT load balance: jagged balanced
+    partitions keep max/min owned counts at <= (n+1)/n every cycle."""
+    from hpdg_tpu.parallel.adaptive import sharded_adaptive_solve
+
+    def f(x):
+        return jnp.ones_like(x[..., 0])
+
+    m0 = hmesh.structured((16, 4))
+    mesh, degrees, x, info = sharded_adaptive_solve(
+        m0, np.full(64, 2), f, devices=jax.devices()[:8], cycles=3,
+        frac=0.25, penalty=2.0, penalty_scaling="normal", cg_iters=250,
+        partition="balanced")
+    assert info["n_elements"][-1] > 64
+    assert max(info["balance"]) <= 1.2   # vs ~2 for plane cuts
+    assert all(r < 1e-9 for r in info["residual"])
