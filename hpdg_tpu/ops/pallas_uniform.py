@@ -162,20 +162,32 @@ def pallas_uniform_sipg_operator(basis: DGBasis, penalty: float = 2.0,
                 u, mats_ref[1 + 3 * dim + a], preferred_element_type=jnp.float32)
         y_ref[:] = acc
 
+    # index maps return EXPLICIT i32 scalars: under jax_enable_x64 the
+    # python-int block indices otherwise trace as i64, which the current
+    # libtpu mosaic pipeline rejects (remote-compile 500 with
+    # "func.return (i64, i64, i64)")
+    def _i32(v):
+        return jnp.asarray(v, jnp.int32)
+
     grid_spec = pl.GridSpec(
         grid=(ntiles,),
         in_specs=[
-            pl.BlockSpec((nmats, BS, BS), lambda i: (0, 0, 0),
+            pl.BlockSpec((nmats, BS, BS),
+                         lambda i: (_i32(0), _i32(0), _i32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, BS), lambda i: (jnp.maximum(i - 1, 0), 0),
+            pl.BlockSpec((T, BS),
+                         lambda i: (_i32(jnp.maximum(i - 1, 0)), _i32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, BS), lambda i: (i, 0),
+            pl.BlockSpec((T, BS), lambda i: (_i32(i), _i32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, BS), lambda i: (jnp.minimum(i + 1, ntiles - 1), 0),
+            pl.BlockSpec((T, BS),
+                         lambda i: (_i32(jnp.minimum(i + 1, ntiles - 1)),
+                                    _i32(0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, 128), lambda i: (_i32(i), _i32(0)),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T, BS), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((T, BS), lambda i: (_i32(i), _i32(0)),
                                memory_space=pltpu.VMEM),
     )
 
