@@ -240,14 +240,31 @@ def main():
              for k, v in A64.values.items()})
         b32 = {k: jax.device_put(v.astype(jnp.float32), tpu)
                for k, v in b64.items()}
-        factory = lambda bas: assemble_laplace(  # noqa: E731
-            bas, penalty=2.0, dirichlet=True, dtype=dtype,
-            penalty_scaling="normal")
-        step, _ = multigrid_solver(basis_mg, A32, operator_factory=factory,
-                                   meshes=meshes_mg, dtype=dtype)
+        # inner TPU solver: the fully matrix-free MG with the fused
+        # Pallas stencil apply (10.5 ms/cycle at rate 0.386 = 25
+        # ms/decade, vs 33 ms/cycle at 0.287 = 61 ms/decade for the
+        # assembled-SpMV MG); assembled-MG fallback if the kernel is
+        # unavailable in this environment
+        chain_k = 10  # 0.386^10 = 7e-5 per chain; 2 chains reach 1e-8
+        try:
+            from hpdg_tpu.solvers.multigrid import \
+                matrixfree_multigrid_solver
+            step, _ = matrixfree_multigrid_solver(
+                basis_mg, penalty=2.0, dirichlet=True, meshes=meshes_mg,
+                penalty_scaling="normal", use_pallas=True, dtype=dtype)
+            log("# multigrid inner solver: matrix-free (pallas fused)")
+        except Exception as e:
+            log(f"# pallas MF-MG unavailable ({e}); assembled fallback")
+            factory = lambda bas: assemble_laplace(  # noqa: E731
+                bas, penalty=2.0, dirichlet=True, dtype=dtype,
+                penalty_scaling="normal")
+            step, _ = multigrid_solver(basis_mg, A32,
+                                       operator_factory=factory,
+                                       meshes=meshes_mg, dtype=dtype)
+            chain_k = 6
         x0 = bvv.zeros_like(b32)
 
-        def chain(rhs, k=6):  # k V-cycles from zero (one inner solve)
+        def chain(rhs, k=chain_k):  # k V-cycles from zero (1 inner solve)
             x = bvv.zeros_like(rhs)
             for _ in range(k):
                 x = step(x, rhs)
@@ -329,7 +346,7 @@ def main():
             f"{t_cycle*1e3:.1f} ms/cycle; MEASURED f64 rel residual "
             f"{hist[-1]:.2e} in "
             f"{time_to_1e8 if time_to_1e8 else float('nan'):.3f} s "
-            f"({len(hist)-1} refinement steps x 6 V-cycles, "
+            f"({len(hist)-1} refinement steps x {chain_k} V-cycles, "
             f"{basis_mg.ndof} dofs, history "
             f"{['%.1e' % h for h in hist]})")
         if time_to_1e8 is None:

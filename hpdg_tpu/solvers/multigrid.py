@@ -416,6 +416,7 @@ def matrixfree_multigrid_solver(basis: DGBasis, penalty: float = 2.0,
                                 cheby_degree: int = 3,
                                 use_pallas: bool = False,
                                 meshes: list | None = None,
+                                penalty_scaling: str = "measure",
                                 dtype=jnp.float64):
     """Fully matrix-free hp-multigrid for the SIPG Laplacian: every level
     applies the sum-factorized operator (no assembled matrices except the
@@ -461,17 +462,21 @@ def matrixfree_multigrid_solver(basis: DGBasis, penalty: float = 2.0,
             try:
                 from hpdg_tpu.ops.pallas_uniform import \
                     pallas_uniform_sipg_operator
-                op = pallas_uniform_sipg_operator(bas, penalty=penalty,
-                                                  dirichlet=dirichlet)
+                op = pallas_uniform_sipg_operator(
+                    bas, penalty=penalty, dirichlet=dirichlet,
+                    penalty_scaling=penalty_scaling)
             except ValueError:
                 from hpdg_tpu.matrixfree.uniform import uniform_sipg_operator
                 op = uniform_sipg_operator(bas, penalty=penalty,
-                                           dirichlet=dirichlet, dtype=dtype)
+                                           dirichlet=dirichlet, dtype=dtype,
+                                           penalty_scaling=penalty_scaling)
         if op is None:
             op = mf.sipg_operator(bas, penalty=penalty, dirichlet=dirichlet,
-                                  plan=planl, dtype=dtype)
+                                  plan=planl, dtype=dtype,
+                                  penalty_scaling=penalty_scaling)
         D = mf.sipg_diagonal_blocks(bas, penalty=penalty,
                                     dirichlet=dirichlet, plan=planl,
+                                    penalty_scaling=penalty_scaling,
                                     dtype=dtype)
         Dinv = {p: jnp.asarray(np.linalg.inv(np.asarray(d)), dtype)
                 for p, d in D.items()}
@@ -490,7 +495,7 @@ def matrixfree_multigrid_solver(basis: DGBasis, penalty: float = 2.0,
 
     cb = bases[0]
     Ac = assemble_laplace(cb, penalty=penalty, dirichlet=dirichlet,
-                          dtype=dtype)
+                          penalty_scaling=penalty_scaling, dtype=dtype)
     if cb.ndof <= 6000:
         coarse_solve = dense_coarse_solver(cb, Ac, dtype=dtype)
     else:
