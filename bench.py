@@ -245,13 +245,15 @@ def main():
         # ms/decade, vs 33 ms/cycle at 0.287 = 61 ms/decade for the
         # assembled-SpMV MG); assembled-MG fallback if the kernel is
         # unavailable in this environment
-        chain_k = 10  # 0.386^10 = 7e-5 per chain; 2 chains reach 1e-8
+        chain_k = 8  # cheby-4 rate 0.304: 0.304^8 = 7e-5 per chain;
+        # 2 chains reach 1e-8
         try:
             from hpdg_tpu.solvers.multigrid import \
                 matrixfree_multigrid_solver
             step, _ = matrixfree_multigrid_solver(
                 basis_mg, penalty=2.0, dirichlet=True, meshes=meshes_mg,
-                penalty_scaling="normal", use_pallas=True, dtype=dtype)
+                penalty_scaling="normal", use_pallas=True, cheby_degree=4,
+                dtype=dtype)
             log("# multigrid inner solver: matrix-free (pallas fused)")
         except Exception as e:
             log(f"# pallas MF-MG unavailable ({e}); assembled fallback")
