@@ -76,13 +76,14 @@ def cpp_baseline_dofs_per_s() -> float:
                                  text=True, timeout=300, check=True)
             res = json.loads(out.stdout.strip())
             # conservative vs host load: the baseline is the FASTEST
-            # single-core run ever observed on this machine
-            if cache.exists():
-                prev = float(json.loads(cache.read_text())["dofs_per_s"])
-                if prev > res["dofs_per_s"]:
-                    res["dofs_per_s"] = prev
-            cache.write_text(json.dumps(res))
-            return float(res["dofs_per_s"])
+            # single-core run ever observed on this machine.  MERGE into
+            # the cache (an overwrite would drop solve_seconds)
+            data = json.loads(cache.read_text()) if cache.exists() else {}
+            if data.get("dofs_per_s", 0) > res["dofs_per_s"]:
+                res["dofs_per_s"] = data["dofs_per_s"]
+            data.update(res)
+            cache.write_text(json.dumps(data))
+            return float(data["dofs_per_s"])
     except Exception as e:  # fall back to the cached measurement
         log(f"# cpp baseline re-measure failed ({e}); using cache")
     if cache.exists():
