@@ -310,6 +310,32 @@ def balanced_partition(gmesh, ndev: int) -> np.ndarray:
     return shard
 
 
+def morton_partition(gmesh, ndev: int, max_level: int = 21) -> np.ndarray:
+    """Space-filling-curve partition: order elements by the Morton code
+    of their quantized centers and cut into equal-count runs.  Compared
+    to the lexicographic ``balanced_partition`` this keeps shards
+    spatially COMPACT (halo volume ~ surface of a blob instead of a thin
+    slab) while staying perfectly balanced; the per-offset halo channels
+    absorb the jagged boundaries."""
+    centers = gmesh.lower + 0.5 * gmesh.extent
+    lo = centers.min(axis=0)
+    hi = centers.max(axis=0)
+    span = np.where(hi - lo > 0, hi - lo, 1.0)
+    q = np.minimum(((centers - lo) / span * (2**max_level - 1)).astype(
+        np.int64), 2**max_level - 1)
+    code = np.zeros(gmesh.n_elements, dtype=object)  # python ints: no ovfl
+    for bit in range(max_level):
+        for a in range(gmesh.dim):
+            code = code + (((q[:, a] >> bit) & 1).astype(object)
+                           << (bit * gmesh.dim + a))
+    order = np.argsort(np.array([int(c) for c in code]), kind="stable")
+    shard = np.empty(gmesh.n_elements, np.int64)
+    bounds = np.linspace(0, gmesh.n_elements, ndev + 1).astype(np.int64)
+    for sidx in range(ndev):
+        shard[order[bounds[sidx]:bounds[sidx + 1]]] = sidx
+    return shard
+
+
 def build_hp_sharded_general(gmesh, degrees, devices=None,
                              penalty: float = 2.0, dirichlet: bool = True,
                              dtype=jnp.float64,

@@ -700,3 +700,33 @@ def test_sharded_adaptive_loop_balanced_partition():
     assert info["n_elements"][-1] > 64
     assert max(info["balance"]) <= 1.2   # vs ~2 for plane cuts
     assert all(r < 1e-9 for r in info["residual"])
+
+
+def test_hp_sharded_morton_partition_matches_serial():
+    """Space-filling-curve (Morton) partition: compact shards, perfect
+    balance, multi-offset halo channels — apply equals serial."""
+    from hpdg_tpu.mesh.adaptive import refine_local, close_marks
+    from hpdg_tpu.parallel.hp import (build_hp_sharded_general,
+                                      morton_partition)
+    rng = np.random.default_rng(41)
+    m0 = hmesh.structured((8, 8))
+    gmesh = refine_local(m0, close_marks(m0, rng.random(64) < 0.25))
+    degrees = rng.choice([1, 3], size=gmesh.n_elements)
+    shard = morton_partition(gmesh, 8)
+    counts = np.bincount(shard, minlength=8)
+    assert counts.max() - counts.min() <= 1
+    gbasis = DGBasis(gmesh, degrees)
+    op = sipg_operator(gbasis, penalty=2.0, dirichlet=True,
+                       penalty_scaling="normal")
+    x = {p: jnp.asarray(rng.standard_normal(
+        (gbasis.bucket_size(p), (p + 1) ** 2)))
+        for p in gbasis.bucket_degrees}
+    y_ref = op(x)
+    prob = build_hp_sharded_general(gmesh, degrees,
+                                    devices=jax.devices()[:8],
+                                    penalty=2.0, dirichlet=True,
+                                    penalty_scaling="normal",
+                                    elem_shard=shard)
+    ys = prob.apply(prob.scatter_global(x, gbasis))
+    yg = prob.gather_global(ys, gbasis)
+    assert _rel_err(y_ref, yg) < 1e-11
