@@ -36,7 +36,7 @@ from hpdg_tpu.blocks.persist import (save_state, interpolate_to,
 from hpdg_tpu.parallel.hp import (build_hp_sharded_general, hp_pcg_solve,
                                   build_hp_sharded_pmg,
                                   build_hp_sharded_hmg_general,
-                                  balanced_partition,
+                                  balanced_partition, morton_partition,
                                   hp_pmg_pcg_solve, hp_norm)
 
 
@@ -86,8 +86,10 @@ def sharded_adaptive_solve(mesh0, degrees0, f, devices=None,
                     penalty_scaling=penalty_scaling, dtype=dtype)
             prob = pmg.levels[-1]
         else:
-            shard = (balanced_partition(mesh, len(devices))
-                     if partition == "balanced" else None)
+            shard = {"balanced": balanced_partition,
+                     "morton": morton_partition}.get(partition,
+                                                     lambda *_: None)(
+                mesh, len(devices))
             prob = build_hp_sharded_general(
                 mesh, degrees, devices=devices, penalty=penalty,
                 dirichlet=True, penalty_scaling=penalty_scaling, dtype=dtype,
