@@ -91,36 +91,43 @@ def cpp_baseline_dofs_per_s() -> float:
     return float("nan")
 
 
-def cpp_baseline_solve_seconds():
-    """Single-core C++ hp-MG time-to-1e-8 (cpp/baseline_mg3d), cached in
-    cpp/baseline_result.json under 'solve_seconds'."""
+def cpp_baseline_solve_seconds(n: int = 12, p: int = 4,
+                               remeasure: bool = True):
+    """Single-core C++ hp-MG time-to-1e-8 (cpp/baseline_mg3d) at (n, p),
+    cached in cpp/baseline_result.json ('solve_seconds' for the n=12
+    continuity config, 'solve_seconds_nN' otherwise).  The baseline is
+    the FASTEST single-core run observed on this machine; large configs
+    (n > 12, ~10 min of single-core work) are only measured when the
+    cache is empty."""
+    key = "solve_seconds" if n == 12 else f"solve_seconds_n{n}"
     cache = REPO / "cpp" / "baseline_result.json"
     exe = REPO / "cpp" / "baseline_mg3d"
     src = REPO / "cpp" / "baseline_mg3d.cc"
+    data = json.loads(cache.read_text()) if cache.exists() else {}
+    if key in data and (not remeasure or n > 12):
+        return float(data[key])
     try:
         if not exe.exists() and src.exists():
             subprocess.run(["g++", "-O3", "-march=native", "-std=c++17",
                             "-o", str(exe), str(src)], check=True,
                            timeout=300)
         if exe.exists():
-            out = subprocess.run([str(exe)], capture_output=True, text=True,
-                                 timeout=1200, check=True)
+            out = subprocess.run([str(exe), str(n), str(p)],
+                                 capture_output=True, text=True,
+                                 timeout=3600, check=True)
             res = json.loads(out.stdout.strip().splitlines()[-1])
             data = json.loads(cache.read_text()) if cache.exists() else {}
-            # baseline = fastest single-core run observed on this machine
-            prev = data.get("solve_seconds")
+            prev = data.get(key)
             sec = float(res["solve_seconds"])
             if prev is not None and float(prev) < sec:
                 sec = float(prev)
-            data["solve_seconds"] = sec
+            data[key] = sec
             cache.write_text(json.dumps(data))
             return sec
     except Exception as e:
         log(f"# cpp MG baseline re-measure failed ({e}); using cache")
-    if cache.exists():
-        data = json.loads(cache.read_text())
-        if "solve_seconds" in data:
-            return float(data["solve_seconds"])
+    if key in data:
+        return float(data[key])
     return None
 
 
@@ -180,6 +187,29 @@ def main():
     except Exception as e:
         log(f"# matrix-free bench failed: {e}")
 
+    # ---- extra: GENERAL-mesh (hanging-node) matrix-free apply ----
+    # the r2-verdict item-5 artifact: the adaptive-mesh apply has no
+    # penalty vs the uniform fused path (ROADMAP item 12)
+    try:
+        from hpdg_tpu.mesh.adaptive import refine_local, close_marks
+        rngg = np.random.default_rng(3)
+        m0g = hmesh.structured((12, 12, 12))
+        gmesh = refine_local(m0g, close_marks(
+            m0g, rngg.random(m0g.n_elements) < 0.25))
+        basis_g = DGBasis(gmesh, np.full(gmesh.n_elements, p))
+        plan_g = build_plan(basis_g)
+        op_g = jax.jit(sipg_operator(basis_g, penalty=2.0, dirichlet=True,
+                                     dtype=dtype, plan=plan_g))
+        xg = {p: jnp.asarray(rngg.standard_normal(
+            (basis_g.bucket_size(p), (p + 1) ** 3)), dtype)}
+        t_gap = timeit(op_g, xg)
+        log(f"# general-mesh apply ({gmesh.n_elements} elems, "
+            f"{int((gmesh.faces.nc_code > 0).sum())} nc faces, "
+            f"{basis_g.ndof} dofs): {t_gap*1e3:.2f} ms -> "
+            f"{basis_g.ndof/t_gap:,.0f} DOF/s")
+    except Exception as e:
+        log(f"# general-mesh bench failed: {e}")
+
     # (pallas was measured first — see above)
 
     # ---- extra: multigrid, MEASURED time to <=1e-8 relative residual ----
@@ -203,68 +233,69 @@ def main():
         raise _BenchTimeout("multigrid sub-bench timed out")
 
     signal.signal(signal.SIGALRM, _alarm)
-    signal.alarm(1200)
-    time_to_1e8 = None
-    mg_rate = None
-    try:
-        from hpdg_tpu.solvers.multigrid import multigrid_solver
+
+    def measure_mg_solve(n, p=4, chain_k=8, n_runs=2):
+        """One config of the measured solve (n^3 hexes, degree p).
+
+        Returns dict(ndof, time, rate, hist, runs): ``time`` is the best
+        complete from-zero solve to measured f64 rel residual <= 1e-8;
+        ``runs`` records EVERY run's wall time + reached residual (the
+        r2 verdict asked for the variance, not only the best)."""
+        from hpdg_tpu.solvers.multigrid import matrixfree_multigrid_solver
         from hpdg_tpu.linalg import blockmatrix as bm, blockvector as bvv
         from hpdg_tpu.assemble import l2_functional
+        from hpdg_tpu.matrixfree import sipg_operator as mf_sipg
         from hpdg_tpu.solvers.cg import hoist_constants
         cpu = jax.devices("cpu")[0]
         tpu = jax.devices()[0]
-        # full hp-hierarchy on the headline mesh: 3^3 -> 6^3 -> 12^3 at
-        # p = 4 -> 2 -> 1 (h-levels below p=1), re-assembled level operators
-        meshes_mg = hmesh.hierarchy(hmesh.structured((3, 3, 3)), 2)
+        levels = int(round(np.log2(n / 3)))
+        assert 3 * 2 ** levels == n, n
+        meshes_mg = hmesh.hierarchy(hmesh.structured((3, 3, 3)), levels)
         mesh_mg = meshes_mg[-1]
         basis_mg = DGBasis(mesh_mg, np.full(mesh_mg.n_elements, p))
-        plan_mg = build_plan(basis_mg)
-        # f64 ground truth on the host (jitted on CPU; f64 never touches
-        # the TPU compile path)
-        asm64 = jax.jit(lambda: assemble_laplace(
-            basis_mg, penalty=2.0, dirichlet=True, plan=plan_mg,
-            dtype=jnp.float64, penalty_scaling="normal").values, device=cpu)
-        A64 = bm.BlockSparseMatrix(plan_mg.pattern, 3, asm64())
+        ndof = basis_mg.ndof
         f = lambda x: (2 * jnp.pi**2  # noqa: E731
                        * jnp.sin(jnp.pi * x[..., 0])
                        * jnp.sin(jnp.pi * x[..., 1])
                        * jnp.sin(jnp.pi * x[..., 2]))
         with jax.default_device(cpu):
             b64 = l2_functional(basis_mg, f, dtype=jnp.float64)
-        g64, c64 = hoist_constants(lambda x: bm.matvec(A64, x), b64)
+        # f64 ground truth on the host CPU (jitted on CPU; f64 never
+        # touches the TPU compile path).  n <= 12: assembled SpMV (the
+        # r2-continuity path); larger: matrix-free sum-factorized f64
+        # (the assembled operator at 24^3 would be ~12 GB of f64 blocks).
+        if n <= 12:
+            plan_mg = build_plan(basis_mg)
+            asm64 = jax.jit(lambda: assemble_laplace(
+                basis_mg, penalty=2.0, dirichlet=True, plan=plan_mg,
+                dtype=jnp.float64, penalty_scaling="normal").values,
+                device=cpu)
+            A64 = bm.BlockSparseMatrix(plan_mg.pattern, 3, asm64())
+            mv_host = lambda x: bm.matvec(A64, x)  # noqa: E731
+        else:
+            mv_host = mf_sipg(basis_mg, penalty=2.0, dirichlet=True,
+                              dtype=jnp.float64, penalty_scaling="normal")
+        g64, c64 = hoist_constants(mv_host, b64)
         jg64 = jax.jit(g64, device=cpu)
         mv64 = lambda x: jg64(c64, x)  # noqa: E731
-        # f32 TPU operator = downcast of the same entries
-        A32 = bm.BlockSparseMatrix(
-            plan_mg.pattern, 3,
-            {k: jax.device_put(v.astype(jnp.float32), tpu)
-             for k, v in A64.values.items()})
-        b32 = {k: jax.device_put(v.astype(jnp.float32), tpu)
-               for k, v in b64.items()}
+
         # inner TPU solver: the fully matrix-free MG with the fused
-        # Pallas stencil apply (10.5 ms/cycle at rate 0.386 = 25
-        # ms/decade, vs 33 ms/cycle at 0.287 = 61 ms/decade for the
-        # assembled-SpMV MG); assembled-MG fallback if the kernel is
+        # Pallas stencil apply; XLA matrix-free fallback if the kernel is
         # unavailable in this environment
-        chain_k = 8  # cheby-4 rate 0.304: 0.304^8 = 7e-5 per chain;
-        # 2 chains reach 1e-8
         try:
-            from hpdg_tpu.solvers.multigrid import \
-                matrixfree_multigrid_solver
             step, _ = matrixfree_multigrid_solver(
                 basis_mg, penalty=2.0, dirichlet=True, meshes=meshes_mg,
                 penalty_scaling="normal", use_pallas=True, cheby_degree=4,
                 dtype=dtype)
-            log("# multigrid inner solver: matrix-free (pallas fused)")
+            log(f"# [n={n}] multigrid inner solver: matrix-free (pallas)")
         except Exception as e:
-            log(f"# pallas MF-MG unavailable ({e}); assembled fallback")
-            factory = lambda bas: assemble_laplace(  # noqa: E731
-                bas, penalty=2.0, dirichlet=True, dtype=dtype,
-                penalty_scaling="normal")
-            step, _ = multigrid_solver(basis_mg, A32,
-                                       operator_factory=factory,
-                                       meshes=meshes_mg, dtype=dtype)
-            chain_k = 6
+            log(f"# [n={n}] pallas MF-MG unavailable ({e}); XLA fallback")
+            step, _ = matrixfree_multigrid_solver(
+                basis_mg, penalty=2.0, dirichlet=True, meshes=meshes_mg,
+                penalty_scaling="normal", use_pallas=False, cheby_degree=4,
+                dtype=dtype)
+        b32 = {k: jax.device_put(v.astype(jnp.float32), tpu)
+               for k, v in b64.items()}
         x0 = bvv.zeros_like(b32)
 
         def chain(rhs, k=chain_k):  # k V-cycles from zero (1 inner solve)
@@ -273,55 +304,56 @@ def main():
                 x = step(x, rhs)
             return x
 
-        # hoist the level matrices (100s of MB) out of the program: jit of
-        # the raw closure embeds them as HLO constants and blows the
+        # hoist the level constants out of the program: jit of the raw
+        # closure embeds them as HLO constants and blows the
         # remote-compile request limit.
         g, consts = hoist_constants(chain, b32)
         jg = jax.jit(g)
         jchain = lambda rhs: jg(consts, rhs)  # noqa: E731
         _force(jchain(b32))  # compile
-        # single-cycle rate + time (diagnostics)
+        # single-cycle rate + time diagnostics (f32 matrix-free residual)
+        op32 = mf_sipg(basis_mg, penalty=2.0, dirichlet=True, dtype=dtype,
+                       penalty_scaling="normal")
         gs1, cs1 = hoist_constants(lambda xx, bb: step(xx, bb), x0, b32)
         jg1 = jax.jit(gs1)
         jstep = lambda xx, bb: jg1(cs1, xx, bb)  # noqa: E731
+        gr, cr = hoist_constants(
+            lambda xx, bb: bvv.norm(bvv.sub(bb, op32(xx))), x0, b32)
+        jgr = jax.jit(gr)
+        jres = lambda xx, bb: float(jgr(cr, xx, bb))  # noqa: E731
         _force(jstep(x0, b32))
-        nb32 = float(bvv.norm(b32))
         x = x0
-        res = [nb32]
+        res = [jres(x, b32)]
         for _ in range(6):
             x = jstep(x, b32)
-            res.append(float(bvv.norm(bvv.sub(b32, bm.matvec(A32, x)))))
-        mg_rate = (res[-1] / res[1]) ** (1.0 / (len(res) - 2))
+            res.append(jres(x, b32))
+        rate = (res[-1] / res[1]) ** (1.0 / (len(res) - 2))
         t_cycle = timeit(lambda v: jstep(v, b32), x0, reps=5)
+
         # one fused host step: apply the correction in f64, recompute the
-        # f64 residual and its norm, and emit the f32-rescaled rhs for the
-        # next TPU solve (single CPU executable per refinement step)
+        # f64 residual + norm, emit the f32-rescaled rhs for the next TPU
+        # solve (single CPU executable per refinement step)
         def host_step(x64, c32, scale):
             x64 = {k: x64[k] + scale * c32[k].astype(jnp.float64)
                    for k in x64}
-            r64 = bvv.sub(b64, bm.matvec(A64, x64))
+            r64 = bvv.sub(b64, mv_host(x64))
             nr = bvv.norm(r64)
             r32n = {k: (v / nr).astype(jnp.float32) for k, v in r64.items()}
             return x64, r32n, nr
 
-        gh, ch = hoist_constants(host_step, b64,
-                                 jax.tree.map(
-                                     lambda v: v.astype(jnp.float32), b64),
-                                 jnp.float64(1.0))
+        b32h = jax.tree.map(lambda v: v.astype(jnp.float32), b64)
+        gh, ch = hoist_constants(host_step, b64, b32h, jnp.float64(1.0))
         jh = jax.jit(gh, device=cpu)
         hstep = lambda x64, c32, s: jh(ch, x64, c32, s)  # noqa: E731
         jax.block_until_ready(hstep(jax.tree.map(jnp.zeros_like, b64),
-                                    jax.tree.map(
-                                        lambda v: v.astype(jnp.float32), b64),
-                                    jnp.float64(0.0)))
+                                    b32h, jnp.float64(0.0)))
 
-        # ---- the measured solve (best of 2: host-load noise on the
-        # f64 refinement steps swings the wall time ~1.5x; each run is a
-        # COMPLETE from-zero solve with its measured residual) ----
+        # ---- the measured solve: n_runs COMPLETE from-zero solves ----
         nb = float(bvv.norm(b64))
-        time_to_1e8 = None
+        best = None
+        runs = []
         hist = [1.0]
-        for run in range(2):
+        for run in range(n_runs):
             x64 = jax.tree.map(jnp.zeros_like, b64)
             hist_r = [1.0]
             t_solve0 = time.perf_counter()
@@ -329,7 +361,7 @@ def main():
             r32 = {k: jax.device_put((v / nb).astype(jnp.float32), tpu)
                    for k, v in b64.items()}
             scale = nb
-            for _ in range(6):
+            for _ in range(8):
                 c32 = jax.device_get(jchain(r32))  # TPU solve + one fetch
                 x64, r32n, nr = hstep(x64, c32, jnp.float64(scale))
                 nr = float(nr)
@@ -339,40 +371,61 @@ def main():
                 r32 = {k: jax.device_put(v, tpu) for k, v in r32n.items()}
                 scale = nr
             t_run = time.perf_counter() - t_solve0
-            log(f"# multigrid measured solve run {run + 1}: "
+            runs.append({"seconds": round(t_run, 3),
+                         "rel_residual": float(f"{hist_r[-1]:.3e}")})
+            log(f"# [n={n}] measured solve run {run + 1}: "
                 f"{hist_r[-1]:.2e} in {t_run:.3f} s")
-            if hist_r[-1] <= 1e-8 and (time_to_1e8 is None
-                                       or t_run < time_to_1e8):
-                time_to_1e8 = t_run
+            if hist_r[-1] <= 1e-8 and (best is None or t_run < best):
+                best = t_run
                 hist = hist_r
-        log(f"# multigrid (normal scaling): rate/cycle {mg_rate:.3f}, "
-            f"{t_cycle*1e3:.1f} ms/cycle; MEASURED f64 rel residual "
-            f"{hist[-1]:.2e} in "
-            f"{time_to_1e8 if time_to_1e8 else float('nan'):.3f} s "
+        log(f"# [n={n}] multigrid (normal scaling): rate/cycle "
+            f"{rate:.3f}, {t_cycle*1e3:.1f} ms/cycle; MEASURED f64 rel "
+            f"residual {hist[-1]:.2e} in "
+            f"{best if best else float('nan'):.3f} s "
             f"({len(hist)-1} refinement steps x {chain_k} V-cycles, "
-            f"{basis_mg.ndof} dofs, history "
-            f"{['%.1e' % h for h in hist]})")
-        if time_to_1e8 is None:
-            log("# WARNING: 1e-8 not reached; reporting null time_to_1e8_s")
-    except Exception as e:
-        log(f"# multigrid bench failed: {e}")
-    finally:
-        signal.alarm(0)
+            f"{ndof} dofs, history {['%.1e' % h for h in hist]})")
+        if best is None:
+            log(f"# [n={n}] WARNING: 1e-8 not reached")
+        return dict(ndof=ndof, time=best, rate=rate, hist=hist, runs=runs)
+
+    mg_results = {}
+    for n_mg, alarm_s in ((12, 1200), (24, 2400)):
+        signal.alarm(alarm_s)
+        try:
+            mg_results[n_mg] = measure_mg_solve(n_mg)
+        except Exception as e:
+            log(f"# multigrid bench n={n_mg} failed: {e}")
+        finally:
+            signal.alarm(0)
 
     base = cpp_baseline_dofs_per_s()
     vs = asm_rate / base if base == base else None
-    solve_base = cpp_baseline_solve_seconds()
     out = {
         "metric": "3d_sipg_p4_assembled_dofs_per_s",
         "value": round(asm_rate, 1),
         "unit": "DOF/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
     }
-    if time_to_1e8 is not None:
-        out["time_to_1e8_s"] = round(time_to_1e8, 3)
-        out["mg_rate_per_cycle"] = round(mg_rate, 3)
-        if solve_base is not None:
-            out["vs_baseline_solve"] = round(solve_base / time_to_1e8, 2)
+    # headline solve = the largest config that reached 1e-8 (24^3 p=4 =
+    # 1.728M dofs); the 216k config is kept for round-to-round continuity
+    r24 = mg_results.get(24)
+    r12 = mg_results.get(12)
+    head = r24 if (r24 and r24["time"] is not None) else r12
+    if head and head["time"] is not None:
+        out["time_to_1e8_s"] = round(head["time"], 3)
+        out["solve_dofs"] = head["ndof"]
+        out["mg_rate_per_cycle"] = round(head["rate"], 3)
+        out["time_to_1e8_s_runs"] = [r["seconds"] for r in head["runs"]]
+        n_head = 24 if head is r24 else 12
+        sb = cpp_baseline_solve_seconds(n_head, remeasure=False)
+        if sb is not None:
+            out["vs_baseline_solve"] = round(sb / head["time"], 2)
+    if r12 and r12["time"] is not None and head is not r12:
+        out["time_to_1e8_s_216k"] = round(r12["time"], 3)
+        out["time_to_1e8_s_216k_runs"] = [r["seconds"] for r in r12["runs"]]
+        sb12 = cpp_baseline_solve_seconds(12, remeasure=False)
+        if sb12 is not None:
+            out["vs_baseline_solve_216k"] = round(sb12 / r12["time"], 2)
     print(json.dumps(out), flush=True)
 
 

@@ -736,7 +736,7 @@ int main(int argc, char **argv) {
          "\"history\":[",
          n, p, m, secs, setup_secs, cycles, history.back());
   for (size_t i = 0; i < history.size(); ++i)
-    printf("%s%.12e", i ? "," : "", history[i]);
+    printf("%s%.17e", i ? "," : "", history[i]);
   printf("]}\n");
   return 0;
 }

@@ -46,13 +46,16 @@ def assemble_mass(basis: DGBasis, weight=None, quad_order=None,
         V, w = vt["V"], vt["weights"]
         elems = basis.bucket_elems[p]
         ext = mesh.extent[elems]
-        detJ = jnp.asarray(np.prod(ext, axis=1), dtype)
+        from hpdg_tpu.mesh import geometry as geo
+        detJ = jnp.asarray(np.prod(ext, axis=1)
+                           * geo.detj_phys(mesh, elems), dtype)
         if weight is None:
             M0 = jnp.asarray(np.einsum("iq,q,jq->ij", V, w, V), dtype)
             blocks = detJ[:, None, None] * M0[None]
         else:
             x = (mesh.lower[elems][:, None, :]
                  + vt["points"][None, :, :] * ext[:, None, :])
+            x = geo.apply_map(mesh, elems, x)
             k = jnp.asarray(weight(jnp.asarray(x, dtype)), dtype)
             kw = k * jnp.asarray(w, dtype)[None, :] * detJ[:, None]
             blocks = jnp.einsum("eq,iq,jq->eij", kw, jnp.asarray(V, dtype),

@@ -34,9 +34,12 @@ def l2_functional(basis: DGBasis, f, quad_order=None, dtype=jnp.float64) -> dict
         V, w = vt["V"], vt["weights"]
         elems = basis.bucket_elems[p]
         ext = mesh.extent[elems]
-        detJ = jnp.asarray(np.prod(ext, axis=1), dtype)
+        from hpdg_tpu.mesh import geometry as geo
+        detJ = jnp.asarray(np.prod(ext, axis=1)
+                           * geo.detj_phys(mesh, elems), dtype)
         x = (mesh.lower[elems][:, None, :]
              + vt["points"][None, :, :] * ext[:, None, :])
+        x = geo.apply_map(mesh, elems, x)
         fv = jnp.asarray(f(jnp.asarray(x, dtype)), dtype)
         fw = fv * jnp.asarray(w, dtype)[None, :] * detJ[:, None]
         out[p] = jnp.einsum("eq,iq->ei", fw, jnp.asarray(V, dtype))

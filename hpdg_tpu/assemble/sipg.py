@@ -198,6 +198,8 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
     plan = plan or build_plan(basis)
     mesh = basis.mesh
     dim = mesh.dim
+    from hpdg_tpu.mesh import geometry as geo
+    affine = geo.has_affine(mesh)
     gs = 1.0 if geom_scale is None else geom_scale
     gpow = gs ** (dim - 2)
     # Penalty scaling under a uniform rescale: "measure" gives c_f = sigma
@@ -205,12 +207,14 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
     # s^(dim-2) factor as the consistency terms.
     pen_gpow = gpow if penalty_scaling == "normal" else 1.0
     # constant coefficients take the dictionary-GEMM fast path; variable
-    # diffusion needs per-quad-point einsums (the generic builder)
-    fast = diffusion is None
-    kmat = False
+    # diffusion (or first-class affine geometry, which folds into an
+    # effective per-element tensor |det A| A^-1 K A^-T — see
+    # mesh/geometry.py) needs per-quad-point einsums (generic builder)
+    fast = diffusion is None and not affine
+    kmat = affine
     if diffusion is not None:
         probe = np.asarray(diffusion(jnp.full((1, dim), 0.5, dtype)))
-        kmat = probe.ndim >= 3
+        kmat = kmat or probe.ndim >= 3
     vb = _DictBuilder(plan, dim, dtype) if fast else _ValueBuilder(plan, dim,
                                                                    dtype)
 
@@ -231,7 +235,12 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
         else:
             x = (mesh.lower[elems][:, None, :]
                  + vt["points"][None, :, :] * ext[:, None, :])
-            k = jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
+            x = geo.apply_map(mesh, elems, x)
+            k = (jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
+                 if diffusion is not None else None)
+            if affine:
+                k = geo.effective_tensor(mesh, elems, k, x.shape[1])
+                k = jnp.asarray(k, dtype)
             if kmat:
                 # tensor medium: detJ / (h_a h_b) geometry factors
                 cof = (detJ[:, None, None]
@@ -258,6 +267,8 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
         Vi, Di = fin["V"], fin["Dn"]
         Vo, Do = fout["V"], fout["Dn"]
         pen1 = pen_gpow * jnp.asarray(
+            geo.penalty_coef_mesh(mesh, fg, penalty, pmax, penalty_scaling)
+            if affine else
             penalty_coef(fg, penalty, pmax, penalty_scaling), dtype)
         pen = pen1[:, None, None]
         c_in = gpow * jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_in, dtype)
@@ -284,23 +295,32 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             vb.add((po, pi), fg.slot21, X3.T, -pen1)
             continue
         else:
-            # physical face quad points (on the intersection)
+            # face quad points (on the intersection, in PHYSICAL space
+            # for coefficient evaluation)
             x = face_phys_points(basis, fg, fin["points"])
-            k = jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
+            ein = mesh.faces.inside[fg.face_ids]
+            eout = mesh.faces.outside[fg.face_ids]
+            if affine:
+                x = geo.apply_map(mesh, ein, x)
+            k = (jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
+                 if diffusion is not None else None)
             J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
             wj = J(w)
             BVVi = J(np.einsum("iq,q,jq->ij", Vi, w, Vi))
             BVVo = J(np.einsum("iq,q,jq->ij", Vo, w, Vo))
             BVio = J(np.einsum("iq,q,jq->ij", Vi, w, Vo))
+            if affine:
+                k_in = J(geo.effective_tensor(mesh, ein, k, x.shape[1]))
+                k_out = J(geo.effective_tensor(mesh, eout, k, x.shape[1]))
+            else:
+                k_in = k_out = k
             if kmat:
-                # tensor medium: co-normal derivative traces
-                # (K grad phi).n = sum_b K[ax, b] Dall[b] / h_elem_b
-                ein = mesh.faces.inside[fg.face_ids]
-                eout = mesh.faces.outside[fg.face_ids]
-                KDi = jnp.einsum("fqb,biq,fb->fiq", k[..., ax, :],
+                # tensor medium / affine geometry: co-normal derivative
+                # traces (K grad phi).n = sum_b k_eff[ax, b] Dall[b]/h_b
+                KDi = jnp.einsum("fqb,biq,fb->fiq", k_in[..., ax, :],
                                  J(fin["Dall"]),
                                  J(1.0 / mesh.extent[ein]))
-                KDo = jnp.einsum("fqb,biq,fb->fiq", k[..., ax, :],
+                KDo = jnp.einsum("fqb,biq,fb->fiq", k_out[..., ax, :],
                                  J(fout["Dall"]),
                                  J(1.0 / mesh.extent[eout]))
                 half = gpow * (-0.5) * J(fg.fmeas)[:, None] * wj[None, :]
@@ -346,6 +366,9 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             ft = tensor.face_tables(p, dim, ax, side, p + 2, family=basis.family)
             w, V, D = ft["weights"], ft["V"], ft["Dn"]
             pen1 = pen_gpow * jnp.asarray(
+                geo.boundary_penalty_coef_mesh(mesh, bg, penalty,
+                                               penalty_scaling)
+                if affine else
                 boundary_penalty_coef(bg, penalty, penalty_scaling), dtype)
             pen = pen1[:, None, None]
             c = gpow * jnp.asarray(-sign * bg.fmeas * bg.inv_h, dtype)
@@ -364,9 +387,13 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                 x = np.repeat(lo[:, None, :], len(w), axis=1)
                 for t, a in enumerate(tang):
                     x[:, :, a] += ft["points"][None, :, t] * mesh.extent[elems, a][:, None]
-                k = jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
+                x = geo.apply_map(mesh, elems, x)
+                k = (jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
+                     if diffusion is not None else None)
                 J = lambda a_: jnp.asarray(a_, dtype)  # noqa: E731
                 BVV = J(np.einsum("iq,q,jq->ij", V, w, V))
+                if affine:
+                    k = J(geo.effective_tensor(mesh, elems, k, x.shape[1]))
                 if kmat:
                     # co-normal trace with outward normal sign * e_ax
                     KD = sign * jnp.einsum(

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from hpdg_tpu.basis import tensor
 from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.mesh import geometry as geo
 from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
                                     face_group_tables, face_phys_points,
                                     penalty_coef, boundary_penalty_coef)
@@ -76,7 +77,8 @@ def laplace_bulk_operator(basis: DGBasis, diffusion=None, dtype=jnp.float64):
     per point (anisotropic media / general-geometry pullback)."""
     dim = basis.dim
     fwd, bwd = _fwd_spec(dim), _bwd_spec(dim)
-    kmat = _is_tensor_coefficient(diffusion, dim, dtype)
+    affine = geo.has_affine(basis.mesh)
+    kmat = _is_tensor_coefficient(diffusion, dim, dtype) or affine
     prep = {}
     for p in basis.bucket_degrees:
         vt = tensor.volume_tables(p, dim, p + 2, family=basis.family)
@@ -84,22 +86,34 @@ def laplace_bulk_operator(basis: DGBasis, diffusion=None, dtype=jnp.float64):
         ext, detJ = _bucket_geometry(basis, p)
         coef = detJ[:, None] / ext**2  # (n, dim)
         wq = vt["weights"].reshape((len(t1.qweights),) * dim)
-        xq = None
-        if diffusion is not None:
-            elems = basis.bucket_elems[p]
+        xq = keff = None
+        elems = basis.bucket_elems[p]
+        if diffusion is not None or affine:
             xq = (basis.mesh.lower[elems][:, None, :]
                   + vt["points"][None, :, :] * ext[:, None, :])
-        prep[p] = (t1.values, t1.derivatives, coef, wq, xq, ext, detJ)
+            xq = geo.apply_map(basis.mesh, elems, xq)
+        if affine and diffusion is None:
+            # geometry folds into a per-element CONSTANT tensor
+            keff = np.asarray(geo.effective_tensor(
+                basis.mesh, elems, None, xq.shape[1]))
+            xq = None
+        prep[p] = (t1.values, t1.derivatives, coef, wq, xq, ext, detJ,
+                   elems, keff)
 
     def apply(x):
         y = {}
-        for p, (V, D, coef, wq, xq, ext, detJ) in prep.items():
+        for p, (V, D, coef, wq, xq, ext, detJ, elems, keff) in prep.items():
             shp = x[p].shape
             d1 = V.shape[0]
             u = x[p].reshape((shp[0],) + (d1,) * dim)
             kq = None
-            if xq is not None:
+            if keff is not None:
+                kq = jnp.asarray(keff, dtype)
+            elif xq is not None:
                 kq = diffusion(jnp.asarray(xq, dtype))
+                if affine:
+                    kq = geo.effective_tensor(basis.mesh, elems, kq,
+                                              xq.shape[1])
             out = 0.0
             if kmat:
                 # tensor medium: all reference-gradient fields, mixed by
@@ -146,6 +160,7 @@ def mass_operator(basis: DGBasis, dtype=jnp.float64):
         vt = tensor.volume_tables(p, basis.dim, p + 2, family=basis.family)
         M0 = np.einsum("iq,q,jq->ij", vt["V"], vt["weights"], vt["V"])
         _, detJ = _bucket_geometry(basis, p)
+        detJ = detJ * geo.detj_phys(basis.mesh, basis.bucket_elems[p])
         prep[p] = (jnp.asarray(M0, dtype), jnp.asarray(detJ, dtype))
 
     def apply(x):
@@ -183,23 +198,38 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
     plan = plan or build_plan(basis)
     dim = basis.dim
     mesh = basis.mesh
-    kmat = _is_tensor_coefficient(diffusion, dim, dtype)
+    affine = geo.has_affine(mesh)
+    kmat = _is_tensor_coefficient(diffusion, dim, dtype) or affine
     bulk = laplace_bulk_operator(basis, diffusion=diffusion, dtype=dtype)
     groups = _face_prep(basis, plan, dtype)
 
     # face geometry coefficient arrays (host -> constants)
     for g in groups:
         fg = g["fg"]
-        g["z"] = fg.fmeas  # |f| * w_q applied via w
+        g["z"] = fg.fmeas  # |f| * w_q applied via w (parametric: the
+        # affine face Jacobian is folded into the effective tensors)
         # mu*|f|*w = pen_f * w (pen_f per face)
-        g["pen_w"] = (penalty_coef(fg, penalty, g["pmax"],
-                                   penalty_scaling)[:, None]
+        g["pen_w"] = ((geo.penalty_coef_mesh(mesh, fg, penalty, g["pmax"],
+                                             penalty_scaling)
+                       if affine else
+                       penalty_coef(fg, penalty, g["pmax"],
+                                    penalty_scaling))[:, None]
                       * g["w"][None, :])
-        if diffusion is not None:
-            g["xq"] = face_phys_points(basis, fg, g["pts"])
+        ein = mesh.faces.inside[fg.face_ids]
+        eout = mesh.faces.outside[fg.face_ids]
+        if diffusion is not None or affine:
+            g["xq"] = geo.apply_map(mesh, ein,
+                                    face_phys_points(basis, fg, g["pts"]))
         if kmat:
-            g["ext_in"] = mesh.extent[mesh.faces.inside[fg.face_ids]]
-            g["ext_out"] = mesh.extent[mesh.faces.outside[fg.face_ids]]
+            g["ext_in"] = mesh.extent[ein]
+            g["ext_out"] = mesh.extent[eout]
+            g["ein"], g["eout"] = ein, eout
+        if affine and diffusion is None:
+            nq = g["xq"].shape[1]
+            g["keff_in"] = np.asarray(geo.effective_tensor(mesh, ein,
+                                                           None, nq))
+            g["keff_out"] = np.asarray(geo.effective_tensor(mesh, eout,
+                                                            None, nq))
 
     bgroups = []
     if dirichlet:
@@ -208,11 +238,14 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                                     family=basis.family)
             item = dict(bg=bg, w=ft["weights"], V=ft["V"], D=ft["Dn"],
                         sign=1.0 if bg.side == 1 else -1.0,
-                        pen_w=boundary_penalty_coef(
-                            bg, penalty, penalty_scaling)[:, None]
+                        pen_w=(geo.boundary_penalty_coef_mesh(
+                            mesh, bg, penalty, penalty_scaling)
+                            if affine else
+                            boundary_penalty_coef(
+                                bg, penalty, penalty_scaling))[:, None]
                         * ft["weights"][None, :])
-            if diffusion is not None:
-                elems = mesh.bfaces.elem[bg.face_ids]
+            elems = mesh.bfaces.elem[bg.face_ids]
+            if diffusion is not None or affine:
                 lo = mesh.lower[elems].copy()
                 if bg.side == 1:
                     lo[:, bg.axis] += mesh.extent[elems, bg.axis]
@@ -220,11 +253,14 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                 x = np.repeat(lo[:, None, :], len(ft["weights"]), axis=1)
                 for t, a in enumerate(tang):
                     x[:, :, a] += ft["points"][None, :, t] * mesh.extent[elems, a][:, None]
-                item["xq"] = x
+                item["xq"] = geo.apply_map(mesh, elems, x)
             if kmat:
-                elems = mesh.bfaces.elem[bg.face_ids]
                 item["Dall"] = ft["Dall"]
                 item["ext"] = mesh.extent[elems]
+                item["elems"] = elems
+            if affine and diffusion is None:
+                item["keff"] = np.asarray(geo.effective_tensor(
+                    mesh, elems, None, item["xq"].shape[1]))
             bgroups.append(item)
 
     def apply(x):
@@ -246,28 +282,39 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
             zw = J(g["z"])[:, None] * J(g["w"])[None, :]  # |f| w_q
             penw = J(g["pen_w"])
             if kmat:
-                # tensor medium: co-normal derivatives via the full
-                # trace-gradient tables (K folded in, so no extra k)
-                kq = diffusion(jnp.asarray(g["xq"], dtype))
-                Ka = kq[..., fg.axis, :]          # (nf, q, dim)
+                # tensor medium / affine geometry: co-normal derivatives
+                # via the full trace-gradient tables (K folded in)
+                if "keff_in" in g:
+                    k_in, k_out = J(g["keff_in"]), J(g["keff_out"])
+                else:
+                    kq = diffusion(jnp.asarray(g["xq"], dtype))
+                    if affine:
+                        k_in = geo.effective_tensor(mesh, g["ein"], kq,
+                                                    g["xq"].shape[1])
+                        k_out = geo.effective_tensor(mesh, g["eout"], kq,
+                                                     g["xq"].shape[1])
+                    else:
+                        k_in = k_out = kq
+                Kai = k_in[..., fg.axis, :]       # (nf, q, dim)
+                Kao = k_out[..., fg.axis, :]
                 ihi = J(1.0 / g["ext_in"])        # (nf, dim)
                 iho = J(1.0 / g["ext_out"])
                 Dalli, Dallo = J(g["Dalli"]), J(g["Dallo"])
                 duin = jnp.einsum("fi,biq->fbq", u_in, Dalli)
                 duout = jnp.einsum("fi,biq->fbq", u_out, Dallo)
-                dninq = jnp.einsum("fqb,fb,fbq->fq", Ka, ihi, duin)
-                dnoutq = jnp.einsum("fqb,fb,fbq->fq", Ka, iho, duout)
+                dninq = jnp.einsum("fqb,fb,fbq->fq", Kai, ihi, duin)
+                dnoutq = jnp.einsum("fqb,fb,fbq->fq", Kao, iho, duout)
                 avg = 0.5 * (dninq + dnoutq)
                 t1_in = zw * (-avg) + penw * jump
                 t1_out = zw * avg - penw * jump
                 t2b = zw * (-0.5 * jump)
                 contribs[fg.p_in].append(
                     t1_in @ Vi.T
-                    + jnp.einsum("fq,fqb,fb,biq->fi", t2b, Ka, ihi, Dalli))
+                    + jnp.einsum("fq,fqb,fb,biq->fi", t2b, Kai, ihi, Dalli))
                 targets[fg.p_in].append(fg.in_pos)
                 contribs[fg.p_out].append(
                     t1_out @ Vo.T
-                    + jnp.einsum("fq,fqb,fb,biq->fi", t2b, Ka, iho, Dallo))
+                    + jnp.einsum("fq,fqb,fb,biq->fi", t2b, Kao, iho, Dallo))
                 targets[fg.p_out].append(fg.out_pos)
                 continue
             dninq = (u_in @ Di) * J(fg.inv_h_in)[:, None]
@@ -293,7 +340,13 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
             zw = J(bg.fmeas)[:, None] * J(g["w"])[None, :]
             penw = J(g["pen_w"])
             if kmat:
-                kq = diffusion(jnp.asarray(g["xq"], dtype))
+                if "keff" in g:
+                    kq = J(g["keff"])
+                else:
+                    kq = diffusion(jnp.asarray(g["xq"], dtype))
+                    if affine:
+                        kq = geo.effective_tensor(mesh, g["elems"], kq,
+                                                  g["xq"].shape[1])
                 Ka = kq[..., bg.axis, :]
                 ih = J(1.0 / g["ext"])
                 Dall = J(g["Dall"])

@@ -70,6 +70,17 @@ class Mesh:
     parent: np.ndarray | None = None  # (n,) int32 index into the parent mesh
     child_pos: np.ndarray | None = None  # (n,) int32 in [0, 2^dim)
     parent_mesh: "Mesh | None" = None  # the mesh ``parent`` indexes into
+    # first-class general (affine) geometry: the physical position of a
+    # parametric point x inside element e is  shift[e] + jac[e] @ x.
+    # None = axis-aligned boxes (physical == parametric), the default.
+    # The parametric boxes remain the topology carrier (face matching,
+    # refinement, partitions); jac/shift add per-element affine geometry
+    # — the role of the reference's per-quad-point
+    # jacobianInverseTransposed (gausslobattoipdgassembler.hh:337-350),
+    # constant per element.  See mesh/geometry.py for the constructors
+    # (affine_image / affinize / from_hex_lattice).
+    jac: np.ndarray | None = None    # (n, dim, dim) float64
+    shift: np.ndarray | None = None  # (n, dim) float64
 
     @property
     def n_elements(self) -> int:
@@ -77,7 +88,10 @@ class Mesh:
 
     @property
     def volumes(self) -> np.ndarray:
-        return np.prod(self.extent, axis=1)
+        vols = np.prod(self.extent, axis=1)
+        if self.jac is not None:
+            vols = vols * np.abs(np.linalg.det(self.jac))
+        return vols
 
     def face_measure(self) -> np.ndarray:
         """Measure of each interior face = measure of the intersection
@@ -253,13 +267,23 @@ def _validate_unmatched(lower, extent, bfaces: BoundaryFaces, tol: float):
 
 def from_boxes(lower: np.ndarray, extent: np.ndarray, parent=None,
                child_pos=None, parent_mesh=None,
-               topology: str = "auto", validate: bool = True) -> Mesh:
+               topology: str = "auto", validate: bool = True,
+               jac=None, shift=None) -> Mesh:
     """topology: 'auto' (native C++ kernel for large meshes when
     available), 'native', or 'python'.  ``validate`` checks that no
     unmatched faces look interior (overlapping opposite-facing
     "boundary" faces) and raises instead of producing wrong physics."""
     lower = np.asarray(lower, dtype=np.float64)
     extent = np.asarray(extent, dtype=np.float64)
+    # Guard the geometric-key construction: quantized face keys divide by
+    # extent.min(), so non-finite coordinates or degenerate boxes would
+    # flow NaN/inf into int casts (undefined behavior) and silently
+    # corrupt face matching.
+    if not (np.isfinite(lower).all() and np.isfinite(extent).all()):
+        raise ValueError("mesh geometry contains non-finite values")
+    if extent.size and extent.min() <= 0:
+        raise ValueError("mesh elements must have positive extent "
+                         f"(min extent = {extent.min()!r})")
     import os
     n = lower.shape[0]
     use_native = topology == "native" or (
@@ -282,7 +306,7 @@ def from_boxes(lower: np.ndarray, extent: np.ndarray, parent=None,
         _validate_unmatched(lower, extent, bfaces, float(extent.min() * 1e-6))
     return Mesh(dim=lower.shape[1], lower=lower, extent=extent, faces=faces,
                 bfaces=bfaces, parent=parent, child_pos=child_pos,
-                parent_mesh=parent_mesh)
+                parent_mesh=parent_mesh, jac=jac, shift=shift)
 
 
 def structured(cells, lower=None, upper=None, mask=None) -> Mesh:
@@ -340,9 +364,15 @@ def refine(mesh: Mesh, marks: np.ndarray | None = None) -> Mesh:
     # slab-sharded and Pallas stencil paths rely on
     q = np.rint(child_lower / (child_extent.min() * 0.5)).astype(np.int64)
     order = np.lexsort(tuple(q[:, a] for a in range(dim - 1, -1, -1)))
+    # children inherit the parent's affine map verbatim (the parametric
+    # child box is a subset of the parent box, so the same map applies)
+    jac = shift = None
+    if mesh.jac is not None:
+        jac = np.repeat(mesh.jac, nc, axis=0)[order]
+        shift = np.repeat(mesh.shift, nc, axis=0)[order]
     return from_boxes(child_lower[order], child_extent[order],
                       parent=parent[order], child_pos=child_pos[order],
-                      parent_mesh=mesh)
+                      parent_mesh=mesh, jac=jac, shift=shift)
 
 
 def hierarchy(base: Mesh, levels: int) -> list[Mesh]:

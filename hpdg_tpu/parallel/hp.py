@@ -440,12 +440,16 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
     """
     dim = gmesh.dim
     ndev = len(shards)
+    # kmat: K(x) returns a symmetric (dim, dim) tensor per point
+    # (anisotropic media / general-geometry pullback) — the sharded
+    # analog of gausslobattoipdgcoefficientassembler.hh:31 combined with
+    # the parallel layer (communicationhpdg.hh:235-418): the per-face /
+    # per-volume coefficient arrays generalize from [.., q] scalars to
+    # [.., q, d, d] tensors through the same gather/compute/scatter.
+    kmat = False
     if diffusion is not None:
         kp = np.asarray(diffusion(jnp.full((1, dim), 0.5)))
-        if kp.ndim >= 3:
-            raise NotImplementedError(
-                "sharded operators support scalar diffusion; tensor media "
-                "go through the serial assembled path for now")
+        kmat = kp.ndim >= 3
     DEG = tuple(sorted(int(d) for d in np.unique(degrees)))
     CHS = sorted(channels)
     n_own = [len(sh["own"]) for sh in shards]
@@ -496,6 +500,9 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
             "fg": {}, "bg": {}}
     if diffusion is not None:
         data["bulk_k"] = {}
+    if kmat:
+        data["bulk_invh"] = {}
+        data["bulk_detj"] = {}
     owned_slots = {}
     for p in DEG:
         ek = np.zeros((ndev, m_ext[p]), _I)
@@ -509,7 +516,11 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
         if diffusion is not None:
             vtp = tensor.volume_tables(p, dim, p + 2,
                                        family=shards[0]["ebasis"].family)
-            bk = np.zeros((ndev, m_own[p], len(vtp["weights"])))
+            kshape = (dim, dim) if kmat else ()
+            bk = np.zeros((ndev, m_own[p], len(vtp["weights"])) + kshape)
+        if kmat:
+            bih = np.zeros((ndev, m_own[p], dim))
+            bdj = np.zeros((ndev, m_own[p]))
         for s, sh in enumerate(shards):
             eb = sh["ebasis"]
             own = sh["own"]
@@ -548,17 +559,25 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
             ext = gmesh.extent[own_p]
             if no:
                 bc[s, :no] = np.prod(ext, axis=1)[:, None] / ext**2
+                if kmat:
+                    bih[s, :no] = 1.0 / ext
+                    bdj[s, :no] = np.prod(ext, axis=1)
                 if diffusion is not None:
                     xq = (gmesh.lower[own_p][:, None, :]
                           + vtp["points"][None, :, :] * ext[:, None, :])
                     bk[s, :no] = np.asarray(diffusion(jnp.asarray(xq)))
             # diagonal blocks (from the extended mesh: includes interface
             # and true domain-boundary faces; ghost blocks unused)
+            # host-side diagonal blocks + inverses: f64 when the runtime
+            # has it, otherwise honestly f32 (requesting f64 under a
+            # non-x64 runtime only truncates with a warning per call)
+            host_dtype = (jnp.float64 if jax.config.jax_enable_x64
+                          else dtype)
             D = sipg_diagonal_blocks(sh["ebasis"], penalty=penalty,
                                      dirichlet=dirichlet, plan=sh["plan"],
                                      penalty_scaling=penalty_scaling,
                                      diffusion=diffusion,
-                                     dtype=jnp.float64)
+                                     dtype=host_dtype)
             if p in D and no:
                 dr[s, :no] = np.asarray(D[p])[:no]
                 dv[s, :no] = np.linalg.inv(dr[s, :no])
@@ -572,6 +591,9 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
         data["diag"][p] = dr
         if diffusion is not None:
             data["bulk_k"][p] = bk
+        if kmat:
+            data["bulk_invh"][p] = bih
+            data["bulk_detj"][p] = bdj
 
     for c in FCLS:
         pi, po, ax, ncc = c
@@ -585,7 +607,11 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
         if diffusion is not None:
             ebasis_c, fg_c = rep[c]
             fin_c, _ = face_group_tables(ebasis_c, fg_c, max(pi, po) + 2)
-            arr["kq"] = np.zeros((ndev, F, len(fin_c["weights"])))
+            kshape = (dim, dim) if kmat else ()
+            arr["kq"] = np.zeros((ndev, F, len(fin_c["weights"])) + kshape)
+        if kmat:
+            arr["ihi_all"] = np.zeros((ndev, F, dim))
+            arr["iho_all"] = np.zeros((ndev, F, dim))
         for s, sh in enumerate(shards):
             for fg in sh["plan"].face_groups:
                 if (fg.p_in, fg.p_out, fg.axis, fg.nc_code) != c:
@@ -611,6 +637,9 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                     xq = face_phys_points(sh["ebasis"], fg, fin_c["points"])
                     arr["kq"][s, :k] = np.asarray(
                         diffusion(jnp.asarray(xq)))
+                if kmat:
+                    arr["ihi_all"][s, :k] = 1.0 / sh["emesh"].extent[ein]
+                    arr["iho_all"][s, :k] = 1.0 / sh["emesh"].extent[eout]
         data["fg"][c] = arr
 
     for c in BCLS:
@@ -623,7 +652,10 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
         if diffusion is not None:
             ftc = tensor.face_tables(p, dim, ax, side, p + 2,
                                      family=shards[0]["ebasis"].family)
-            arr["kq"] = np.zeros((ndev, B, len(ftc["weights"])))
+            kshape = (dim, dim) if kmat else ()
+            arr["kq"] = np.zeros((ndev, B, len(ftc["weights"])) + kshape)
+        if kmat:
+            arr["ih_all"] = np.zeros((ndev, B, dim))
         for s, sh in enumerate(shards):
             for bg in sh["plan"].boundary_groups:
                 if (bg.p, bg.axis, bg.side) != c:
@@ -652,23 +684,32 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                                          * em.extent[els, a_][:, None])
                     arr["kq"][s, :k] = np.asarray(
                         diffusion(jnp.asarray(xq)))
+                if kmat:
+                    arr["ih_all"][s, :k] = 1.0 / sh["emesh"].extent[
+                        elems[keep]]
         data["bg"][c] = arr
 
     # ---------------- static trace tables ----------------
     fam = shards[0]["ebasis"].family
     ftabs = {}
+    fall = {}  # full trace-gradient tables (tensor media only)
     for c in FCLS:
         pi, po, ax, ncc = c
         ebasis_c, fg_c = rep[c]
         fin, fout = face_group_tables(ebasis_c, fg_c, max(pi, po) + 2)
         ftabs[c] = (fin["weights"], fin["V"], fin["Dn"], fout["V"],
                     fout["Dn"])
+        if kmat:
+            fall[c] = (fin["Dall"], fout["Dall"])
     btabs = {}
+    ball = {}
     for c in BCLS:
         p, ax, side = c
         ft = tensor.face_tables(p, dim, ax, side, p + 2, family=fam)
         btabs[c] = (ft["weights"], ft["V"], ft["Dn"],
                     1.0 if side == 1 else -1.0)
+        if kmat:
+            ball[c] = ft["Dall"]
     vtabs = {p: tensor.volume_tables(p, dim, p + 2, family=fam) for p in DEG}
 
     # ---------------- the SPMD body ----------------
@@ -712,20 +753,44 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
             wq = jnp.asarray(vt["weights"], dtype).reshape(
                 (len(t1.qweights),) * dim)
             coef = d["bulk_coef"][p]
-            kq = None
-            if "bulk_k" in d:
-                kq = d["bulk_k"][p].astype(dtype).reshape(
-                    (x[p].shape[0],) + wq.shape)
             out = 0.0
-            for a in range(dim):
-                tabs = [J(D) if b == a else J(V) for b in range(dim)]
-                du = jnp.einsum(fwd, u, *tabs, preferred_element_type=dtype)
-                g = du * wq[None] * coef[:, a].astype(dtype).reshape(
-                    (-1,) + (1,) * dim)
-                if kq is not None:
-                    g = g * kq
-                out = out + jnp.einsum(bwd, g, *tabs,
-                                       preferred_element_type=dtype)
+            if kmat:
+                # tensor medium: all reference-gradient fields, mixed by
+                # K per point (mirrors matrixfree.sumfact tensor branch)
+                kq = d["bulk_k"][p].astype(dtype).reshape(
+                    (x[p].shape[0],) + wq.shape + (dim, dim))
+                invh = d["bulk_invh"][p].astype(dtype)
+                wdet = (wq[None] * d["bulk_detj"][p].astype(dtype).reshape(
+                    (-1,) + (1,) * dim))
+                dus = []
+                for b in range(dim):
+                    tabs = [J(D) if c_ == b else J(V) for c_ in range(dim)]
+                    dus.append(jnp.einsum(fwd, u, *tabs,
+                                          preferred_element_type=dtype)
+                               * invh[:, b].reshape((-1,) + (1,) * dim))
+                for a in range(dim):
+                    g = 0.0
+                    for b in range(dim):
+                        g = g + kq[..., a, b] * dus[b]
+                    g = g * wdet * invh[:, a].reshape((-1,) + (1,) * dim)
+                    tabs = [J(D) if c_ == a else J(V) for c_ in range(dim)]
+                    out = out + jnp.einsum(bwd, g, *tabs,
+                                           preferred_element_type=dtype)
+            else:
+                kq = None
+                if "bulk_k" in d:
+                    kq = d["bulk_k"][p].astype(dtype).reshape(
+                        (x[p].shape[0],) + wq.shape)
+                for a in range(dim):
+                    tabs = [J(D) if b == a else J(V) for b in range(dim)]
+                    du = jnp.einsum(fwd, u, *tabs,
+                                    preferred_element_type=dtype)
+                    g = du * wq[None] * coef[:, a].astype(dtype).reshape(
+                        (-1,) + (1,) * dim)
+                    if kq is not None:
+                        g = g * kq
+                    out = out + jnp.einsum(bwd, g, *tabs,
+                                           preferred_element_type=dtype)
             yb = out.reshape(x[p].shape)
             y[p] = jnp.concatenate(
                 [yb, jnp.zeros((1, yb.shape[1]), dtype)], axis=0)
@@ -738,12 +803,41 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
             u_out = xe[po][a["out_pos"]]
             uinq = u_in @ Vi
             uoutq = u_out @ Vo
-            dninq = (u_in @ Di) * a["ihi"].astype(dtype)[:, None]
-            dnoutq = (u_out @ Do) * a["iho"].astype(dtype)[:, None]
             jump = uinq - uoutq
-            avg = 0.5 * (dninq + dnoutq)
             zw = a["fmeas"].astype(dtype)[:, None] * w[None, :]
             penw = a["pen"].astype(dtype)[:, None] * w[None, :]
+            if kmat:
+                # tensor medium: co-normal derivatives via the full
+                # trace-gradient tables (K folded in)
+                Dalli, Dallo = (J(t) for t in fall[c])
+                kq = a["kq"].astype(dtype)
+                Ka = kq[..., ax, :]                     # (F, q, dim)
+                ihi = a["ihi_all"].astype(dtype)        # (F, dim)
+                iho = a["iho_all"].astype(dtype)
+                duin = jnp.einsum("fi,biq->fbq", u_in, Dalli,
+                                  preferred_element_type=dtype)
+                duout = jnp.einsum("fi,biq->fbq", u_out, Dallo,
+                                   preferred_element_type=dtype)
+                dninq = jnp.einsum("fqb,fb,fbq->fq", Ka, ihi, duin,
+                                   preferred_element_type=dtype)
+                dnoutq = jnp.einsum("fqb,fb,fbq->fq", Ka, iho, duout,
+                                    preferred_element_type=dtype)
+                avg = 0.5 * (dninq + dnoutq)
+                t1_in = -zw * avg + penw * jump
+                t1_out = zw * avg - penw * jump
+                t2b = zw * (-0.5 * jump)
+                y[pi] = y[pi].at[a["tgt_in"]].add(
+                    t1_in @ Vi.T + jnp.einsum(
+                        "fq,fqb,fb,biq->fi", t2b, Ka, ihi, Dalli,
+                        preferred_element_type=dtype))
+                y[po] = y[po].at[a["tgt_out"]].add(
+                    t1_out @ Vo.T + jnp.einsum(
+                        "fq,fqb,fb,biq->fi", t2b, Ka, iho, Dallo,
+                        preferred_element_type=dtype))
+                continue
+            dninq = (u_in @ Di) * a["ihi"].astype(dtype)[:, None]
+            dnoutq = (u_out @ Do) * a["iho"].astype(dtype)[:, None]
+            avg = 0.5 * (dninq + dnoutq)
             kf = a["kq"].astype(dtype) if "kq" in a else 1.0
             t1_in = -zw * (kf * avg) + penw * jump
             t2_in = zw * (-0.5 * kf * jump) * a["ihi"].astype(dtype)[:, None]
@@ -759,9 +853,25 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
             a = d["bg"][c]
             u = xe[p][a["pos"]]
             uq = u @ V
-            dnq = (u @ D) * (sign * a["ih"].astype(dtype))[:, None]
             zw = a["fmeas"].astype(dtype)[:, None] * w[None, :]
             penw = a["pen"].astype(dtype)[:, None] * w[None, :]
+            if kmat:
+                Dall = J(ball[c])
+                kq = a["kq"].astype(dtype)
+                Ka = kq[..., ax, :]
+                ih = a["ih_all"].astype(dtype)
+                du = jnp.einsum("fi,biq->fbq", u, Dall,
+                                preferred_element_type=dtype)
+                dnKq = sign * jnp.einsum("fqb,fb,fbq->fq", Ka, ih, du,
+                                         preferred_element_type=dtype)
+                t1 = -zw * dnKq + penw * uq
+                t2b = zw * (-uq)
+                y[p] = y[p].at[a["tgt"]].add(
+                    t1 @ V.T + sign * jnp.einsum(
+                        "fq,fqb,fb,biq->fi", t2b, Ka, ih, Dall,
+                        preferred_element_type=dtype))
+                continue
+            dnq = (u @ D) * (sign * a["ih"].astype(dtype))[:, None]
             kf = a["kq"].astype(dtype) if "kq" in a else 1.0
             t1 = -zw * (kf * dnq) + penw * uq
             t2 = zw * (-(kf * uq)) * (sign * a["ih"].astype(dtype))[:, None]
@@ -859,6 +969,34 @@ def hp_pcg_solve(prob: HPSharded, b: dict, iters: int = 200, x0: dict = None):
         return st[0], hp_norm(st[1])
 
     return run(b, x0 if x0 is not None else jax.tree.map(jnp.zeros_like, b))
+
+
+def _hp_rho_est(prob: HPSharded, dtype, iters: int = 30) -> float:
+    """Power-iteration estimate of rho(D^-1 A) for a sharded level.
+
+    Starts from a fixed-seed RANDOM vector: the ones vector is A-smooth
+    and can be nearly orthogonal to the top (penalty-dominated,
+    oscillatory) eigenvector — measured on a (2,2,2) p=2 level, 15
+    iterations from ones returned 1.0025 where the true rho is 1.90,
+    which put the Chebyshev window far below the spectrum and made the
+    smoother AMPLIFY top modes by ~200x per application (the divergence
+    the r3 h_first debugging traced down).  Random start + 30 iterations
+    lands within ~2% of the true rho on every level tested; the 1.1x
+    window margin at the call sites absorbs the rest."""
+    rng = np.random.default_rng(1887)
+    v0 = {p: jnp.asarray(rng.standard_normal(v.shape), dtype)
+          for p, v in prob.zeros(dtype).items()}
+
+    @jax.jit
+    def run(v0):
+        def body(i, v):
+            w = prob.dinv_mul(prob.apply(v))
+            return jax.tree.map(lambda a: a / hp_norm(w), w)
+
+        v = jax.lax.fori_loop(0, iters, body, v0)
+        return hp_norm(prob.dinv_mul(prob.apply(v)))
+
+    return float(run(v0))
 
 
 # ---------------------------------------------------------------------------
@@ -1006,19 +1144,9 @@ def build_hp_sharded_pmg(cells, degrees, devices=None, penalty: float = 2.0,
     from hpdg_tpu.solvers import smoothers as sm
     smooths = []
     for prob in probs:
-        @jax.jit
-        def rho_est(prob=prob):
-            v0 = {p: jnp.ones_like(v) for p, v in prob.zeros(dtype).items()}
-
-            def body(i, v):
-                w = prob.dinv_mul(prob.apply(v))
-                return jax.tree.map(lambda a: a / hp_norm(w), w)
-
-            v = jax.lax.fori_loop(0, 15, body, v0)
-            return hp_norm(prob.dinv_mul(prob.apply(v)))
-        rho = float(rho_est())
+        rho = _hp_rho_est(prob, dtype)
         smooths.append(sm.chebyshev_smoother(prob.apply, prob.dinv_mul,
-                                             lmax=1.05 * rho,
+                                             lmax=1.1 * rho,
                                              degree=cheb_degree))
 
     def safe_div(a, b):
@@ -1109,17 +1237,23 @@ def hp_pmg_pcg_solve(pmg: HPShardedPMG, b: dict, iters: int = 30):
 # sharded h-levels (uniform-degree geometric coarsening below p = 1)
 # ---------------------------------------------------------------------------
 
-def _child_T_matrices(p: int, dim: int, halve, dtype):
-    """Per-child-position prolongation blocks T_var[(bs, bs)]: parent
-    basis evaluated at the child's nodes mapped to parent coords
-    (dgtodggridtransferassembler.hh:308-323 analog).  ``halve[a]`` says
-    whether axis ``a`` coarsens 2:1 (uniform coarsening halves all axes;
-    SEMIcoarsening halves only the anisotropy axis).  Child position var
-    enumerates the halving axes with the first halving axis as the
-    HIGHEST bit (matching mesh element C-order, last axis fastest)."""
+def _child_T_matrices(pc: int, pf: int, dim: int, halve, dtype):
+    """Per-child-position prolongation blocks T_var[(bs_f, bs_c)]:
+    degree-``pc`` parent basis evaluated at the child's degree-``pf``
+    nodes mapped to parent coords
+    (dgtodggridtransferassembler.hh:308-323 analog, generalized to
+    MIXED degrees — the reference's h-transfers are DG-Q1-only,
+    dgtodggridtransferassembler.hh:227-341; here coarse degree = max
+    over children, so pf <= pc).  ``halve[a]`` says whether axis ``a``
+    coarsens 2:1 (uniform coarsening halves all axes; SEMIcoarsening
+    halves only the anisotropy axis).  Child position var enumerates the
+    halving axes with the first halving axis as the HIGHEST bit
+    (matching mesh element C-order, last axis fastest)."""
     from hpdg_tpu.basis import lagrange
-    nodes = lagrange.nodes_1d(p, "lobatto")
-    mi = tensor.multiindices(p, dim)
+    nodes_c = lagrange.nodes_1d(pc, "lobatto")
+    nodes_f = lagrange.nodes_1d(pf, "lobatto")
+    mi_c = tensor.multiindices(pc, dim)
+    mi_f = tensor.multiindices(pf, dim)
     haxes = [a for a in range(dim) if halve[a]]
     out = []
     for var in range(2 ** len(haxes)):
@@ -1128,26 +1262,55 @@ def _child_T_matrices(p: int, dim: int, halve, dtype):
         for t, a in enumerate(haxes):
             bits[a] = (var >> (len(haxes) - 1 - t)) & 1
             scale[a] = 0.5
-        xp = scale[None, :] * (bits[None, :] + nodes[mi])  # (bs, dim)
-        per_axis = [lagrange.lagrange_values(nodes, xp[:, a])
+        xp = scale[None, :] * (bits[None, :] + nodes_f[mi_f])  # (bs_f, dim)
+        per_axis = [lagrange.lagrange_values(nodes_c, xp[:, a])
                     for a in range(dim)]
-        T = np.ones((len(mi), len(mi)))
+        T = np.ones((len(mi_f), len(mi_c)))
         for a in range(dim):
-            T = T * per_axis[a][mi[:, a], :].T
+            T = T * per_axis[a][mi_c[:, a], :].T
         out.append(jnp.asarray(T, dtype))
     return out
 
 
-def _hp_h_transfer(probf: HPSharded, probc: HPSharded, p: int,
+def _coarsen_degree_map(deg_f, cf, cc, rule: str = "max"):
+    """Geometrically coarsened lattice degree map: per coarse element the
+    max (or min) over its children's degrees."""
+    dim = len(cf)
+    deg_f = np.asarray(deg_f, dtype=_I).reshape(-1)
+    ids = np.arange(int(np.prod(cf)))
+    rem = ids
+    coords = []
+    for a in range(dim - 1, -1, -1):
+        coords.append(rem % cf[a])
+        rem = rem // cf[a]
+    coords = coords[::-1]
+    pc = np.zeros_like(ids)
+    for a in range(dim):
+        pc = pc * cc[a] + coords[a] // (cf[a] // cc[a])
+    if rule == "max":
+        out = np.zeros(int(np.prod(cc)), _I)
+        np.maximum.at(out, pc, deg_f)
+    else:
+        out = np.full(int(np.prod(cc)), 127, _I)
+        np.minimum.at(out, pc, deg_f)
+    return out
+
+
+def _hp_h_transfer(probf: HPSharded, probc: HPSharded, degf, degc,
                    axis_name: str, dtype):
     """Sharded geometric (h) transfer between a fine mesh and a 2:1
     coarsening of SOME subset of axes (uniform coarsening or
-    semicoarsening), uniform degree p.  The slab partition is aligned
-    (both cells[0] divisible by ndev), so every coarse element and all
-    its children live on the SAME shard: the transfer is element-local
-    GEMM work, no communication — the design choice that replaces the
-    reference's per-level communicator rebuilds (parmgsetup.hh:201-211).
-    """
+    semicoarsening).  Handles per-element MIXED degrees on either side
+    (classes keyed (pc, pf, child-position); exact + adjoint — beyond
+    the reference, whose h-transfers are DG-Q1-only,
+    dgtodggridtransferassembler.hh:227-341), though the production
+    hierarchies keep h-pairs at uniform equal degrees for V-cycle
+    stability (see build_hp_sharded_hmg).  The slab partition is
+    aligned (both cells[0] divisible by ndev), so every coarse element
+    and all its children live on the SAME shard: the transfer is
+    element-local GEMM work per class, no communication — the design
+    choice that replaces the reference's per-level communicator
+    rebuilds (parmgsetup.hh:201-211)."""
     dim = len(probf.cells)
     ndev = probf.ndev
     cf = probf.cells
@@ -1157,75 +1320,96 @@ def _hp_h_transfer(probf: HPSharded, probc: HPSharded, p: int,
         raise ValueError(f"unsupported coarsening {cf} -> {cc}")
     haxes = [a for a in range(dim) if halve[a]]
     nc = 2 ** len(haxes)
-    Mc = probc.m_own[p]
-    dgrid = probf.device_grid
-    npax = len(dgrid)
-    locf = tuple(cf[a] // dgrid[a] if a < npax else cf[a] for a in range(dim))
+    degf = np.asarray(degf, dtype=_I).reshape(-1)
+    degc = np.asarray(degc, dtype=_I).reshape(-1)
 
-    # children of coarse lattice element (fine ids), C-order lattice maps
-    def owner_slot(coords):
-        """(shard flat index, local slot) of fine lattice coords."""
-        S = [coords[a] // locf[a] for a in range(npax)]
-        sflat = 0
-        for a in range(npax):
-            sflat = sflat * dgrid[a] + S[a]
-        slot = 0
-        for a in range(dim):
-            lc = coords[a] - (S[a] * locf[a] if a < npax else 0)
-            slot = slot * locf[a] + lc
-        return sflat, slot
-
-    child = np.zeros((ndev, Mc, nc), _I)
+    # classes keyed (pc, pf, var): per shard, (coarse slot, fine slot)
+    classes = {}
     for s in range(ndev):
-        own_c = probc.owned_slots[(s, p)]  # global coarse ids, slot order
-        for k, ec in enumerate(own_c):
-            # coarse lattice coords (axis 0 slowest)
-            rem = int(ec)
-            coords = []
-            for a in range(dim - 1, -1, -1):
-                coords.append(rem % cc[a])
-                rem //= cc[a]
-            coords = coords[::-1]
-            for var in range(nc):
-                fco = list(coords)
-                for t, a in enumerate(haxes):
-                    fco[a] = 2 * coords[a] + ((var >> (len(haxes) - 1 - t))
-                                              & 1)
-                sflat, slot = owner_slot(fco)
-                assert sflat == s, "partition misaligned"
-                child[s, k, var] = slot  # uniform degree: slot == local id
-    Ts = _child_T_matrices(p, dim, halve, dtype)
+        slot_f = {pp: {int(e): k for k, e in
+                       enumerate(probf.owned_slots[(s, pp)])}
+                  for pp in probf.degree_set}
+        for pc in probc.degree_set:
+            for k, ec in enumerate(probc.owned_slots[(s, pc)]):
+                rem = int(ec)
+                coords = []
+                for a in range(dim - 1, -1, -1):
+                    coords.append(rem % cc[a])
+                    rem //= cc[a]
+                coords = coords[::-1]
+                for var in range(nc):
+                    fco = list(coords)
+                    for t, a in enumerate(haxes):
+                        fco[a] = (2 * coords[a]
+                                  + ((var >> (len(haxes) - 1 - t)) & 1))
+                    ef = 0
+                    for a in range(dim):
+                        ef = ef * cf[a] + fco[a]
+                    pf = int(degf[ef])
+                    if ef not in slot_f[pf]:
+                        raise ValueError("partition misaligned: child and "
+                                         "parent on different shards")
+                    per = classes.setdefault(
+                        (pc, pf, var), [([], []) for _ in range(ndev)])
+                    per[s][0].append(k)
+                    per[s][1].append(slot_f[pf][ef])
+
+    KEYS = sorted(classes)
+    Ts = {}
+    tcache = {}
+    fidx, cidx = {}, {}
+    for key in KEYS:
+        pc, pf, var = key
+        if (pc, pf) not in tcache:
+            tcache[(pc, pf)] = _child_T_matrices(pc, pf, dim, halve, dtype)
+        Ts[key] = tcache[(pc, pf)][var]
+        per = classes[key]
+        C = max(max(len(cs) for cs, fs in per), 1)
+        ci = np.full((ndev, C), probc.m_own[pc], _I)   # pad -> dump row
+        fi = np.full((ndev, C), probf.m_own[pf], _I)
+        for s, (cs, fs) in enumerate(per):
+            ci[s, :len(cs)] = cs
+            fi[s, :len(fs)] = fs
+        cidx[key], fidx[key] = ci, fi
 
     mesh = probf.device_mesh
     dim0 = tuple(probf.axes)
-    fspec = {p: P(dim0, None)}
-    cspec = {p: P(dim0, None)}
-    dspec = P(dim0)
-    cdev = jax.device_put(jnp.asarray(child),
-                          NamedSharding(mesh, P(dim0, None, None)))
+    DEGF, DEGC = probf.degree_set, probc.degree_set
+    fspec = {p: P(dim0, None) for p in DEGF}
+    cspec = {p: P(dim0, None) for p in DEGC}
+    tdata = {"fi": fidx, "ci": cidx}
+    dspec = jax.tree.map(lambda _: P(dim0), tdata)
+    tdev = jax.tree.map(lambda a: jax.device_put(
+        jnp.asarray(a), NamedSharding(mesh, P(dim0, None))), tdata)
 
-    Mf = probf.m_own[p]
+    def restrict_body(d, rf):
+        d = jax.tree.map(lambda a: a[0], d)
+        rc = {pc: jnp.zeros((probc.m_own[pc] + 1, (pc + 1) ** dim), dtype)
+              for pc in DEGC}
+        for key in KEYS:
+            pc, pf, var = key
+            Mf = probf.m_own[pf]
+            vals = rf[pf][jnp.clip(d["fi"][key], 0, Mf - 1)] @ Ts[key]
+            mask = (d["fi"][key] < Mf).astype(dtype)[:, None]
+            rc[pc] = rc[pc].at[d["ci"][key]].add(vals * mask)
+        return {pc: rc[pc][:probc.m_own[pc]] for pc in DEGC}
 
-    def restrict_body(ch, rf):
-        ch = ch[0]
-        rc = jnp.zeros((Mc, (p + 1) ** dim), dtype)
-        for var in range(nc):
-            vals = rf[p][ch[:, var]] @ Ts[var]  # T^T r per coarse element
-            rc = rc + vals
-        return {p: rc}
-
-    def prolong_body(ch, xc):
-        ch = ch[0]
-        xf = jnp.zeros((Mf, (p + 1) ** dim), dtype)
-        for var in range(nc):
-            xf = xf.at[ch[:, var]].set(xc[p] @ Ts[var].T)
-        return {p: xf}
+    def prolong_body(d, xc):
+        d = jax.tree.map(lambda a: a[0], d)
+        xf = {pf: jnp.zeros((probf.m_own[pf] + 1, (pf + 1) ** dim), dtype)
+              for pf in DEGF}
+        for key in KEYS:
+            pc, pf, var = key
+            Mc = probc.m_own[pc]
+            vals = xc[pc][jnp.clip(d["ci"][key], 0, Mc - 1)] @ Ts[key].T
+            xf[pf] = xf[pf].at[d["fi"][key]].set(vals)
+        return {pf: xf[pf][:probf.m_own[pf]] for pf in DEGF}
 
     rshard = jax.shard_map(restrict_body, mesh=mesh,
                            in_specs=(dspec, fspec), out_specs=cspec)
     pshard = jax.shard_map(prolong_body, mesh=mesh,
                            in_specs=(dspec, cspec), out_specs=fspec)
-    return (lambda rf: rshard(cdev, rf)), (lambda xc: pshard(cdev, xc))
+    return (lambda rf: rshard(tdev, rf)), (lambda xc: pshard(tdev, xc))
 
 
 def build_hp_sharded_hmg(cells, degrees, h_levels: int = 1, devices=None,
@@ -1233,6 +1417,7 @@ def build_hp_sharded_hmg(cells, degrees, h_levels: int = 1, devices=None,
                          dtype=jnp.float64, penalty_scaling: str = "measure",
                          cheb_degree: int = 5, cells_chain=None,
                          h_first: bool = False, device_grid=None,
+                         h_first_rule: str = "uniform",
                          coarse_cg_iters: int = 60) -> HPShardedPMG:
     """Full sharded hp-multigrid: p-levels (min(k_e, order), halving) on
     the fine mesh, then ``h_levels`` geometric 2x coarsenings at p = 1 —
@@ -1244,10 +1429,14 @@ def build_hp_sharded_hmg(cells, degrees, h_levels: int = 1, devices=None,
     tuples (last entry == cells) overriding the uniform halving — e.g. a
     SEMIcoarsening chain [(2,2,2), (4,2,2), (8,2,2)] for anisotropic
     meshes.  ``h_first=True`` puts the h-levels at the TOP of the
-    hierarchy at the full (uniform) degree and the p-levels below on the
-    coarsest mesh — the anisotropy-robust ordering (p-coarsening on
-    stretched elements is a ~0.6-rate level pair even with an exact
-    coarse solve; semicoarsening at full p contracts at ~0.13)."""
+    hierarchy and the p-levels below on the coarsest mesh — the
+    anisotropy-robust ordering (p-coarsening on stretched elements is a
+    ~0.6-rate level pair even with an exact coarse solve; semicoarsening
+    at full p contracts at ~0.13).  Mixed degree maps are supported:
+    p-levels on the fine mesh reduce to the first uniform order, the
+    h-chain runs at that uniform degree, and p-levels continue to 1 on
+    the coarsest mesh (see the in-line rationale for why geometric
+    degree coarsening is not used)."""
     degrees = np.asarray(degrees, dtype=_I).reshape(-1)
     devices = devices if devices is not None else jax.devices()
     dim = len(cells)
@@ -1274,30 +1463,76 @@ def build_hp_sharded_hmg(cells, degrees, h_levels: int = 1, devices=None,
                                  f"device grid {dgrid} (need even cells + "
                                  "divisible partitions)")
             hcells.append(nxt)
-    if h_first and len(np.unique(degrees)) != 1:
-        raise ValueError("h_first needs a uniform degree map")
-
     kw = dict(devices=devices, penalty=penalty, dirichlet=dirichlet,
               dtype=dtype, penalty_scaling=penalty_scaling,
               device_grid=device_grid)
     probs = []
     transfers = []
-    if h_first:
-        # coarsest..finest: p-levels on the COARSEST mesh, then h-levels
-        # at the full degree up to the fine mesh
-        p_full = int(degrees.max())
+    if h_first and h_first_rule == "geometric-max" \
+            and len(np.unique(degrees)) > 1:
+        # Geometric degree coarsening (r2-verdict item 6's suggestion):
+        # every h-level carries the coarsened map with coarse degree =
+        # max over children; the h-transfers interpolate between the
+        # per-element degrees (exact + adjoint).  Needs the robust
+        # Chebyshev window (_hp_rho_est) — with an underestimated lmax
+        # this ordering diverges violently.
+        deg_chain = [degrees]
+        for i in range(len(hcells) - 1):
+            deg_chain.append(_coarsen_degree_map(
+                deg_chain[-1], hcells[i], hcells[i + 1]))
+        dc = deg_chain[-1]
+        dmaps_c = [dc]
+        while dmaps_c[-1].max() > 1:
+            order = max(1, int(dmaps_c[-1].max()) // 2)
+            dmaps_c.append(np.minimum(dc, order).astype(_I))
+        ccoarse = hcells[-1]
+        for dm in reversed(dmaps_c[1:]):
+            probs.append(build_hp_sharded(ccoarse, dm, **kw))
+        for i in range(len(hcells) - 1, -1, -1):
+            probs.append(build_hp_sharded(hcells[i], deg_chain[i], **kw))
+        level_deg = ([dm for dm in reversed(dmaps_c[1:])]
+                     + [deg_chain[i]
+                        for i in range(len(hcells) - 1, -1, -1)])
+    elif h_first:
+        # Mixed-degree-stable ordering (coarsest..finest): p-levels to 1
+        # on the COARSEST mesh, semicoarsening h-levels at the chain's
+        # first UNIFORM order o* (the largest halving order <= min k_e),
+        # then standard p-levels min(k_e, order) back up to the full
+        # degree map on the FINE mesh (solversetup.hh:71-108 semantics).
+        #
+        # Why not geometric degree coarsening (coarse degree = max or
+        # min over children, the r2-verdict suggestion)?  Measured: both
+        # rules DIVERGE (3e4x/cycle at degrees {2,4}, 8x2x2 semicoarsen)
+        # even though the transfers are exact and adjoint to 1e-14 —
+        # with a REdiscretized coarse operator, degree-lossy
+        # prolongation aliases high coarse modes into low fine modes
+        # (max rule), and penalty coefficients sigma*max(p)^2/h mismatch
+        # across the pair (both rules), pushing the coarse-correction
+        # spectrum past 2.  Keeping every h-pair at a uniform equal
+        # degree and every p-pair nested (min(k_e, order)) keeps each
+        # level pair a standard stable pairing.
+        orders = [int(degrees.max())]
+        while orders[-1] > 1:
+            orders.append(max(1, orders[-1] // 2))
+        dmin = int(degrees.min())
+        ostar = next(o for o in orders if o <= dmin)
         ccoarse = hcells[-1]
         ncc = int(np.prod(ccoarse))
-        for dm in reversed(dmaps[1:]):
+        coarse_orders = [o for o in orders if o < ostar]   # descending
+        for o in reversed(coarse_orders):                  # 1 .. ostar//2
+            probs.append(build_hp_sharded(ccoarse, np.full(ncc, o, _I),
+                                          **kw))
+        for cl in reversed(hcells):                        # coarse..fine
             probs.append(build_hp_sharded(
-                ccoarse, np.full(ncc, int(dm.max()), _I), **kw))
-        for cl in reversed(hcells):
-            probs.append(build_hp_sharded(
-                cl, np.full(int(np.prod(cl)), p_full, _I), **kw))
-        level_deg = ([np.full(ncc, int(dm.max()), _I)
-                      for dm in reversed(dmaps[1:])]
-                     + [np.full(int(np.prod(cl)), p_full, _I)
-                        for cl in reversed(hcells)])
+                cl, np.full(int(np.prod(cl)), ostar, _I), **kw))
+        fine_maps = [np.minimum(degrees, o).astype(_I)
+                     for o in orders if o > ostar]         # descending
+        for dm in reversed(fine_maps):                     # ascending
+            probs.append(build_hp_sharded(cells, dm, **kw))
+        level_deg = ([np.full(ncc, o, _I) for o in reversed(coarse_orders)]
+                     + [np.full(int(np.prod(cl)), ostar, _I)
+                        for cl in reversed(hcells)]
+                     + [dm for dm in reversed(fine_maps)])
     else:
         # coarsest..finest: h-levels (at p=1) below the p-levels
         for cl in reversed(hcells[1:]):
@@ -1311,7 +1546,7 @@ def build_hp_sharded_hmg(cells, degrees, h_levels: int = 1, devices=None,
     for i in range(len(probs) - 1):
         if probs[i].cells != probs[i + 1].cells:
             transfers.append(_hp_h_transfer(probs[i + 1], probs[i],
-                                            int(level_deg[i].max()),
+                                            level_deg[i + 1], level_deg[i],
                                             probs[0].axis_name, dtype))
         else:
             transfers.append(_hp_transfer(probs[i + 1], probs[i],
@@ -1321,19 +1556,9 @@ def build_hp_sharded_hmg(cells, degrees, h_levels: int = 1, devices=None,
     from hpdg_tpu.solvers import smoothers as sm
     smooths = []
     for prob in probs:
-        @jax.jit
-        def rho_est(prob=prob):
-            v0 = {p: jnp.ones_like(v) for p, v in prob.zeros(dtype).items()}
-
-            def body(i, v):
-                w = prob.dinv_mul(prob.apply(v))
-                return jax.tree.map(lambda a: a / hp_norm(w), w)
-
-            v = jax.lax.fori_loop(0, 15, body, v0)
-            return hp_norm(prob.dinv_mul(prob.apply(v)))
-        rho = float(rho_est())
+        rho = _hp_rho_est(prob, dtype)
         smooths.append(sm.chebyshev_smoother(prob.apply, prob.dinv_mul,
-                                             lmax=1.05 * rho,
+                                             lmax=1.1 * rho,
                                              degree=cheb_degree))
 
     def safe_div(a, d):
@@ -1549,19 +1774,9 @@ def build_hp_sharded_hmg_general(gmesh, degrees, devices=None,
     from hpdg_tpu.solvers import smoothers as sm
     smooths = []
     for prob in probs:
-        @jax.jit
-        def rho_est(prob=prob):
-            v0 = {p: jnp.ones_like(v) for p, v in prob.zeros(dtype).items()}
-
-            def body(i, v):
-                w = prob.dinv_mul(prob.apply(v))
-                return jax.tree.map(lambda a: a / hp_norm(w), w)
-
-            v = jax.lax.fori_loop(0, 15, body, v0)
-            return hp_norm(prob.dinv_mul(prob.apply(v)))
-        rho = float(rho_est())
+        rho = _hp_rho_est(prob, dtype)
         smooths.append(sm.chebyshev_smoother(prob.apply, prob.dinv_mul,
-                                             lmax=1.05 * rho,
+                                             lmax=1.1 * rho,
                                              degree=cheb_degree))
 
     def safe_div(a, d):

@@ -312,7 +312,7 @@ def _lexicographic_block_gs_mixed(A: BlockSparseMatrix, basis,
 # Chebyshev polynomial smoothing (matvec-only; beyond the reference)
 # ---------------------------------------------------------------------------
 
-def estimate_rho(apply_fn, precond_fn, x_like: dict, iters: int = 15) -> float:
+def estimate_rho(apply_fn, precond_fn, x_like: dict, iters: int = 30) -> float:
     """Power-iteration estimate of rho(M^-1 A) (host loop at setup time)."""
     import numpy as _np
     rng = _np.random.default_rng(1887)

@@ -58,6 +58,15 @@ def _face_point(tpt, axis, side, dim):
     return x
 
 
+def _aff(mesh, e):
+    """(A, Ainv, |det A|, shift) of element e (identity for box meshes)."""
+    if getattr(mesh, "jac", None) is None:
+        d = mesh.dim
+        return np.eye(d), np.eye(d), 1.0, np.zeros(d)
+    A = mesh.jac[e]
+    return A, np.linalg.inv(A), abs(np.linalg.det(A)), mesh.shift[e]
+
+
 def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
                 diffusion=None, penalty_scaling: str = "measure") -> np.ndarray:
     """Dense SIPG stiffness matrix in the flat element-ordered layout.
@@ -88,14 +97,16 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
         detJ = np.prod(h)
         o = basis.offsets[e]
         n = basis.block_sizes[e]
+        Ae, Ai, dA, sh = _aff(mesh, e)
         for q in range(len(w)):
-            G = _grad_phi(nodes, pts[q], h)
-            x = mesh.lower[e] + pts[q] * h
+            # physical gradients: parametric grads times A^-1 (row form)
+            G = _grad_phi(nodes, pts[q], h) @ Ai
+            x = sh + Ae @ (mesh.lower[e] + pts[q] * h)
             kq = K(x)
             if np.ndim(kq) == 2:
-                A[o:o + n, o:o + n] += w[q] * detJ * (G @ kq @ G.T)
+                A[o:o + n, o:o + n] += w[q] * detJ * dA * (G @ kq @ G.T)
             else:
-                A[o:o + n, o:o + n] += w[q] * detJ * kq * (G @ G.T)
+                A[o:o + n, o:o + n] += w[q] * detJ * dA * kq * (G @ G.T)
 
     # ---- interior faces (geometry-driven: handles hanging nodes too) ----
     for f in range(len(mesh.faces)):
@@ -115,10 +126,20 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
         ilo = np.maximum(mesh.lower[ei], mesh.lower[eo])
         iext = np.minimum(hi, ho)
         fmeas = np.prod(np.delete(iext, ax))
+        Aei, Aii, dAi, shi = _aff(mesh, ei)
+        Aeo, Aio, dAo, sho = _aff(mesh, eo)
+        # Nanson face factors and physical unit normal (per side; equal
+        # for exactly conforming affine meshes)
+        gi = dAi * np.linalg.norm(Aii[ax])
+        go = dAo * np.linalg.norm(Aio[ax])
+        gmean = 0.5 * (gi + go)
+        nrm_i = Aii[ax] / np.linalg.norm(Aii[ax])
+        fmeas_phys = gmean * fmeas
         if penalty_scaling == "measure":
-            mu = penalty * pmax**2 / fmeas
-        else:  # "normal": mean inverse normal extent of the two elements
-            mu = penalty * pmax**2 * 0.5 * (1.0 / hi[ax] + 1.0 / ho[ax])
+            mu = penalty * pmax**2 / fmeas_phys
+        else:  # "normal": mean inverse normal PHYSICAL extent
+            mu = penalty * pmax**2 * 0.5 * (gi / (dAi * hi[ax])
+                                            + go / (dAo * ho[ax]))
         oi, no = basis.offsets[ei], basis.block_sizes[ei]
         oo, mo = basis.offsets[eo], basis.block_sizes[eo]
         tang = [a for a in range(dim) if a != ax]
@@ -133,17 +154,13 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
             xo[ax] = 0.0
             vi = _phi(nodes_i, xi)
             vo = _phi(nodes_o, xo)
-            # physical co-normal derivative (K grad phi).n, normal = +e_ax
-            kq = K(xphys)
-            if np.ndim(kq) == 2:
-                dni = _grad_phi(nodes_i, xi, hi) @ kq[ax]
-                dno = _grad_phi(nodes_o, xo, ho) @ kq[ax]
-                k = 1.0
-            else:
-                dni = _grad_phi(nodes_i, xi, hi)[:, ax]
-                dno = _grad_phi(nodes_o, xo, ho)[:, ax]
-                k = kq
-            z = tw[q] * fmeas
+            # physical co-normal derivative (K grad phi).n
+            kq = K(shi + Aei @ xphys)
+            Km = kq if np.ndim(kq) == 2 else kq * np.eye(dim)
+            dni = (_grad_phi(nodes_i, xi, hi) @ Aii) @ (Km @ nrm_i)
+            dno = (_grad_phi(nodes_o, xo, ho) @ Aio) @ (Km @ nrm_i)
+            k = 1.0
+            z = tw[q] * fmeas_phys
             M11 = -0.5 * k * (np.outer(vi, dni) + np.outer(dni, vi)) + mu * np.outer(vi, vi)
             M12 = -0.5 * k * np.outer(vi, dno) + 0.5 * k * np.outer(dni, vo) - mu * np.outer(vi, vo)
             M21 = +0.5 * k * np.outer(vo, dni) - 0.5 * k * np.outer(dno, vi) - mu * np.outer(vo, vi)
@@ -169,23 +186,24 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
             nodes = lagrange.nodes_1d(p, basis.family)
             h = mesh.extent[e]
             fmeas = np.prod(np.delete(h, ax))
+            Ae, Ai2, dA, sh = _aff(mesh, e)
+            g = dA * np.linalg.norm(Ai2[ax])
+            nrm = Ai2[ax] / np.linalg.norm(Ai2[ax])
+            fmeas_phys = g * fmeas
             if penalty_scaling == "measure":
-                mu = penalty * p**2 / fmeas
+                mu = penalty * p**2 / fmeas_phys
             else:
-                mu = penalty * p**2 / h[ax]
+                mu = penalty * p**2 * g / (dA * h[ax])
             o, n = basis.offsets[e], basis.block_sizes[e]
             for q in range(len(tw)):
                 x = _face_point(tpts[q], ax, side, dim)
                 v = _phi(nodes, x)
-                xphys = mesh.lower[e] + x * h
+                xphys = sh + Ae @ (mesh.lower[e] + x * h)
                 kq = K(xphys)
-                if np.ndim(kq) == 2:
-                    dn = sign * (_grad_phi(nodes, x, h) @ kq[ax])
-                    k = 1.0
-                else:
-                    dn = sign * _grad_phi(nodes, x, h)[:, ax]
-                    k = kq
-                z = tw[q] * fmeas
+                Km = kq if np.ndim(kq) == 2 else kq * np.eye(dim)
+                dn = sign * ((_grad_phi(nodes, x, h) @ Ai2) @ (Km @ nrm))
+                k = 1.0
+                z = tw[q] * fmeas_phys
                 A[o:o + n, o:o + n] += z * (
                     -k * (np.outer(v, dn) + np.outer(dn, v)) + mu * np.outer(v, v)
                 )
@@ -224,11 +242,12 @@ def l2_functional(basis: DGBasis, g, quad_order=None) -> np.ndarray:
         qn, qw = quadrature.gauss_legendre_for_order(order)
         pts, w = quadrature.tensor_rule(qn, qw, dim)
         h = mesh.extent[e]
-        detJ = np.prod(h)
+        Ae, _, dA, sh = _aff(mesh, e)
+        detJ = np.prod(h) * dA
         o, n = basis.offsets[e], basis.block_sizes[e]
         for q in range(len(w)):
             v = _phi(nodes, pts[q])
-            x = mesh.lower[e] + pts[q] * h
+            x = sh + Ae @ (mesh.lower[e] + pts[q] * h)
             b[o:o + n] += w[q] * detJ * g(x) * v
     return b
 

@@ -328,7 +328,6 @@ def test_affine_pullback_matches_stretched_mesh():
     are assemblable -> exact cross-check of the pullback identity)."""
     s = np.array([2.0, 0.5])
     m_ref = hmesh.structured((3, 2))
-    m_img = hmesh.structured((3, 2), upper=(3 * 0, 0))  # placeholder
     m_img = hmesh.from_boxes(m_ref.lower * s, m_ref.extent * s)
     basis_ref = DGBasis(m_ref, np.full(6, 2))
     basis_img = DGBasis(m_img, np.full(6, 2))

@@ -114,3 +114,17 @@ def test_2to1_matching_thirds_extents():
     m3 = hmesh.structured((4, 3, 3))
     g3 = refine_local(m3, close_marks(m3, rng.random(36) < 0.3))
     assert np.isclose(g3.volumes.sum(), 1.0)
+
+
+def test_degenerate_geometry_raises():
+    """from_boxes must reject non-finite coordinates and non-positive
+    extents instead of flowing NaN/inf into the quantized face keys
+    (int-casting NaN is undefined behavior)."""
+    import pytest
+    from hpdg_tpu.mesh.structured import from_boxes
+    with pytest.raises(ValueError):
+        from_boxes(np.zeros((2, 2)), np.zeros((2, 2)))  # zero extent
+    with pytest.raises(ValueError):
+        from_boxes(np.array([[0.0, np.nan]]), np.ones((1, 2)))
+    with pytest.raises(ValueError):
+        from_boxes(np.zeros((1, 2)), np.array([[1.0, np.inf]]))

@@ -138,3 +138,44 @@ def test_sharded_pmg_3d_anisotropic_semicoarsened():
     rate = (res[-1] / max(res[1], 1e-300)) ** (1.0 / 9)
     assert rate < 0.3, rate
     assert res[-1] < 1e-7
+
+
+def test_sharded_hmg_mixed_degree_h_first():
+    """r2-verdict item 6: mixed-degree (hp) h_first chains converge
+    (previously raised ValueError for non-uniform degree maps).
+
+    Sharded anisotropic hp (degrees {2,4} random on 4:1 cells) MG with
+    the geometric-max degree chain: measured rate ~0.49 (cheb 8).  The
+    verdict's 0.3 target is NOT reachable with element-block smoothers:
+    the two-grid rate with a near-exact coarse solve is already 0.55
+    on this config (ROADMAP item 13) — the plateau is the smoother
+    class on 1:4-stretched p=4 elements, not the hierarchy.  The test
+    locks in convergence + the measured rate with margin."""
+    from hpdg_tpu.parallel.hp import build_hp_sharded_hmg, hp_norm
+    rng = np.random.default_rng(7)
+    cells = (8, 2, 2)
+    degrees = rng.choice([2, 4], size=32)
+    chain = [(2, 2, 2), (4, 2, 2), (8, 2, 2)]  # semicoarsen along x
+    pmg = build_hp_sharded_hmg(cells, degrees, cells_chain=chain,
+                               h_first=True, h_first_rule="geometric-max",
+                               cheb_degree=8, devices=jax.devices()[:2],
+                               penalty=6.0, dirichlet=True,
+                               penalty_scaling="normal", dtype=jnp.float64)
+    fine = pmg.levels[-1]
+    gbasis = DGBasis(hmesh.structured(cells), degrees)
+    from hpdg_tpu.blocks import api
+    b_dict = api.l2_functional(
+        gbasis, lambda x: 3 * jnp.pi**2 * jnp.sin(jnp.pi * x[..., 0])
+        * jnp.sin(jnp.pi * x[..., 1]) * jnp.sin(jnp.pi * x[..., 2]))
+    b = fine.scatter_global(b_dict, gbasis)
+    step = jax.jit(pmg.step)
+    x = jax.tree.map(jnp.zeros_like, b)
+    nb = float(hp_norm(b))
+    res = [1.0]
+    for _ in range(10):
+        x = step(x, b)
+        r = {q: b[q] - v for q, v in fine.apply(x).items()}
+        res.append(float(hp_norm(r)) / nb)
+    rate = (res[-1] / max(res[1], 1e-300)) ** (1.0 / 9)
+    assert rate < 0.55, rate
+    assert res[-1] < 1e-3

@@ -730,3 +730,93 @@ def test_hp_sharded_morton_partition_matches_serial():
     ys = prob.apply(prob.scatter_global(x, gbasis))
     yg = prob.gather_global(ys, gbasis)
     assert _rel_err(y_ref, yg) < 1e-11
+
+
+@pytest.mark.parametrize("builder", ["lattice", "general"])
+def test_hp_sharded_tensor_diffusion_matches_serial(builder):
+    """TENSOR-valued (anisotropic / pullback-geometry) diffusion through
+    the sharded operator: the [.., q] scalar coefficient plan arrays
+    generalize to [.., q, d, d] tensors (bulk mixed-gradient terms,
+    co-normal face fluxes via full trace-gradient tables).  Matches the
+    serial tensor-coefficient operator at 1e-11 on the 8-device mesh
+    (gausslobattoipdgcoefficientassembler.hh:31 + parallel layer)."""
+    from hpdg_tpu.parallel.hp import build_hp_sharded_general
+    from hpdg_tpu.assemble import pullback_diffusion
+
+    # sheared pullback geometry x -> Fx, modulated by a smooth scalar
+    F = np.array([[1.0, 0.4], [0.0, 1.0]])
+    Kp = pullback_diffusion(F)
+
+    def K(x):
+        scale = 1.0 + 0.3 * jnp.sin(2.0 * x[..., 0]) * x[..., 1]
+        return Kp(x) * scale[..., None, None]
+
+    rng = np.random.default_rng(33)
+    cells = (8, 3)
+    dim = 2
+    if builder == "lattice":
+        gmesh = hmesh.structured(cells)
+        degrees = rng.choice([2, 3], size=gmesh.n_elements)
+        prob = build_hp_sharded(cells, degrees, devices=jax.devices()[:8],
+                                penalty=2.0, dirichlet=True,
+                                penalty_scaling="normal", diffusion=K)
+    else:
+        from hpdg_tpu.mesh.adaptive import refine_local, close_marks
+        m0 = hmesh.structured(cells)
+        gmesh = refine_local(m0, close_marks(m0, rng.random(24) < 0.3))
+        degrees = rng.choice([2, 3], size=gmesh.n_elements)
+        prob = build_hp_sharded_general(gmesh, degrees,
+                                        devices=jax.devices()[:8],
+                                        penalty=2.0, dirichlet=True,
+                                        penalty_scaling="normal",
+                                        diffusion=K)
+    gbasis = DGBasis(gmesh, degrees)
+    op = sipg_operator(gbasis, penalty=2.0, dirichlet=True, diffusion=K,
+                       penalty_scaling="normal")
+    x = {p: jnp.asarray(rng.standard_normal(
+        (gbasis.bucket_size(p), (p + 1) ** dim)))
+        for p in gbasis.bucket_degrees}
+    y_ref = op(x)
+    ys = prob.apply(prob.scatter_global(x, gbasis))
+    yg = prob.gather_global(ys, gbasis)
+    assert _rel_err(y_ref, yg) < 1e-11
+
+
+def test_hp_sharded_mg_tensor_media_converges():
+    """Sharded hp multigrid PCG on strongly anisotropic tensor media
+    (4:1 principal-axis ratio, rotated 30 degrees): converges on the
+    8-device mesh, and the solution matches a long serial CG solve."""
+    th = np.pi / 6
+    R = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    K0 = R @ np.diag([4.0, 1.0]) @ R.T
+
+    def K(x):
+        return jnp.broadcast_to(jnp.asarray(K0), x.shape[:-1] + (2, 2))
+
+    rng = np.random.default_rng(44)
+    cells = (8, 8)
+    degrees = rng.choice([2, 3], size=64)
+    gbasis = DGBasis(hmesh.structured(cells), degrees)
+    b = l2_functional(gbasis, lambda x: jnp.ones_like(x[..., 0]))
+
+    pmg = build_hp_sharded_pmg(cells, degrees, devices=jax.devices()[:8],
+                               penalty=8.0, dirichlet=True,
+                               penalty_scaling="normal", diffusion=K)
+    fine = pmg.levels[-1]
+    bs = fine.scatter_global(b, gbasis)
+    x_sh, rel = hp_pmg_pcg_solve(pmg, bs, iters=40)
+    assert float(rel) < 1e-10  # rel is already ||r||/||b||
+
+    # serial ground truth (assembled operator, dense solve on 64 elems)
+    from hpdg_tpu.assemble import assemble_laplace
+    from hpdg_tpu.linalg import blockmatrix as bm
+    A = bm.to_dense(assemble_laplace(gbasis, penalty=8.0, dirichlet=True,
+                                     penalty_scaling="normal", diffusion=K),
+                    gbasis)
+    from hpdg_tpu.linalg.blockvector import to_flat, from_flat
+    bf = to_flat(gbasis, b)
+    xf = np.linalg.solve(np.asarray(A), np.asarray(bf))
+    x_ref = from_flat(gbasis, xf)
+    xg = fine.gather_global(x_sh, gbasis)
+    err = max(np.abs(np.asarray(x_ref[p]) - xg[p]).max() for p in x_ref)
+    assert err < 1e-8, err
