@@ -144,7 +144,8 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
                      dirichlet: bool = True, dtype=jnp.float64,
                      penalty_scaling: str = "measure",
                      axis_name: str = "x",
-                     device_grid=None, diffusion=None) -> HPSharded:
+                     device_grid=None, diffusion=None,
+                     gmesh=None) -> HPSharded:
     """Build the sharded mixed-degree SIPG apply for a structured mesh.
 
     ``degrees``: global per-element degree array (element order of
@@ -181,7 +182,11 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
     axes = (axis_name,) if npax == 1 else tuple("xyzw"[a] for a in range(npax))
     loc = tuple(cells[a] // device_grid[a] if a < npax else cells[a]
                 for a in range(dim))
-    gmesh = hmesh.structured(cells)
+    if gmesh is None:
+        gmesh = hmesh.structured(cells)
+    else:  # caller-supplied lattice mesh (e.g. with affine geometry)
+        assert gmesh.n_elements == int(np.prod(cells)), \
+            "gmesh must be the structured(cells) lattice"
     n_local = int(np.prod(loc))
     layer = n_local // loc[0]  # legacy: axis-0 cross-section size
     # halo axes: partitioned axes with >1 device (others have no neighbor)
@@ -237,14 +242,19 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
                     gext = gmesh.extent[mids]
                     gdeg = degrees[mids]
                 ghosts.append(dict(ch=1 + 2 * ha + side, lower=glow,
-                                   extent=gext, lay_deg=gdeg))
+                                   extent=gext, lay_deg=gdeg,
+                                   gids=ids if has else mids))
                 send_ids[(s, 1 + 2 * ha + side)] = own[
                     _own_layer_ids(a, 1 - side)]
         lo = [gmesh.lower[own]] + [g["lower"] for g in ghosts]
         ex = [gmesh.extent[own]] + [g["extent"] for g in ghosts]
         dg = [degrees[own]] + [g["lay_deg"] for g in ghosts]
+        ejac = eshift = None
+        if getattr(gmesh, "jac", None) is not None:
+            eids = np.concatenate([own] + [g["gids"] for g in ghosts])
+            ejac, eshift = gmesh.jac[eids], gmesh.shift[eids]
         emesh = hmesh.from_boxes(np.concatenate(lo), np.concatenate(ex),
-                                 validate=False)
+                                 validate=False, jac=ejac, shift=eshift)
         ebasis = DGBasis(emesh, np.concatenate(dg))
         shards.append(dict(own=own, ghosts=ghosts, emesh=emesh, ebasis=ebasis,
                            plan=build_plan(ebasis)))
@@ -404,15 +414,19 @@ def build_hp_sharded_general(gmesh, degrees, devices=None,
             gids = _adj(nb, s) if 0 <= nb < ndev else np.empty(0, np.int64)
             ghosts.append(dict(ch=k + 1, lower=gmesh.lower[gids],
                                extent=gmesh.extent[gids],
-                               lay_deg=degrees[gids]))
+                               lay_deg=degrees[gids], gids=gids))
             rcv = s - o
             send_ids[(s, k + 1)] = _adj(s, rcv) if 0 <= rcv < ndev \
                 else np.empty(0, np.int64)
         lo = [gmesh.lower[own]] + [g["lower"] for g in ghosts]
         ex = [gmesh.extent[own]] + [g["extent"] for g in ghosts]
         dg = [degrees[own]] + [g["lay_deg"] for g in ghosts]
+        ejac = eshift = None
+        if getattr(gmesh, "jac", None) is not None:
+            eids = np.concatenate([own] + [g["gids"] for g in ghosts])
+            ejac, eshift = gmesh.jac[eids], gmesh.shift[eids]
         emesh = hmesh.from_boxes(np.concatenate(lo), np.concatenate(ex),
-                                 validate=False)
+                                 validate=False, jac=ejac, shift=eshift)
         ebasis = DGBasis(emesh, np.concatenate(dg))
         shards.append(dict(own=own, ghosts=ghosts, emesh=emesh, ebasis=ebasis,
                            plan=build_plan(ebasis)))
@@ -440,16 +454,22 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
     """
     dim = gmesh.dim
     ndev = len(shards)
+    from hpdg_tpu.mesh import geometry as geo
     # kmat: K(x) returns a symmetric (dim, dim) tensor per point
     # (anisotropic media / general-geometry pullback) — the sharded
     # analog of gausslobattoipdgcoefficientassembler.hh:31 combined with
     # the parallel layer (communicationhpdg.hh:235-418): the per-face /
     # per-volume coefficient arrays generalize from [.., q] scalars to
     # [.., q, d, d] tensors through the same gather/compute/scatter.
-    kmat = False
+    # First-class affine geometry (mesh.jac) folds into the SAME tensor
+    # arrays as |det A| A^-1 K A^-T per side (see mesh/geometry.py), so
+    # general geometry shards exactly like anisotropic media.
+    affine = geo.has_affine(gmesh)
+    kmat = affine
     if diffusion is not None:
         kp = np.asarray(diffusion(jnp.full((1, dim), 0.5)))
-        kmat = kp.ndim >= 3
+        kmat = kmat or kp.ndim >= 3
+    has_k = diffusion is not None or affine
     DEG = tuple(sorted(int(d) for d in np.unique(degrees)))
     CHS = sorted(channels)
     n_own = [len(sh["own"]) for sh in shards]
@@ -498,7 +518,7 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
     data = {"ext_kind": {}, "ext_idx": {}, "send": {},
             "bulk_coef": {}, "ownmask": {}, "dinv": {}, "diag": {},
             "fg": {}, "bg": {}}
-    if diffusion is not None:
+    if has_k:
         data["bulk_k"] = {}
     if kmat:
         data["bulk_invh"] = {}
@@ -513,7 +533,7 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
         bs = (p + 1) ** dim
         dv = np.zeros((ndev, m_own[p], bs, bs))
         dr = np.broadcast_to(np.eye(bs), (ndev, m_own[p], bs, bs)).copy()
-        if diffusion is not None:
+        if has_k:
             vtp = tensor.volume_tables(p, dim, p + 2,
                                        family=shards[0]["ebasis"].family)
             kshape = (dim, dim) if kmat else ()
@@ -562,10 +582,16 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                 if kmat:
                     bih[s, :no] = 1.0 / ext
                     bdj[s, :no] = np.prod(ext, axis=1)
-                if diffusion is not None:
+                if has_k:
                     xq = (gmesh.lower[own_p][:, None, :]
                           + vtp["points"][None, :, :] * ext[:, None, :])
-                    bk[s, :no] = np.asarray(diffusion(jnp.asarray(xq)))
+                    xq = geo.apply_map(gmesh, own_p, xq)
+                    kq_b = (np.asarray(diffusion(jnp.asarray(xq)))
+                            if diffusion is not None else None)
+                    if affine:
+                        kq_b = np.asarray(geo.effective_tensor(
+                            gmesh, own_p, kq_b, xq.shape[1]))
+                    bk[s, :no] = kq_b
             # diagonal blocks (from the extended mesh: includes interface
             # and true domain-boundary faces; ghost blocks unused)
             # host-side diagonal blocks + inverses: f64 when the runtime
@@ -589,7 +615,7 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
         data["ownmask"][p] = om
         data["dinv"][p] = dv
         data["diag"][p] = dr
-        if diffusion is not None:
+        if has_k:
             data["bulk_k"][p] = bk
         if kmat:
             data["bulk_invh"][p] = bih
@@ -604,11 +630,13 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                    tgt_out=np.full((ndev, F), m_own[po], _I),
                    fmeas=np.zeros((ndev, F)), pen=np.zeros((ndev, F)),
                    ihi=np.zeros((ndev, F)), iho=np.zeros((ndev, F)))
-        if diffusion is not None:
+        if has_k:
             ebasis_c, fg_c = rep[c]
             fin_c, _ = face_group_tables(ebasis_c, fg_c, max(pi, po) + 2)
             kshape = (dim, dim) if kmat else ()
             arr["kq"] = np.zeros((ndev, F, len(fin_c["weights"])) + kshape)
+            if affine:  # per-side effective tensors differ
+                arr["kq_out"] = np.zeros_like(arr["kq"])
         if kmat:
             arr["ihi_all"] = np.zeros((ndev, F, dim))
             arr["iho_all"] = np.zeros((ndev, F, dim))
@@ -630,13 +658,26 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                 arr["fmeas"][s, :k] = fg.fmeas
                 arr["ihi"][s, :k] = fg.inv_h_in
                 arr["iho"][s, :k] = fg.inv_h_out
-                arr["pen"][s, :k] = penalty_coef(fg, penalty, max(pi, po),
-                                                 penalty_scaling)
-                if diffusion is not None:
+                arr["pen"][s, :k] = (
+                    geo.penalty_coef_mesh(sh["emesh"], fg, penalty,
+                                          max(pi, po), penalty_scaling)
+                    if affine else
+                    penalty_coef(fg, penalty, max(pi, po), penalty_scaling))
+                if has_k:
                     from hpdg_tpu.assemble.plan import face_phys_points
                     xq = face_phys_points(sh["ebasis"], fg, fin_c["points"])
-                    arr["kq"][s, :k] = np.asarray(
-                        diffusion(jnp.asarray(xq)))
+                    if affine:
+                        xq = geo.apply_map(sh["emesh"], ein, xq)
+                    kq_f = (np.asarray(diffusion(jnp.asarray(xq)))
+                            if diffusion is not None else None)
+                    if affine:
+                        arr["kq"][s, :k] = np.asarray(geo.effective_tensor(
+                            sh["emesh"], ein, kq_f, xq.shape[1]))
+                        arr["kq_out"][s, :k] = np.asarray(
+                            geo.effective_tensor(sh["emesh"], eout, kq_f,
+                                                 xq.shape[1]))
+                    else:
+                        arr["kq"][s, :k] = kq_f
                 if kmat:
                     arr["ihi_all"][s, :k] = 1.0 / sh["emesh"].extent[ein]
                     arr["iho_all"][s, :k] = 1.0 / sh["emesh"].extent[eout]
@@ -649,7 +690,7 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                    tgt=np.full((ndev, B), m_own[p], _I),
                    fmeas=np.zeros((ndev, B)), pen=np.zeros((ndev, B)),
                    ih=np.zeros((ndev, B)))
-        if diffusion is not None:
+        if has_k:
             ftc = tensor.face_tables(p, dim, ax, side, p + 2,
                                      family=shards[0]["ebasis"].family)
             kshape = (dim, dim) if kmat else ()
@@ -668,9 +709,13 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                 arr["tgt"][s, :k] = bg.pos[keep]
                 arr["fmeas"][s, :k] = bg.fmeas[keep]
                 arr["ih"][s, :k] = bg.inv_h[keep]
-                arr["pen"][s, :k] = boundary_penalty_coef(
-                    bg, penalty, penalty_scaling)[keep]
-                if diffusion is not None:
+                arr["pen"][s, :k] = (
+                    geo.boundary_penalty_coef_mesh(sh["emesh"], bg, penalty,
+                                                   penalty_scaling)
+                    if affine else
+                    boundary_penalty_coef(bg, penalty,
+                                          penalty_scaling))[keep]
+                if has_k:
                     em = sh["emesh"]
                     els = elems[keep]
                     lo = em.lower[els].copy()
@@ -682,8 +727,13 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                     for t_, a_ in enumerate(tangs):
                         xq[:, :, a_] += (ftc["points"][None, :, t_]
                                          * em.extent[els, a_][:, None])
-                    arr["kq"][s, :k] = np.asarray(
-                        diffusion(jnp.asarray(xq)))
+                    xq = geo.apply_map(em, els, xq)
+                    kq_bd = (np.asarray(diffusion(jnp.asarray(xq)))
+                             if diffusion is not None else None)
+                    if affine:
+                        kq_bd = np.asarray(geo.effective_tensor(
+                            em, els, kq_bd, xq.shape[1]))
+                    arr["kq"][s, :k] = kq_bd
                 if kmat:
                     arr["ih_all"][s, :k] = 1.0 / sh["emesh"].extent[
                         elems[keep]]
@@ -811,7 +861,10 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                 # trace-gradient tables (K folded in)
                 Dalli, Dallo = (J(t) for t in fall[c])
                 kq = a["kq"].astype(dtype)
+                kqo = (a["kq_out"] if "kq_out" in a else a["kq"]).astype(
+                    dtype)
                 Ka = kq[..., ax, :]                     # (F, q, dim)
+                Kao = kqo[..., ax, :]
                 ihi = a["ihi_all"].astype(dtype)        # (F, dim)
                 iho = a["iho_all"].astype(dtype)
                 duin = jnp.einsum("fi,biq->fbq", u_in, Dalli,
@@ -820,7 +873,7 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                                    preferred_element_type=dtype)
                 dninq = jnp.einsum("fqb,fb,fbq->fq", Ka, ihi, duin,
                                    preferred_element_type=dtype)
-                dnoutq = jnp.einsum("fqb,fb,fbq->fq", Ka, iho, duout,
+                dnoutq = jnp.einsum("fqb,fb,fbq->fq", Kao, iho, duout,
                                     preferred_element_type=dtype)
                 avg = 0.5 * (dninq + dnoutq)
                 t1_in = -zw * avg + penw * jump
@@ -832,7 +885,7 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                         preferred_element_type=dtype))
                 y[po] = y[po].at[a["tgt_out"]].add(
                     t1_out @ Vo.T + jnp.einsum(
-                        "fq,fqb,fb,biq->fi", t2b, Ka, iho, Dallo,
+                        "fq,fqb,fb,biq->fi", t2b, Kao, iho, Dallo,
                         preferred_element_type=dtype))
                 continue
             dninq = (u_in @ Di) * a["ihi"].astype(dtype)[:, None]
