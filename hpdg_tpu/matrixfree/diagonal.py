@@ -6,6 +6,12 @@ computes only the (e, e) diagonal blocks of the SIPG operator — bulk
 block plus the M11/M22 face contributions — without forming the global
 matrix.  Used as the ``MatrixCreator`` for matrix-free block Jacobi
 (ipdgblockjacobi.hh analog, see solvers.smoothers).
+
+Computed in NUMPY on the host: this is setup-time work, and the
+per-face-group eager jnp scatter-adds of the original implementation
+triggered one XLA compile per group — ~2,600 compiles and 156 s of a
+181 s sharded build at 10k elements (r3 profile).  The numpy version is
+one vectorized pass, no compiler in the loop.
 """
 
 from __future__ import annotations
@@ -24,25 +30,47 @@ def _sym(M):
     return M + M.T
 
 
+def _scatter_add(out, pos, vals, rdtype):
+    """out[pos] += vals; positions within one face group are unique for
+    conforming classes (one high/low face per element per axis), where
+    plain fancy indexing is ~10x faster than np.add.at; fall back to
+    add.at under duplicates (possible for hanging-node classes)."""
+    vals = np.broadcast_to(vals, (len(pos),) + out.shape[1:]).astype(rdtype)
+    if len(np.unique(pos)) == len(pos):
+        out[pos] += vals
+    else:
+        np.add.at(out, pos, vals)
+
+
 def sipg_diagonal_blocks(basis: DGBasis, penalty: float = 2.0,
                          dirichlet: bool = False, dtype=jnp.float64,
                          penalty_scaling: str = "measure",
                          diffusion=None,
                          plan: AssemblyPlan | None = None) -> dict:
-    """p -> [n_p, bs, bs] diagonal blocks of the SIPG operator.
+    """p -> [n_p, bs, bs] diagonal blocks of the SIPG operator (host
+    numpy arrays in the precision of ``dtype``).
 
     ``diffusion``: optional coefficient K(x) (vectorized on physical
     points), scalar or symmetric (dim, dim) TENSOR per point — the
     coefficient variant of the diagonal-block factory
     (weightedheatdiagonalblock.hh / ipdgcoefficientoperator.hh scope,
-    tensor media as in gausslobattoipdgcoefficientassembler.hh:31)."""
-    from hpdg_tpu.matrixfree.sumfact import _is_tensor_coefficient
+    tensor media as in gausslobattoipdgcoefficientassembler.hh:31).
+    First-class affine geometry (mesh.jac) folds in exactly as in the
+    assemblers (mesh/geometry.py)."""
     from hpdg_tpu.mesh import geometry as geo
     plan = plan or build_plan(basis)
     mesh = basis.mesh
     dim = mesh.dim
     affine = geo.has_affine(mesh)
-    kmat = _is_tensor_coefficient(diffusion, dim, dtype) or affine
+    kmat = affine
+    if diffusion is not None:
+        probe = np.asarray(diffusion(jnp.full((1, dim), 0.5, dtype)))
+        kmat = kmat or probe.ndim >= 3
+    rdtype = np.dtype(jnp.zeros(0, dtype).dtype)
+
+    def K(x):
+        return np.asarray(diffusion(jnp.asarray(x, dtype)), rdtype)
+
     out = {}
     for p in basis.bucket_degrees:
         vt = tensor.volume_tables(p, dim, p + 2, family=basis.family)
@@ -53,106 +81,90 @@ def sipg_diagonal_blocks(basis: DGBasis, penalty: float = 2.0,
         invh2 = detJ[:, None] / ext**2
         if diffusion is None and not affine:
             S = np.einsum("q,aiq,ajq->aij", w, G, G)
-            out[p] = jnp.einsum("ea,aij->eij", jnp.asarray(invh2, dtype),
-                                jnp.asarray(S, dtype))
+            out[p] = np.einsum("ea,aij->eij", invh2, S).astype(rdtype)
         else:
             x = (mesh.lower[elems][:, None, :]
                  + vt["points"][None, :, :] * ext[:, None, :])
             x = geo.apply_map(mesh, elems, x)
-            k = (jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
-                 if diffusion is not None else None)
+            k = K(x) if diffusion is not None else None
             if affine:
-                k = jnp.asarray(geo.effective_tensor(mesh, elems, k,
-                                                     x.shape[1]), dtype)
+                k = np.asarray(geo.effective_tensor(mesh, elems, k,
+                                                    x.shape[1]))
             if kmat:
                 # (K grad u, grad v): sum_ab detJ w K_ab h_a^-1 h_b^-1
-                kw = (k * jnp.asarray(w, dtype)[None, :, None, None]
-                      * jnp.asarray(detJ, dtype)[:, None, None, None])
-                invh = jnp.asarray(1.0 / ext, dtype)
-                out[p] = jnp.einsum("eqab,ea,eb,aiq,bjq->eij", kw, invh,
-                                    invh, jnp.asarray(G, dtype),
-                                    jnp.asarray(G, dtype))
+                kw = (k * w[None, :, None, None]
+                      * detJ[:, None, None, None])
+                invh = 1.0 / ext
+                out[p] = np.einsum("eqab,ea,eb,aiq,bjq->eij", kw, invh,
+                                   invh, G, G).astype(rdtype)
             else:
-                kw = k * jnp.asarray(w, dtype)[None, :]
-                out[p] = jnp.einsum("eq,ea,aiq,ajq->eij", kw,
-                                    jnp.asarray(invh2, dtype),
-                                    jnp.asarray(G, dtype),
-                                    jnp.asarray(G, dtype))
+                kw = k * w[None, :]
+                out[p] = np.einsum("eq,ea,aiq,ajq->eij", kw, invh2,
+                                   G, G).astype(rdtype)
 
     for fg in plan.face_groups:
         pmax = max(fg.p_in, fg.p_out)
         fin, fout = face_group_tables(basis, fg, pmax + 2)
         w = fin["weights"]
-        pen = jnp.asarray(
+        pen = np.asarray(
             geo.penalty_coef_mesh(mesh, fg, penalty, pmax, penalty_scaling)
             if affine else
-            penalty_coef(fg, penalty, pmax, penalty_scaling),
-            dtype)[:, None, None]
-        c_in = jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_in, dtype)
-        c_out = jnp.asarray(-0.5 * fg.fmeas * fg.inv_h_out, dtype)
+            penalty_coef(fg, penalty, pmax, penalty_scaling))[:, None, None]
+        c_in = -0.5 * fg.fmeas * fg.inv_h_in
+        c_out = -0.5 * fg.fmeas * fg.inv_h_out
         if diffusion is None and not affine:
             AVDi = np.einsum("iq,q,jq->ij", fin["V"], w, fin["Dn"])
             BVVi = np.einsum("iq,q,jq->ij", fin["V"], w, fin["V"])
             AVDo = np.einsum("iq,q,jq->ij", fout["V"], w, fout["Dn"])
             BVVo = np.einsum("iq,q,jq->ij", fout["V"], w, fout["V"])
-            M11 = c_in[:, None, None] * jnp.asarray(_sym(AVDi), dtype) \
-                + pen * jnp.asarray(BVVi, dtype)[None]
-            M22 = -c_out[:, None, None] * jnp.asarray(_sym(AVDo), dtype) \
-                + pen * jnp.asarray(BVVo, dtype)[None]
+            M11 = c_in[:, None, None] * _sym(AVDi) + pen * BVVi[None]
+            M22 = -c_out[:, None, None] * _sym(AVDo) + pen * BVVo[None]
         elif kmat:
             # co-normal consistency: n.K grad u = sum_b K_{axis,b}/h_b d_b u
             ein = mesh.faces.inside[fg.face_ids]
             eout = mesh.faces.outside[fg.face_ids]
             x = geo.apply_map(mesh, ein,
                               face_phys_points(basis, fg, fin["points"]))
-            k = (jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
-                 if diffusion is not None else None)
+            k = K(x) if diffusion is not None else None
             if affine:
-                k_in = jnp.asarray(geo.effective_tensor(mesh, ein, k,
-                                                        x.shape[1]), dtype)
-                k_out = jnp.asarray(geo.effective_tensor(mesh, eout, k,
-                                                         x.shape[1]), dtype)
+                k_in = np.asarray(geo.effective_tensor(mesh, ein, k,
+                                                       x.shape[1]))
+                k_out = np.asarray(geo.effective_tensor(mesh, eout, k,
+                                                        x.shape[1]))
             else:
                 k_in = k_out = k
-            Ka = k_in[..., fg.axis, :]                   # (nf, q, dim)
-            Kao = k_out[..., fg.axis, :]
-            ihi = jnp.asarray(1.0 / mesh.extent[ein], dtype)
-            iho = jnp.asarray(1.0 / mesh.extent[eout], dtype)
-            J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
-            DnKi = jnp.einsum("fqb,fb,bjq->fjq", Ka, ihi, J(fin["Dall"]))
-            DnKo = jnp.einsum("fqb,fb,bjq->fjq", Kao, iho, J(fout["Dall"]))
-            zi = jnp.asarray(-0.5 * fg.fmeas, dtype)
-            wj = J(w)
+            ihi = 1.0 / mesh.extent[ein]
+            iho = 1.0 / mesh.extent[eout]
+            DnKi = np.einsum("fqb,fb,bjq->fjq", k_in[..., fg.axis, :], ihi,
+                             fin["Dall"])
+            DnKo = np.einsum("fqb,fb,bjq->fjq", k_out[..., fg.axis, :], iho,
+                             fout["Dall"])
+            zi = -0.5 * fg.fmeas
             M11 = (zi[:, None, None]
-                   * (jnp.einsum("iq,q,fjq->fij", J(fin["V"]), wj, DnKi)
-                      + jnp.einsum("fiq,q,jq->fij", DnKi, wj, J(fin["V"])))
-                   + pen * J(np.einsum("iq,q,jq->ij", fin["V"], w,
-                                       fin["V"]))[None])
+                   * (np.einsum("iq,q,fjq->fij", fin["V"], w, DnKi)
+                      + np.einsum("fiq,q,jq->fij", DnKi, w, fin["V"]))
+                   + pen * np.einsum("iq,q,jq->ij", fin["V"], w,
+                                     fin["V"])[None])
             M22 = (-zi[:, None, None]
-                   * (jnp.einsum("iq,q,fjq->fij", J(fout["V"]), wj, DnKo)
-                      + jnp.einsum("fiq,q,jq->fij", DnKo, wj, J(fout["V"])))
-                   + pen * J(np.einsum("iq,q,jq->ij", fout["V"], w,
-                                       fout["V"]))[None])
+                   * (np.einsum("iq,q,fjq->fij", fout["V"], w, DnKo)
+                      + np.einsum("fiq,q,jq->fij", DnKo, w, fout["V"]))
+                   + pen * np.einsum("iq,q,jq->ij", fout["V"], w,
+                                     fout["V"])[None])
         else:
             x = face_phys_points(basis, fg, fin["points"])
-            k = jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
-            wj = jnp.asarray(w, dtype)
-            kzi = k * wj[None, :] * c_in[:, None]
-            kzo = k * wj[None, :] * c_out[:, None]
-            J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
-            M11 = (jnp.einsum("fq,iq,jq->fij", kzi, J(fin["V"]), J(fin["Dn"]))
-                   + jnp.einsum("fq,iq,jq->fij", kzi, J(fin["Dn"]),
-                                J(fin["V"]))
-                   + pen * J(np.einsum("iq,q,jq->ij", fin["V"], w,
-                                       fin["V"]))[None])
-            M22 = (-jnp.einsum("fq,iq,jq->fij", kzo, J(fout["V"]),
-                               J(fout["Dn"]))
-                   - jnp.einsum("fq,iq,jq->fij", kzo, J(fout["Dn"]),
-                                J(fout["V"]))
-                   + pen * J(np.einsum("iq,q,jq->ij", fout["V"], w,
-                                       fout["V"]))[None])
-        out[fg.p_in] = out[fg.p_in].at[jnp.asarray(fg.in_pos)].add(M11)
-        out[fg.p_out] = out[fg.p_out].at[jnp.asarray(fg.out_pos)].add(M22)
+            k = K(x)
+            kzi = k * w[None, :] * c_in[:, None]
+            kzo = k * w[None, :] * c_out[:, None]
+            M11 = (np.einsum("fq,iq,jq->fij", kzi, fin["V"], fin["Dn"])
+                   + np.einsum("fq,iq,jq->fij", kzi, fin["Dn"], fin["V"])
+                   + pen * np.einsum("iq,q,jq->ij", fin["V"], w,
+                                     fin["V"])[None])
+            M22 = (-np.einsum("fq,iq,jq->fij", kzo, fout["V"], fout["Dn"])
+                   - np.einsum("fq,iq,jq->fij", kzo, fout["Dn"], fout["V"])
+                   + pen * np.einsum("iq,q,jq->ij", fout["V"], w,
+                                     fout["V"])[None])
+        _scatter_add(out[fg.p_in], fg.in_pos, M11, rdtype)
+        _scatter_add(out[fg.p_out], fg.out_pos, M22, rdtype)
 
     if dirichlet:
         for bg in plan.boundary_groups:
@@ -160,18 +172,17 @@ def sipg_diagonal_blocks(basis: DGBasis, penalty: float = 2.0,
                                     family=basis.family)
             w = ft["weights"]
             sign = 1.0 if bg.side == 1 else -1.0
-            c = jnp.asarray(-sign * bg.fmeas * bg.inv_h, dtype)
-            penb = jnp.asarray(
+            c = -sign * bg.fmeas * bg.inv_h
+            penb = np.asarray(
                 geo.boundary_penalty_coef_mesh(mesh, bg, penalty,
                                                penalty_scaling)
                 if affine else
-                boundary_penalty_coef(bg, penalty, penalty_scaling),
-                dtype)[:, None, None]
+                boundary_penalty_coef(bg, penalty,
+                                      penalty_scaling))[:, None, None]
             if diffusion is None and not affine:
                 AVD = np.einsum("iq,q,jq->ij", ft["V"], w, ft["Dn"])
                 BVV = np.einsum("iq,q,jq->ij", ft["V"], w, ft["V"])
-                M = c[:, None, None] * jnp.asarray(_sym(AVD), dtype) \
-                    + penb * jnp.asarray(BVV, dtype)[None]
+                M = c[:, None, None] * _sym(AVD) + penb * BVV[None]
             else:
                 elems = basis.mesh.bfaces.elem[bg.face_ids]
                 lo = basis.mesh.lower[elems].copy()
@@ -183,32 +194,25 @@ def sipg_diagonal_blocks(basis: DGBasis, penalty: float = 2.0,
                     x[:, :, a] += (ft["points"][None, :, t]
                                    * basis.mesh.extent[elems, a][:, None])
                 x = geo.apply_map(basis.mesh, elems, x)
-                k = (jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
-                     if diffusion is not None else None)
+                k = K(x) if diffusion is not None else None
                 if affine:
-                    k = jnp.asarray(geo.effective_tensor(
-                        basis.mesh, elems, k, x.shape[1]), dtype)
-                J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+                    k = np.asarray(geo.effective_tensor(
+                        basis.mesh, elems, k, x.shape[1]))
+                BVV = np.einsum("iq,q,jq->ij", ft["V"], w, ft["V"])
                 if kmat:
-                    Ka = k[..., bg.axis, :]
-                    ih = J(1.0 / basis.mesh.extent[elems])
-                    DnK = jnp.einsum("fqb,fb,bjq->fjq", Ka, ih,
-                                     J(ft["Dall"]))
-                    z = jnp.asarray(-sign * bg.fmeas, dtype)
-                    wj = J(w)
+                    ih = 1.0 / basis.mesh.extent[elems]
+                    DnK = np.einsum("fqb,fb,bjq->fjq",
+                                    k[..., bg.axis, :], ih, ft["Dall"])
+                    z = -sign * bg.fmeas
                     M = (z[:, None, None]
-                         * (jnp.einsum("iq,q,fjq->fij", J(ft["V"]), wj, DnK)
-                            + jnp.einsum("fiq,q,jq->fij", DnK, wj,
-                                         J(ft["V"])))
-                         + penb * J(np.einsum("iq,q,jq->ij", ft["V"], w,
-                                              ft["V"]))[None])
+                         * (np.einsum("iq,q,fjq->fij", ft["V"], w, DnK)
+                            + np.einsum("fiq,q,jq->fij", DnK, w, ft["V"]))
+                         + penb * BVV[None])
                 else:
-                    kz = k * jnp.asarray(w, dtype)[None, :] * c[:, None]
-                    M = (jnp.einsum("fq,iq,jq->fij", kz, J(ft["V"]),
-                                    J(ft["Dn"]))
-                         + jnp.einsum("fq,iq,jq->fij", kz, J(ft["Dn"]),
-                                      J(ft["V"]))
-                         + penb * J(np.einsum("iq,q,jq->ij", ft["V"], w,
-                                              ft["V"]))[None])
-            out[bg.p] = out[bg.p].at[jnp.asarray(bg.pos)].add(M)
+                    kz = k * w[None, :] * c[:, None]
+                    M = (np.einsum("fq,iq,jq->fij", kz, ft["V"], ft["Dn"])
+                         + np.einsum("fq,iq,jq->fij", kz, ft["Dn"],
+                                     ft["V"])
+                         + penb * BVV[None])
+            _scatter_add(out[bg.p], bg.pos, M, rdtype)
     return out

@@ -76,9 +76,15 @@ def refine_local(mesh: Mesh, marks: np.ndarray) -> Mesh:
             parent.append(np.array([e], dtype=np.int32))
             child_pos.append(np.array([-1], dtype=np.int32))  # kept as-is
 
+    parent_cat = np.concatenate(parent)
+    jac = shift = None
+    if mesh.jac is not None:  # children inherit the parent's affine map
+        jac = mesh.jac[parent_cat]
+        shift = mesh.shift[parent_cat]
     return from_boxes(np.concatenate(lowers), np.concatenate(extents),
-                      parent=np.concatenate(parent),
-                      child_pos=np.concatenate(child_pos), parent_mesh=mesh)
+                      parent=parent_cat,
+                      child_pos=np.concatenate(child_pos), parent_mesh=mesh,
+                      jac=jac, shift=shift)
 
 
 def unrefine(mesh: Mesh, marks: np.ndarray) -> Mesh:

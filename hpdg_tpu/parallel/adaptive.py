@@ -48,7 +48,8 @@ def sharded_adaptive_solve(mesh0, degrees0, f, devices=None,
                            hp_mode: bool = False,
                            smooth_cut: float = 0.5, max_p: int = 6,
                            solver: str = "jacobi-pcg",
-                           partition: str = "planes"):
+                           partition: str = "planes",
+                           repartition_threshold: float = 1.5):
     """Run ``cycles`` sharded adaptive cycles of the SIPG Poisson problem
     -Δu = f with homogeneous Dirichlet data.
 
@@ -58,17 +59,31 @@ def sharded_adaptive_solve(mesh0, degrees0, f, devices=None,
     ``max_p``); otherwise h-refine — the sharded analog of the serial
     hp workflow in examples/adaptive_lshape.py.
 
+    ``partition="inherit"`` enables INCREMENTAL replanning (the
+    TPU-native analog of the reference's persistent index sets across
+    adapt cycles, persistentgridview.hh:44-207): children inherit their
+    parent's shard, the partition is only rebalanced when the owned-
+    element imbalance exceeds ``repartition_threshold``, and a content-
+    hash plan cache reuses the extended mesh/basis/plan and diagonal
+    blocks of every shard untouched by refinement — per-cycle planning
+    cost scales with the DIRTY shards, not the mesh size.
+
     Returns ``(mesh, degrees, x, info)`` where ``x`` is the final serial
     bucketed solution and ``info`` records per cycle: element count,
-    total jump-indicator value, sharded residual norm, and the partition
-    balance (max/min owned-element count over shards — the re-layout
-    keeps this near 1 as refinement concentrates elements).
+    total jump-indicator value, sharded residual norm, the partition
+    balance (max/min owned-element count over shards), the planning
+    wall seconds (``plan_seconds``) and the plan-cache (hits, misses)
+    per build (``plan_reuse``; non-"inherit" partitions log all-miss).
     """
+    import time as _time
     devices = devices if devices is not None else jax.devices()
     mesh = mesh0
     degrees = np.asarray(degrees0).reshape(-1)
     x_serial = None
-    info = {"n_elements": [], "eta": [], "residual": [], "balance": []}
+    info = {"n_elements": [], "eta": [], "residual": [], "balance": [],
+            "plan_seconds": [], "plan_reuse": []}
+    plan_cache = {}
+    shard_prev = None
     for c in range(cycles):
         gbasis = DGBasis(mesh, degrees)
         if solver == "mg-pcg":
@@ -86,14 +101,29 @@ def sharded_adaptive_solve(mesh0, degrees0, f, devices=None,
                     penalty_scaling=penalty_scaling, dtype=dtype)
             prob = pmg.levels[-1]
         else:
-            shard = {"balanced": balanced_partition,
-                     "morton": morton_partition}.get(partition,
-                                                     lambda *_: None)(
-                mesh, len(devices))
+            if partition == "inherit":
+                if shard_prev is None:
+                    shard = balanced_partition(mesh, len(devices))
+                else:
+                    shard = shard_prev[mesh.parent] \
+                        if mesh.parent is not None else shard_prev
+                    counts_i = np.bincount(shard, minlength=len(devices))
+                    if (counts_i.max()
+                            > repartition_threshold * max(counts_i.min(), 1)):
+                        shard = balanced_partition(mesh, len(devices))
+            else:
+                shard = {"balanced": balanced_partition,
+                         "morton": morton_partition}.get(partition,
+                                                         lambda *_: None)(
+                    mesh, len(devices))
+            t_plan = _time.perf_counter()
             prob = build_hp_sharded_general(
                 mesh, degrees, devices=devices, penalty=penalty,
                 dirichlet=True, penalty_scaling=penalty_scaling, dtype=dtype,
-                elem_shard=shard)
+                elem_shard=shard, plan_cache=plan_cache)
+            info["plan_seconds"].append(_time.perf_counter() - t_plan)
+            info["plan_reuse"].append(plan_cache["__stats__"][-1])
+            shard_prev = shard
         counts = [sum(len(prob.owned_slots[(s, p)])
                       for p in prob.degree_set) for s in range(prob.ndev)]
         info["balance"].append(max(counts) / max(min(counts), 1))

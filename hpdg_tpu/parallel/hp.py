@@ -352,7 +352,8 @@ def build_hp_sharded_general(gmesh, degrees, devices=None,
                              penalty_scaling: str = "measure",
                              axis_name: str = "x",
                              elem_shard=None, diffusion=None,
-                             max_offset: int = 8) -> HPSharded:
+                             max_offset: int = 8,
+                             plan_cache: dict | None = None) -> HPSharded:
     """Sharded mixed-degree SIPG on a GENERAL box mesh — including 2:1
     hanging-node meshes from adaptive refinement — under an ARBITRARY
     element partition (the sharded analog of the reference's
@@ -371,6 +372,15 @@ def build_hp_sharded_general(gmesh, degrees, devices=None,
     both sides compute locally).  Nonconforming faces become extra face
     classes keyed by their ``nc_code`` with tang-mapped trace tables —
     same mechanism as the serial operator.
+
+    ``plan_cache``: optional dict threaded across rebuilds of the SAME
+    problem family (fixed penalty/scaling/diffusion — the adaptive
+    loop).  Shards whose content (own + ghost geometry, maps, degrees)
+    is unchanged since a previous build reuse their extended
+    mesh/basis/plan AND diagonal blocks, keyed by a content hash — the
+    TPU-native analog of the reference's PersistentGridView index reuse
+    across adapt cycles (persistentgridview.hh:44-207).  Appends
+    ``(hits, misses)`` per build under key ``"__stats__"``.
     """
     degrees = np.asarray(degrees, dtype=_I).reshape(-1)
     devices = devices if devices is not None else jax.devices()
@@ -406,6 +416,7 @@ def build_hp_sharded_general(gmesh, degrees, devices=None,
 
     shards = []
     send_ids = {}
+    hits = misses = 0
     for s in range(ndev):
         own = np.where(elem_shard == s)[0]
         ghosts = []
@@ -425,17 +436,45 @@ def build_hp_sharded_general(gmesh, degrees, devices=None,
         if getattr(gmesh, "jac", None) is not None:
             eids = np.concatenate([own] + [g["gids"] for g in ghosts])
             ejac, eshift = gmesh.jac[eids], gmesh.shift[eids]
+        key = None
+        if plan_cache is not None:
+            import hashlib
+            h = hashlib.sha1()
+            for a in (lo + ex + dg
+                      + ([ejac, eshift] if ejac is not None else [])):
+                h.update(np.ascontiguousarray(a).tobytes())
+            h.update(np.int64([g["lower"].shape[0] for g in ghosts]
+                              ).tobytes())
+            key = h.hexdigest()
+            ent = plan_cache.get(key)
+            if ent is not None:
+                hits += 1
+                shards.append(dict(own=own, ghosts=ghosts,
+                                   emesh=ent["emesh"], ebasis=ent["ebasis"],
+                                   plan=ent["plan"],
+                                   diag_cache=ent["diag"]))
+                continue
+            misses += 1
         emesh = hmesh.from_boxes(np.concatenate(lo), np.concatenate(ex),
                                  validate=False, jac=ejac, shift=eshift)
         ebasis = DGBasis(emesh, np.concatenate(dg))
         shards.append(dict(own=own, ghosts=ghosts, emesh=emesh, ebasis=ebasis,
-                           plan=build_plan(ebasis)))
+                           plan=build_plan(ebasis), cache_key=key))
 
-    return _finish_sharded(gmesh, degrees, shards, channels, send_ids,
-                           devices, (ndev,), (axis_name,), penalty, dirichlet,
-                           dtype, penalty_scaling, cells=None,
-                           n_local=max(len(sh["own"]) for sh in shards),
-                           layer=0, diffusion=diffusion)
+    res = _finish_sharded(gmesh, degrees, shards, channels, send_ids,
+                          devices, (ndev,), (axis_name,), penalty, dirichlet,
+                          dtype, penalty_scaling, cells=None,
+                          n_local=max(len(sh["own"]) for sh in shards),
+                          layer=0, diffusion=diffusion)
+    if plan_cache is not None:
+        for sh in shards:
+            k = sh.get("cache_key")
+            if k is not None and k not in plan_cache:
+                plan_cache[k] = dict(emesh=sh["emesh"], ebasis=sh["ebasis"],
+                                     plan=sh["plan"],
+                                     diag=sh.get("diag_cache"))
+        plan_cache.setdefault("__stats__", []).append((hits, misses))
+    return res
 
 
 def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
@@ -524,6 +563,23 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
         data["bulk_invh"] = {}
         data["bulk_detj"] = {}
     owned_slots = {}
+    # per-shard diagonal blocks, computed ONCE per shard (the extended
+    # mesh includes interface and true domain-boundary faces; ghost
+    # blocks unused).  Host-side f64 when the runtime has it, otherwise
+    # honestly f32 (requesting f64 under a non-x64 runtime only
+    # truncates with a warning per call).
+    host_dtype = (jnp.float64 if jax.config.jax_enable_x64 else dtype)
+    Dsh = []
+    for sh in shards:
+        if "diag_cache" in sh:
+            Dsh.append(sh["diag_cache"])
+        else:
+            D = sipg_diagonal_blocks(sh["ebasis"], penalty=penalty,
+                                     dirichlet=dirichlet, plan=sh["plan"],
+                                     penalty_scaling=penalty_scaling,
+                                     diffusion=diffusion, dtype=host_dtype)
+            sh["diag_cache"] = D
+            Dsh.append(D)
     for p in DEG:
         ek = np.zeros((ndev, m_ext[p]), _I)
         ei = np.zeros((ndev, m_ext[p]), _I)
@@ -592,18 +648,7 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                         kq_b = np.asarray(geo.effective_tensor(
                             gmesh, own_p, kq_b, xq.shape[1]))
                     bk[s, :no] = kq_b
-            # diagonal blocks (from the extended mesh: includes interface
-            # and true domain-boundary faces; ghost blocks unused)
-            # host-side diagonal blocks + inverses: f64 when the runtime
-            # has it, otherwise honestly f32 (requesting f64 under a
-            # non-x64 runtime only truncates with a warning per call)
-            host_dtype = (jnp.float64 if jax.config.jax_enable_x64
-                          else dtype)
-            D = sipg_diagonal_blocks(sh["ebasis"], penalty=penalty,
-                                     dirichlet=dirichlet, plan=sh["plan"],
-                                     penalty_scaling=penalty_scaling,
-                                     diffusion=diffusion,
-                                     dtype=host_dtype)
+            D = Dsh[s]
             if p in D and no:
                 dr[s, :no] = np.asarray(D[p])[:no]
                 dv[s, :no] = np.linalg.inv(dr[s, :no])
@@ -940,14 +985,18 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                                  in_specs=(data_specs, x_specs),
                                  out_specs=x_specs)
 
-    # device-resident plan data (cast floats to dtype; dinv too)
-    def _place(a):
-        arr = jnp.asarray(a, dtype if np.asarray(a).dtype == np.float64
-                          else None)
-        return jax.device_put(arr, NamedSharding(device_mesh, P(
-            dim0, *([None] * (arr.ndim - 1)))))
+    # device-resident plan data (cast floats to dtype; dinv too) — one
+    # BATCHED device_put over the whole pytree (per-leaf puts cost ~15 ms
+    # each on a multi-device mesh; ~1,000 leaves made placement dominate
+    # the build, r3 profile)
+    def _cast(a):
+        a = np.asarray(a)
+        return a.astype(dtype) if a.dtype == np.float64 else a
 
-    data_dev = jax.tree.map(_place, data)
+    data_np = jax.tree.map(_cast, data)
+    data_dev = jax.device_put(
+        data_np, jax.tree.map(lambda a: NamedSharding(device_mesh, P(
+            dim0, *([None] * (np.asarray(a).ndim - 1)))), data_np))
     japply = jax.jit(sharded_body)
     apply = lambda x: japply(data_dev, x)  # noqa: E731
 

@@ -868,3 +868,40 @@ def test_hp_sharded_affine_geometry_matches_serial(builder):
     ys = prob.apply(prob.scatter_global(x, gbasis))
     yg = prob.gather_global(ys, gbasis)
     assert _rel_err(y_ref, yg) < 1e-11
+
+
+def test_sharded_adaptive_incremental_replanning():
+    """r2-verdict item 7: incremental replanning.  partition="inherit"
+    keeps children on their parent's shard, rebalances only past a
+    threshold, and a content-hash plan cache reuses the extended
+    mesh/basis/plan + diagonal blocks of every shard untouched by
+    refinement (persistentgridview.hh:44-207 reuse semantics).  Later
+    cycles must hit the cache, and the solution must match the
+    full-replan run."""
+    from hpdg_tpu.parallel.adaptive import sharded_adaptive_solve
+
+    def f(x):
+        return jnp.exp(-40 * ((x[..., 0] - 0.3) ** 2
+                              + (x[..., 1] - 0.3) ** 2))
+
+    m0 = hmesh.structured((16, 8))
+    mesh_i, deg_i, x_i, info_i = sharded_adaptive_solve(
+        m0, np.full(128, 2), f, devices=jax.devices()[:8], cycles=3,
+        frac=0.15, penalty=2.0, penalty_scaling="normal", cg_iters=250,
+        partition="inherit")
+    # cache hits on the refined cycles (planning cost follows the DIRTY
+    # shards, not the element count)
+    hits = [h for h, m in info_i["plan_reuse"]]
+    assert sum(hits[1:]) > 0, info_i["plan_reuse"]
+    assert all(float(r) < 1e-10 for r in info_i["residual"])
+
+    mesh_b, deg_b, x_b, info_b = sharded_adaptive_solve(
+        m0, np.full(128, 2), f, devices=jax.devices()[:8], cycles=3,
+        frac=0.15, penalty=2.0, penalty_scaling="normal", cg_iters=250,
+        partition="balanced")
+    # same meshes/degrees/solutions as the full-replan run
+    assert mesh_i.n_elements == mesh_b.n_elements
+    assert np.array_equal(np.asarray(deg_i), np.asarray(deg_b))
+    err = max(np.abs(np.asarray(x_i[p]) - np.asarray(x_b[p])).max()
+              for p in x_i)
+    assert err < 1e-8, err
