@@ -29,10 +29,40 @@ jax.config.update("jax_enable_x64", True)
 # covering the differential core (oracle/golden/solver tests).
 _SLOW_MODULES = ("test_parallel", "test_parallel_hp", "test_parallel_heat",
                  "test_parity_cpp", "test_examples")
+# individually slow tests (> ~8 s on one idle core, measured with
+# --durations); each has a faster sibling keeping its feature covered in
+# the quick tier
+_SLOW_TESTS = (
+    "test_matrixfree_elasticity_matches_assembled",
+    "test_elasticity_diagonal_blocks_smooth",
+    "test_hp_multigrid_mixed_degrees",
+    "test_w_cycle_and_mf_method",
+    "test_chebyshev_smoothed_matrixfree_mg",
+    "test_twisted_mesh_all_paths_agree",
+    "test_elasticity_3d_hp_multigrid_solve",
+    "test_tensor_diffusion_vs_oracle",
+    "test_tensor_diffusion_matrixfree_matches_assembled",
+    "test_penalty_damped_dual_mg",
+    "test_p_adaptive_loop_lshape",
+    "test_h_adaptive_solve_converges",
+    "test_mg_convergence_rate_is_h_independent",
+    "test_semicoarsened_anisotropic_multigrid",
+    "test_pallas_uniform_kernel_interpret",
+    "test_tnnmg_truncated_hierarchy_option",
+    "test_tnnmg_elasticity_contact",
+    "test_heat_problem_preset",
+    "test_elasticity_2d_mixed_degrees",
+    "test_poisson_problem_tensor_diffusion",
+    "test_sipg_with_coefficient",
+    "test_mg_with_hanging_node_h_level",
+    "test_unconstrained_tnnmg_equals_linear_solve",
+    "test_elasticity_problem_preset",
+)
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
-        if mod in _SLOW_MODULES:
+        base = item.name.split("[")[0]
+        if mod in _SLOW_MODULES or base in _SLOW_TESTS:
             item.add_marker(pytest.mark.slow)

@@ -53,3 +53,8 @@ def test_parallel_poisson_example(capsys):
     run_example("parallel_poisson.py", ["--cells", "8,4", "--iters", "15"])
     out = capsys.readouterr().out
     assert "sharded MG-PCG" in out
+
+
+def test_affine_geometry_example(capsys):
+    run_example("affine_geometry.py", ["--case", "shear", "--n", "6"])
+    assert "affine elements" in capsys.readouterr().out
