@@ -31,23 +31,23 @@ def _levels(mesh: Mesh) -> np.ndarray:
 
 def close_marks(mesh: Mesh, marks: np.ndarray) -> np.ndarray:
     """Extend the marked set so refining it keeps 2:1 balance
-    (the recursive max-level-difference enforcement of utility.hh:66-83)."""
+    (the recursive max-level-difference enforcement of utility.hh:66-83).
+
+    Vectorized batch sweeps: marking is a monotone operator, so batch
+    fixed-point iteration reaches the same (least) closure as the
+    original sequential per-face propagation — in O(#level-spread)
+    sweeps of O(n_faces) numpy work instead of a Python face loop."""
     marks = np.asarray(marks, dtype=bool).copy()
     lev = _levels(mesh)
-    changed = True
-    while changed:
-        changed = False
-        tgt = lev + marks.astype(np.int32)
-        for i, o in zip(mesh.faces.inside, mesh.faces.outside):
-            if tgt[i] - tgt[o] > 1 and not marks[o]:
-                marks[o] = True
-                tgt[o] += 1
-                changed = True
-            if tgt[o] - tgt[i] > 1 and not marks[i]:
-                marks[i] = True
-                tgt[i] += 1
-                changed = True
-    return marks
+    fi, fo = mesh.faces.inside, mesh.faces.outside
+    while True:
+        tgt = lev + marks
+        bad_o = (tgt[fi] - tgt[fo] > 1) & ~marks[fo]
+        bad_i = (tgt[fo] - tgt[fi] > 1) & ~marks[fi]
+        if not (bad_o.any() or bad_i.any()):
+            return marks
+        marks[fo[bad_o]] = True
+        marks[fi[bad_i]] = True
 
 
 def refine_local(mesh: Mesh, marks: np.ndarray) -> Mesh:
@@ -62,28 +62,28 @@ def refine_local(mesh: Mesh, marks: np.ndarray) -> Mesh:
     nc = 2**dim
     bits = ((np.arange(nc)[:, None] >> np.arange(dim - 1, -1, -1)[None, :]) & 1)
 
-    lowers, extents, parent, child_pos = [], [], [], []
-    for e in range(n):
-        if marks[e]:
-            off = bits * (mesh.extent[e][None, :] * 0.5)
-            lowers.append(mesh.lower[e][None, :] + off)
-            extents.append(np.repeat(mesh.extent[e][None, :] * 0.5, nc, axis=0))
-            parent.append(np.full(nc, e, dtype=np.int32))
-            child_pos.append(np.arange(nc, dtype=np.int32))
-        else:
-            lowers.append(mesh.lower[e][None, :])
-            extents.append(mesh.extent[e][None, :])
-            parent.append(np.array([e], dtype=np.int32))
-            child_pos.append(np.array([-1], dtype=np.int32))  # kept as-is
-
-    parent_cat = np.concatenate(parent)
+    # vectorized: every element contributes 1 (kept) or nc (refined)
+    # rows, parent-major with children in C order — no per-element loop
+    # (the loop cost dominated adaptive replanning at 1e5+ elements)
+    marks = np.asarray(marks, dtype=bool)
+    counts = np.where(marks, nc, 1)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    total = int(starts[-1])
+    parent_cat = np.repeat(np.arange(n, dtype=np.int32), counts)
+    # position within the parent's row group = global row - group start
+    local = np.arange(total, dtype=np.int64) - starts[parent_cat]
+    refined = marks[parent_cat]
+    child_pos = np.where(refined, local, -1).astype(np.int32)
+    half = 0.5 * mesh.extent[parent_cat]
+    lowers = mesh.lower[parent_cat] + np.where(
+        refined[:, None], bits[np.clip(child_pos, 0, nc - 1)] * half, 0.0)
+    extents = np.where(refined[:, None], half, mesh.extent[parent_cat])
     jac = shift = None
     if mesh.jac is not None:  # children inherit the parent's affine map
         jac = mesh.jac[parent_cat]
         shift = mesh.shift[parent_cat]
-    return from_boxes(np.concatenate(lowers), np.concatenate(extents),
-                      parent=parent_cat,
-                      child_pos=np.concatenate(child_pos), parent_mesh=mesh,
+    return from_boxes(lowers, extents, parent=parent_cat,
+                      child_pos=child_pos, parent_mesh=mesh,
                       jac=jac, shift=shift)
 
 
