@@ -1073,8 +1073,10 @@ def hp_pcg_solve(prob: HPSharded, b: dict, iters: int = 200, x0: dict = None):
     return run(b, x0 if x0 is not None else jax.tree.map(jnp.zeros_like, b))
 
 
-def _hp_rho_est(prob: HPSharded, dtype, iters: int = 30) -> float:
-    """Power-iteration estimate of rho(D^-1 A) for a sharded level.
+def _hp_rho_est(prob: HPSharded, dtype, iters: int = 30,
+                precond=None) -> float:
+    """Power-iteration estimate of rho(M^-1 A) for a sharded level
+    (M = block diagonal by default, or any ``precond`` callable).
 
     Starts from a fixed-seed RANDOM vector: the ones vector is A-smooth
     and can be nearly orthogonal to the top (penalty-dominated,
@@ -1088,15 +1090,16 @@ def _hp_rho_est(prob: HPSharded, dtype, iters: int = 30) -> float:
     rng = np.random.default_rng(1887)
     v0 = {p: jnp.asarray(rng.standard_normal(v.shape), dtype)
           for p, v in prob.zeros(dtype).items()}
+    M = precond if precond is not None else prob.dinv_mul
 
     @jax.jit
     def run(v0):
         def body(i, v):
-            w = prob.dinv_mul(prob.apply(v))
+            w = M(prob.apply(v))
             return jax.tree.map(lambda a: a / hp_norm(w), w)
 
         v = jax.lax.fori_loop(0, iters, body, v0)
-        return hp_norm(prob.dinv_mul(prob.apply(v)))
+        return hp_norm(M(prob.apply(v)))
 
     return float(run(v0))
 
@@ -1520,7 +1523,9 @@ def build_hp_sharded_hmg(cells, degrees, h_levels: int = 1, devices=None,
                          cheb_degree: int = 5, cells_chain=None,
                          h_first: bool = False, device_grid=None,
                          h_first_rule: str = "uniform",
-                         coarse_cg_iters: int = 60) -> HPShardedPMG:
+                         coarse_cg_iters: int = 60,
+                         smoother: str = "cheb",
+                         line_axis: int | None = None) -> HPShardedPMG:
     """Full sharded hp-multigrid: p-levels (min(k_e, order), halving) on
     the fine mesh, then ``h_levels`` geometric 2x coarsenings at p = 1 —
     the sharded analog of the reference's full hierarchy
@@ -1542,6 +1547,25 @@ def build_hp_sharded_hmg(cells, degrees, h_levels: int = 1, devices=None,
     degrees = np.asarray(degrees, dtype=_I).reshape(-1)
     devices = devices if devices is not None else jax.devices()
     dim = len(cells)
+    if smoother == "line" and device_grid is None and len(devices) > 1:
+        # Keep the lines WHOLE: partition along an axis orthogonal to
+        # the (short-extent) line axis so every per-shard block-Thomas
+        # solve sees full lines.  Cut lines degrade gracefully toward
+        # block-Jacobi at the cuts but cost real rate: measured 0.121
+        # (whole) vs 0.360 (default slab cutting the lines) on the
+        # mixed-degree 4:1-anisotropic config.
+        lax_ = line_axis if line_axis is not None else int(np.argmax(cells))
+        if cells_chain is not None:
+            chain_cells = [tuple(c) for c in cells_chain]
+        else:
+            chain_cells = [tuple(c // 2 ** l for c in cells)
+                           for l in range(h_levels + 1)]
+        nd = len(devices)
+        cand = [a for a in range(dim) if a != lax_
+                and all(c[a] % nd == 0 for c in chain_cells)]
+        if cand:
+            a = max(cand, key=lambda a: cells[a])
+            device_grid = tuple(nd if i == a else 1 for i in range(a + 1))
     dgrid = tuple(device_grid) if device_grid is not None \
         else (len(devices),)
 
@@ -1657,11 +1681,27 @@ def build_hp_sharded_hmg(cells, degrees, h_levels: int = 1, devices=None,
 
     from hpdg_tpu.solvers import smoothers as sm
     smooths = []
-    for prob in probs:
-        rho = _hp_rho_est(prob, dtype)
-        smooths.append(sm.chebyshev_smoother(prob.apply, prob.dinv_mul,
-                                             lmax=1.1 * rho,
-                                             degree=cheb_degree))
+    for prob, dm in zip(probs, level_deg):
+        if smoother == "line":
+            # Chebyshev over the LINE-block-tridiagonal preconditioner:
+            # exact per-shard block-Thomas solves along the strong
+            # (short-extent) axis — the anisotropy-robust smoother class
+            # element-block Chebyshev cannot reach (two-grid plateau at
+            # ~0.55 on 1:4-stretched p=4 cells, ROADMAP item 13).
+            from hpdg_tpu.parallel.lines import hp_line_precond
+            M = hp_line_precond(prob, dm, axis=line_axis, penalty=penalty,
+                                dirichlet=dirichlet,
+                                penalty_scaling=penalty_scaling,
+                                dtype=dtype)
+            rho = _hp_rho_est(prob, dtype, precond=M)
+            smooths.append(sm.chebyshev_smoother(prob.apply, M,
+                                                 lmax=1.1 * rho,
+                                                 degree=cheb_degree))
+        else:
+            rho = _hp_rho_est(prob, dtype)
+            smooths.append(sm.chebyshev_smoother(prob.apply, prob.dinv_mul,
+                                                 lmax=1.1 * rho,
+                                                 degree=cheb_degree))
 
     def safe_div(a, d):
         return jnp.where(jnp.abs(d) > 0, a / jnp.where(d == 0, 1.0, d), 0.0)

@@ -1,0 +1,121 @@
+"""Line-block smoothers (solvers/lines.py): exact block-Thomas solves
+along element lines — the anisotropy-robust smoother class.
+
+The reference reaches anisotropy robustness through sequential GS sweeps
+in DUNE iterator order (dynamicblockgs.hh:94-126), which on a structured
+grid is lexicographic-by-line; the TPU-native equivalent is a batched
+block-tridiagonal factorization over all lines at once.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hpdg_tpu import mesh as hmesh
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.assemble import assemble_laplace
+from hpdg_tpu.linalg import blockmatrix as bm
+from hpdg_tpu.linalg import blockvector as bv
+from hpdg_tpu.solvers.lines import (build_lines, line_tridiag_factor,
+                                    line_solve, line_jacobi_step)
+
+
+def _dense_tridiag_part(A, basis, lines):
+    """Dense matrix keeping only blocks (i, j) with i == j or i, j
+    adjacent in the same line — the line-block-tridiagonal part M."""
+    Ad = np.asarray(bm.to_dense(A, basis))
+    keep = np.zeros_like(Ad, dtype=bool)
+    off, bs = basis.offsets, basis.block_sizes
+
+    def mark(i, j):
+        keep[off[i]:off[i] + bs[i], off[j]:off[j] + bs[j]] = True
+
+    for line in lines:
+        seg = [int(e) for e in line if e >= 0]
+        for k, e in enumerate(seg):
+            mark(e, e)
+            if k + 1 < len(seg):
+                mark(e, seg[k + 1])
+                mark(seg[k + 1], e)
+    return np.where(keep, Ad, 0.0)
+
+
+def test_line_tridiag_factor_exact_mixed_degrees():
+    """Factored line solve == dense solve with the line-tridiagonal part
+    of A, on a stretched mesh with MIXED degrees (hp padding path)."""
+    rng = np.random.default_rng(3)
+    mesh = hmesh.structured((6, 2))
+    degrees = rng.choice([1, 2, 3], size=mesh.n_elements)
+    basis = DGBasis(mesh, degrees)
+    A = assemble_laplace(basis, penalty=6.0, dirichlet=True,
+                         penalty_scaling="normal", dtype=jnp.float64)
+    axis = 0  # 6x2 on the unit square: short extent along x
+    lines = build_lines(mesh, axis)
+    assert lines.shape == (2, 6)
+    fac = line_tridiag_factor(A, basis, axis=axis)
+    solve = line_solve(fac)
+
+    r = bv.random(basis, seed=11)
+    x = solve(r)
+
+    T = _dense_tridiag_part(A, basis, lines)
+    rf = np.asarray(bv.to_flat(basis, r))
+    xf = np.asarray(bv.to_flat(basis, x))
+    ref = np.linalg.solve(T, rf)
+    assert np.max(np.abs(xf - ref)) < 1e-11 * max(1.0, np.abs(ref).max())
+
+
+def test_line_precond_conditioning_beats_block_jacobi():
+    """On 4:1-stretched cells the line-tridiagonal preconditioner cuts
+    the condition number of the preconditioned operator by well over 2x
+    vs element-block Jacobi — the spectral fact behind the measured MG
+    rates (0.12 line vs 0.48 element-block Chebyshev, sharded config)."""
+    mesh = hmesh.structured((8, 2))
+    basis = DGBasis(mesh, np.full(mesh.n_elements, 2))
+    A = assemble_laplace(basis, penalty=6.0, dirichlet=True,
+                         penalty_scaling="normal", dtype=jnp.float64)
+    Ad = np.asarray(bm.to_dense(A, basis))
+    lines = build_lines(mesh, 0)
+    T = _dense_tridiag_part(A, basis, lines)
+
+    # block-diagonal part
+    D = np.zeros_like(Ad)
+    off, bs = basis.offsets, basis.block_sizes
+    for e in range(mesh.n_elements):
+        D[off[e]:off[e] + bs[e], off[e]:off[e] + bs[e]] = \
+            Ad[off[e]:off[e] + bs[e], off[e]:off[e] + bs[e]]
+
+    def cond(M):
+        w = np.abs(np.linalg.eigvals(np.linalg.solve(M, Ad)))
+        return w.max() / w.min()
+
+    c_line, c_jac = cond(T), cond(D)
+    assert c_line < 0.5 * c_jac, (c_line, c_jac)
+
+    # and the factored jit solve agrees with the dense T on this config
+    fac = line_tridiag_factor(A, basis, axis=0)
+    solve = line_solve(fac)
+    r = bv.random(basis, seed=5)
+    xf = np.asarray(bv.to_flat(basis, solve(r)))
+    ref = np.linalg.solve(T, np.asarray(bv.to_flat(basis, r)))
+    assert np.max(np.abs(xf - ref)) < 1e-11 * np.abs(ref).max()
+
+
+def test_line_jacobi_step_converges():
+    """The damped line-Jacobi stationary iteration converges with the
+    spectrally safe damping omega = 1/rho(M^-1 A)."""
+    mesh = hmesh.structured((8, 2))
+    basis = DGBasis(mesh, np.full(mesh.n_elements, 2))
+    A = assemble_laplace(basis, penalty=6.0, dirichlet=True,
+                         penalty_scaling="normal", dtype=jnp.float64)
+    Ad = np.asarray(bm.to_dense(A, basis))
+    T = _dense_tridiag_part(A, basis, build_lines(mesh, 0))
+    rho = np.abs(np.linalg.eigvals(np.linalg.solve(T, Ad))).max()
+
+    step = line_jacobi_step(A, basis, axis=0, omega=1.0 / rho)
+    b = bv.random(basis, seed=5)
+    x = bv.zeros_like(b)
+    r0 = float(bv.norm(b))
+    for _ in range(60):
+        x = step(x, b)
+    r1 = float(bv.norm(bv.sub(b, bm.matvec(A, x))))
+    assert r1 / r0 < 5e-2, r1 / r0
