@@ -142,3 +142,135 @@ def uniform_sipg_operator(basis: DGBasis, penalty: float = 2.0,
         return {p: y}
 
     return apply
+
+
+def _lattice_shape(mesh):
+    """Recover the (c0, ..., cd-1) lattice shape of a FULL structured
+    box mesh in C element order; raises ValueError otherwise."""
+    h = mesh.extent[0]
+    lo = mesh.lower.min(axis=0)
+    ic = np.rint((mesh.lower - lo) / h).astype(np.int64)
+    if not np.allclose(mesh.lower, lo + ic * h, atol=1e-12 * h.max()):
+        raise ValueError("factorized operator: not a regular lattice")
+    cells = tuple(int(c) + 1 for c in ic.max(axis=0))
+    if int(np.prod(cells)) != mesh.n_elements:
+        raise ValueError("factorized operator: lattice has holes")
+    if not np.array_equal(np.ravel_multi_index(ic.T, cells),
+                          np.arange(mesh.n_elements)):
+        raise ValueError("factorized operator: element order is not "
+                         "C-lattice order")
+    return cells
+
+
+def uniform_sipg_factorized(basis: DGBasis, penalty: float = 2.0,
+                            dirichlet: bool = False, dtype=jnp.float64,
+                            penalty_scaling: str = "measure"):
+    """FLOP-minimal SIPG apply on a full uniform lattice.
+
+    The uniform-mesh SIPG operator separates EXACTLY per axis:
+
+        A  =  sum_ax  L_ax (x) Mm (x) ... (x) Mm
+
+    where Mm is the 1D reference mass matrix and L_ax the 1D SIPG
+    line operator along axis ``ax`` (block-tridiagonal over the line's
+    elements with position-independent interior blocks).  The apply is
+    then, per axis, two transverse 1D mass contractions plus three
+    nb x nb line contractions — ~15 n nb^{d+1} MACs total vs
+    (2 dim + 1) n nb^{2d} for the dense stencil
+    (:func:`uniform_sipg_operator`): ~12x fewer FLOPs at p=4 in 3D.
+    The dense stencil feeds the MXU better on TPU; THIS kernel is the
+    right choice for the f64 HOST residual path of the iterative-
+    refinement solve (bench.py), where the single CPU core is
+    FLOP-bound.  Same operator to f64 roundoff (differential-tested).
+
+    Reference analog: the sum-factorized apply role of
+    matrix-free/localoperators/sfipdg.hh:38-725, restricted to the
+    uniform lattice where the 1D factor structure is exact.
+    """
+    from hpdg_tpu.basis import lagrange
+    mesh = basis.mesh
+    dim = mesh.dim
+    if len(basis.bucket_degrees) != 1:
+        raise ValueError("factorized operator needs a single degree")
+    p = basis.bucket_degrees[0]
+    if not np.allclose(mesh.extent, mesh.extent[0]):
+        raise ValueError("factorized operator needs uniform extents")
+    if getattr(mesh, "jac", None) is not None:
+        raise ValueError("factorized operator: affine maps unsupported")
+    if len(mesh.faces.inside) and np.any(mesh.faces.nc_code != 0):
+        raise ValueError("factorized operator: conforming meshes only")
+    cells = _lattice_shape(mesh)
+    h = mesh.extent[0]
+    detJ = float(np.prod(h))
+    nb = p + 1
+
+    t1 = lagrange.tables(p, p + 2, family=basis.family)
+    w1 = t1.qweights
+    Mm = np.einsum("iq,q,jq->ij", t1.values, w1, t1.values)
+    S = np.einsum("iq,q,jq->ij", t1.derivatives, w1, t1.derivatives)
+    v0, v1 = t1.at0, t1.at1
+    d0, d1 = t1.dat0, t1.dat1
+
+    # per-axis 1D line-operator blocks (normal-direction factors of the
+    # dense-stencil matrices in uniform_sipg_operator)
+    D_int = {}; D_lo = {}; D_hi = {}; F12 = {}; F21 = {}
+    for ax in range(dim):
+        fmeas = detJ / h[ax]
+        if penalty_scaling == "measure":
+            pen = penalty * p**2
+        else:
+            pen = penalty * p**2 * fmeas / h[ax]
+        c = -0.5 * fmeas / h[ax]
+        N11 = c * _sym(np.outer(v1, d1)) + pen * np.outer(v1, v1)
+        N22 = -c * _sym(np.outer(v0, d0)) + pen * np.outer(v0, v0)
+        F12[ax] = (c * np.outer(v1, d0) - c * np.outer(d1, v0)
+                   - pen * np.outer(v1, v0))
+        F21[ax] = F12[ax].T
+        MB0 = (fmeas / h[ax]) * _sym(np.outer(v0, d0)) + pen * np.outer(v0, v0)
+        MB1 = (-fmeas / h[ax]) * _sym(np.outer(v1, d1)) + pen * np.outer(v1, v1)
+        bulk = (detJ / h[ax] ** 2) * S
+        D_int[ax] = bulk + N11 + N22
+        D_lo[ax] = bulk + N11 + (MB0 if dirichlet else 0.0)   # line start
+        D_hi[ax] = bulk + (MB1 if dirichlet else 0.0) + N22   # line end
+        if cells[ax] == 1:  # degenerate single-element line
+            D_lo[ax] = bulk + (MB1 + MB0 if dirichlet else 0.0)
+
+    cast = lambda M: jnp.asarray(M, dtype)  # noqa: E731
+    Mm_j = cast(Mm)
+    D_int_j = {ax: cast(D_int[ax]) for ax in range(dim)}
+    D_lo_j = {ax: cast(D_lo[ax]) for ax in range(dim)}
+    D_hi_j = {ax: cast(D_hi[ax]) for ax in range(dim)}
+    F12_j = {ax: cast(F12[ax]) for ax in range(dim)}
+    F21_j = {ax: cast(F21[ax]) for ax in range(dim)}
+    shape = tuple(cells) + (nb,) * dim
+
+    def contract(t, M, local_ax):
+        # contract local axis `dim + local_ax` with M's second index
+        out = jnp.tensordot(t, M, axes=[[dim + local_ax], [1]])
+        return jnp.moveaxis(out, -1, dim + local_ax)
+
+    def apply(x):
+        u = x[p].reshape(shape)
+        y = jnp.zeros_like(u)
+        for ax in range(dim):
+            t = u
+            for tax in range(dim):
+                if tax != ax:
+                    t = contract(t, Mm_j, tax)
+            nax = cells[ax]
+            ya = contract(t, D_int_j[ax], ax)
+            if nax > 1:
+                sl_lo = (slice(None),) * ax + (slice(0, 1),)
+                sl_hi = (slice(None),) * ax + (slice(nax - 1, nax),)
+                ya = ya.at[sl_lo].set(contract(t[sl_lo], D_lo_j[ax], ax))
+                ya = ya.at[sl_hi].set(contract(t[sl_hi], D_hi_j[ax], ax))
+                sl_up = (slice(None),) * ax + (slice(1, None),)
+                sl_dn = (slice(None),) * ax + (slice(0, -1),)
+                ya = ya.at[sl_dn].add(contract(t[sl_up], F12_j[ax], ax))
+                ya = ya.at[sl_up].add(contract(t[sl_dn], F21_j[ax], ax))
+            else:
+                ya = contract(t, D_lo_j[ax], ax)
+            y = y + ya
+        return {p: y.reshape(mesh.n_elements, nb ** dim)}
+
+    return apply
