@@ -264,6 +264,17 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
             # forward pre / backward post — for residual-history parity
             pre = sm.lexicographic_block_gs_step(M, bas)
             post = sm.lexicographic_block_gs_step(M, bas, reverse=True)
+        elif smoother == "line":
+            # anisotropy-robust damped line-Jacobi: exact block-Thomas
+            # solves along the strong (short-extent) axis (solvers.lines)
+            from hpdg_tpu.solvers.lines import (line_tridiag_factor,
+                                                line_solve)
+            ax = int(np.argmin(np.mean(bas.mesh.extent, axis=0)))
+            fac = line_tridiag_factor(M, bas, axis=ax)
+            Ml = line_solve(fac, dtype=dtype)
+            pre = post = (lambda MM, PP: lambda x, b: bv.add(
+                x, bv.scale(jacobi_damping,
+                            PP(bv.sub(b, bm.matvec(MM, x))))))(M, Ml)
         else:
             raise ValueError(smoother)
         restrict = prolong = None
