@@ -58,3 +58,9 @@ def test_parallel_poisson_example(capsys):
 def test_affine_geometry_example(capsys):
     run_example("affine_geometry.py", ["--case", "shear", "--n", "6"])
     assert "affine elements" in capsys.readouterr().out
+
+
+def test_anisotropic_line_mg_example(capsys):
+    run_example("anisotropic_line_mg.py", ["--cycles", "5"])
+    out = capsys.readouterr().out
+    assert "serial line" in out
