@@ -266,15 +266,28 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
             post = sm.lexicographic_block_gs_step(M, bas, reverse=True)
         elif smoother == "line":
             # anisotropy-robust damped line-Jacobi: exact block-Thomas
-            # solves along the strong (short-extent) axis (solvers.lines)
+            # solves along the strong (short-extent) axes (solvers.lines).
+            # Cells stretched along TWO axes get alternating-direction
+            # sweeps (one line solve per short axis, ADI-style); pre
+            # applies the axes forward, post in reverse.
             from hpdg_tpu.solvers.lines import (line_tridiag_factor,
                                                 line_solve)
-            ax = int(np.argmin(np.mean(bas.mesh.extent, axis=0)))
-            fac = line_tridiag_factor(M, bas, axis=ax)
-            Ml = line_solve(fac, dtype=dtype)
-            pre = post = (lambda MM, PP: lambda x, b: bv.add(
-                x, bv.scale(jacobi_damping,
-                            PP(bv.sub(b, bm.matvec(MM, x))))))(M, Ml)
+            ext = np.mean(bas.mesh.extent, axis=0)
+            axes = [a for a in range(bas.mesh.dim)
+                    if ext[a] < 0.9 * ext.max()] or [int(np.argmin(ext))]
+            Mls = [line_solve(line_tridiag_factor(M, bas, axis=a),
+                              dtype=dtype) for a in axes]
+
+            def _sweeps(MM, PPs):
+                def step(x, b):
+                    for PP in PPs:
+                        r = bv.sub(b, bm.matvec(MM, x))
+                        x = bv.add(x, bv.scale(jacobi_damping, PP(r)))
+                    return x
+                return step
+
+            pre = _sweeps(M, Mls)
+            post = _sweeps(M, Mls[::-1])
         else:
             raise ValueError(smoother)
         restrict = prolong = None
