@@ -47,17 +47,24 @@ def assemble_mass(basis: DGBasis, weight=None, quad_order=None,
         elems = basis.bucket_elems[p]
         ext = mesh.extent[elems]
         from hpdg_tpu.mesh import geometry as geo
-        detJ = jnp.asarray(np.prod(ext, axis=1)
-                           * geo.detj_phys(mesh, elems), dtype)
-        if weight is None:
-            M0 = jnp.asarray(np.einsum("iq,q,jq->ij", V, w, V), dtype)
-            blocks = detJ[:, None, None] * M0[None]
+        detp = np.prod(ext, axis=1)
+        xp = (mesh.lower[elems][:, None, :]
+              + vt["points"][None, :, :] * ext[:, None, :])
+        if geo.is_trilinear(mesh):
+            # per-point physical volume element
+            detq = jnp.asarray(detp[:, None]
+                               * geo.detj_phys(mesh, elems, xp), dtype)
         else:
-            x = (mesh.lower[elems][:, None, :]
-                 + vt["points"][None, :, :] * ext[:, None, :])
-            x = geo.apply_map(mesh, elems, x)
-            k = jnp.asarray(weight(jnp.asarray(x, dtype)), dtype)
-            kw = k * jnp.asarray(w, dtype)[None, :] * detJ[:, None]
+            detq = jnp.asarray((detp * geo.detj_phys(mesh, elems))[:, None],
+                               dtype)
+        if weight is None and not geo.is_trilinear(mesh):
+            M0 = jnp.asarray(np.einsum("iq,q,jq->ij", V, w, V), dtype)
+            blocks = detq[:, :1, None] * M0[None]
+        else:
+            x = geo.apply_map(mesh, elems, xp)
+            k = (jnp.asarray(weight(jnp.asarray(x, dtype)), dtype)
+                 if weight is not None else 1.0)
+            kw = k * jnp.asarray(w, dtype)[None, :] * detq
             blocks = jnp.einsum("eq,iq,jq->eij", kw, jnp.asarray(V, dtype),
                                 jnp.asarray(V, dtype))
         n = basis.bucket_size(p)
@@ -81,6 +88,15 @@ def lumped_mass(basis: DGBasis, dtype=jnp.float64) -> dict:
         mi = tensor.multiindices(p, basis.dim)
         wloc = np.prod(w1[mi], axis=1)  # (nl,)
         elems = basis.bucket_elems[p]
-        detJ = np.prod(basis.mesh.extent[elems], axis=1)
-        out[p] = jnp.asarray(detJ[:, None] * wloc[None, :], dtype)
+        mesh = basis.mesh
+        detJ = np.prod(mesh.extent[elems], axis=1)[:, None]  # (n, 1)
+        from hpdg_tpu.mesh import geometry as geo
+        if geo.has_geometry(mesh):
+            # collocation keeps the mass exactly diagonal for general
+            # geometry too: m_i = w_i |det J(node_i)| detJ_param
+            nodes, _ = quadrature.gauss_lobatto(p + 1)
+            xp = (mesh.lower[elems][:, None, :]
+                  + nodes[mi][None, :, :] * mesh.extent[elems][:, None, :])
+            detJ = detJ * geo.detj_phys(mesh, elems, xp)  # (n, nl)
+        out[p] = jnp.asarray(detJ * wloc[None, :], dtype)
     return out

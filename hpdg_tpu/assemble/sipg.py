@@ -233,13 +233,13 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                 vb.add((p, p), slots, S[a], gpow * jnp.asarray(
                     invh2[:, a], dtype))
         else:
-            x = (mesh.lower[elems][:, None, :]
-                 + vt["points"][None, :, :] * ext[:, None, :])
-            x = geo.apply_map(mesh, elems, x)
+            xp = (mesh.lower[elems][:, None, :]
+                  + vt["points"][None, :, :] * ext[:, None, :])
+            x = geo.apply_map(mesh, elems, xp)
             k = (jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
                  if diffusion is not None else None)
             if affine:
-                k = geo.effective_tensor(mesh, elems, k, x.shape[1])
+                k = geo.effective_tensor(mesh, elems, k, xp)
                 k = jnp.asarray(k, dtype)
             if kmat:
                 # tensor medium: detJ / (h_a h_b) geometry factors
@@ -295,13 +295,12 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             vb.add((po, pi), fg.slot21, X3.T, -pen1)
             continue
         else:
-            # face quad points (on the intersection, in PHYSICAL space
-            # for coefficient evaluation)
-            x = face_phys_points(basis, fg, fin["points"])
+            # face quad points (on the intersection; xp parametric, x
+            # physical for coefficient evaluation)
+            xp = face_phys_points(basis, fg, fin["points"])
             ein = mesh.faces.inside[fg.face_ids]
             eout = mesh.faces.outside[fg.face_ids]
-            if affine:
-                x = geo.apply_map(mesh, ein, x)
+            x = geo.apply_map(mesh, ein, xp) if affine else xp
             k = (jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
                  if diffusion is not None else None)
             J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
@@ -310,8 +309,8 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             BVVo = J(np.einsum("iq,q,jq->ij", Vo, w, Vo))
             BVio = J(np.einsum("iq,q,jq->ij", Vi, w, Vo))
             if affine:
-                k_in = J(geo.effective_tensor(mesh, ein, k, x.shape[1]))
-                k_out = J(geo.effective_tensor(mesh, eout, k, x.shape[1]))
+                k_in = J(geo.effective_tensor(mesh, ein, k, xp))
+                k_out = J(geo.effective_tensor(mesh, eout, k, xp))
             else:
                 k_in = k_out = k
             if kmat:
@@ -384,16 +383,16 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                 if side == 1:
                     lo[:, ax] += mesh.extent[elems, ax]
                 tang = [a for a in range(dim) if a != ax]
-                x = np.repeat(lo[:, None, :], len(w), axis=1)
+                xp = np.repeat(lo[:, None, :], len(w), axis=1)
                 for t, a in enumerate(tang):
-                    x[:, :, a] += ft["points"][None, :, t] * mesh.extent[elems, a][:, None]
-                x = geo.apply_map(mesh, elems, x)
+                    xp[:, :, a] += ft["points"][None, :, t] * mesh.extent[elems, a][:, None]
+                x = geo.apply_map(mesh, elems, xp)
                 k = (jnp.asarray(diffusion(jnp.asarray(x, dtype)), dtype)
                      if diffusion is not None else None)
                 J = lambda a_: jnp.asarray(a_, dtype)  # noqa: E731
                 BVV = J(np.einsum("iq,q,jq->ij", V, w, V))
                 if affine:
-                    k = J(geo.effective_tensor(mesh, elems, k, x.shape[1]))
+                    k = J(geo.effective_tensor(mesh, elems, k, xp))
                 if kmat:
                     # co-normal trace with outward normal sign * e_ax
                     KD = sign * jnp.einsum(

@@ -83,13 +83,12 @@ def sipg_diagonal_blocks(basis: DGBasis, penalty: float = 2.0,
             S = np.einsum("q,aiq,ajq->aij", w, G, G)
             out[p] = np.einsum("ea,aij->eij", invh2, S).astype(rdtype)
         else:
-            x = (mesh.lower[elems][:, None, :]
-                 + vt["points"][None, :, :] * ext[:, None, :])
-            x = geo.apply_map(mesh, elems, x)
+            xp = (mesh.lower[elems][:, None, :]
+                  + vt["points"][None, :, :] * ext[:, None, :])
+            x = geo.apply_map(mesh, elems, xp)
             k = K(x) if diffusion is not None else None
             if affine:
-                k = np.asarray(geo.effective_tensor(mesh, elems, k,
-                                                    x.shape[1]))
+                k = np.asarray(geo.effective_tensor(mesh, elems, k, xp))
             if kmat:
                 # (K grad u, grad v): sum_ab detJ w K_ab h_a^-1 h_b^-1
                 kw = (k * w[None, :, None, None]
@@ -123,14 +122,12 @@ def sipg_diagonal_blocks(basis: DGBasis, penalty: float = 2.0,
             # co-normal consistency: n.K grad u = sum_b K_{axis,b}/h_b d_b u
             ein = mesh.faces.inside[fg.face_ids]
             eout = mesh.faces.outside[fg.face_ids]
-            x = geo.apply_map(mesh, ein,
-                              face_phys_points(basis, fg, fin["points"]))
+            xp = face_phys_points(basis, fg, fin["points"])
+            x = geo.apply_map(mesh, ein, xp)
             k = K(x) if diffusion is not None else None
             if affine:
-                k_in = np.asarray(geo.effective_tensor(mesh, ein, k,
-                                                       x.shape[1]))
-                k_out = np.asarray(geo.effective_tensor(mesh, eout, k,
-                                                        x.shape[1]))
+                k_in = np.asarray(geo.effective_tensor(mesh, ein, k, xp))
+                k_out = np.asarray(geo.effective_tensor(mesh, eout, k, xp))
             else:
                 k_in = k_out = k
             ihi = 1.0 / mesh.extent[ein]
@@ -189,15 +186,15 @@ def sipg_diagonal_blocks(basis: DGBasis, penalty: float = 2.0,
                 if bg.side == 1:
                     lo[:, bg.axis] += basis.mesh.extent[elems, bg.axis]
                 tang = [a for a in range(dim) if a != bg.axis]
-                x = np.repeat(lo[:, None, :], len(w), axis=1)
+                xp = np.repeat(lo[:, None, :], len(w), axis=1)
                 for t, a in enumerate(tang):
-                    x[:, :, a] += (ft["points"][None, :, t]
-                                   * basis.mesh.extent[elems, a][:, None])
-                x = geo.apply_map(basis.mesh, elems, x)
+                    xp[:, :, a] += (ft["points"][None, :, t]
+                                    * basis.mesh.extent[elems, a][:, None])
+                x = geo.apply_map(basis.mesh, elems, xp)
                 k = K(x) if diffusion is not None else None
                 if affine:
                     k = np.asarray(geo.effective_tensor(
-                        basis.mesh, elems, k, x.shape[1]))
+                        basis.mesh, elems, k, xp))
                 BVV = np.einsum("iq,q,jq->ij", ft["V"], w, ft["V"])
                 if kmat:
                     ih = 1.0 / basis.mesh.extent[elems]

@@ -25,12 +25,27 @@ from hpdg_tpu.linalg import blockvector as bv
 
 
 def mass_diagonal_blocks(basis: DGBasis, dtype=jnp.float64) -> dict:
-    """p -> [n_p, bs, bs] element mass blocks (block-diagonal exactly)."""
+    """p -> [n_p, bs, bs] element mass blocks (block-diagonal exactly).
+    Geometry-aware: affine maps scale by |det A|, trilinear (Q1) maps
+    integrate the per-point |det J|."""
+    from hpdg_tpu.mesh import geometry as geo
+    mesh = basis.mesh
     out = {}
     for p in basis.bucket_degrees:
         vt = tensor.volume_tables(p, basis.dim, p + 2, family=basis.family)
+        elems = basis.bucket_elems[p]
+        ext = mesh.extent[elems]
+        detJ = np.prod(ext, axis=1)
+        if geo.is_trilinear(mesh):
+            xpq = (mesh.lower[elems][:, None, :]
+                   + vt["points"][None, :, :] * ext[:, None, :])
+            detq = detJ[:, None] * geo.detj_phys(mesh, elems, xpq)
+            Me = np.einsum("eq,q,iq,jq->eij", detq, vt["weights"],
+                           vt["V"], vt["V"])
+            out[p] = jnp.asarray(Me, dtype)
+            continue
+        detJ = detJ * geo.detj_phys(mesh, elems)
         M0 = np.einsum("iq,q,jq->ij", vt["V"], vt["weights"], vt["V"])
-        detJ = np.prod(basis.mesh.extent[basis.bucket_elems[p]], axis=1)
         out[p] = jnp.asarray(detJ[:, None, None] * M0[None], dtype)
     return out
 
@@ -129,11 +144,17 @@ def weighted_mass_diagonal_blocks(basis: DGBasis, weight,
         elems = basis.bucket_elems[p]
         ext = mesh.extent[elems]
         detJ = np.prod(ext, axis=1)
-        x = (mesh.lower[elems][:, None, :]
-             + vt["points"][None, :, :] * ext[:, None, :])
+        xp = (mesh.lower[elems][:, None, :]
+              + vt["points"][None, :, :] * ext[:, None, :])
+        from hpdg_tpu.mesh import geometry as geo
+        if geo.is_trilinear(mesh):
+            detq = detJ[:, None] * geo.detj_phys(mesh, elems, xp)
+        else:
+            detq = (detJ * geo.detj_phys(mesh, elems))[:, None]
+        x = geo.apply_map(mesh, elems, xp)
         wv = jnp.asarray(weight(jnp.asarray(x, dtype)), dtype)
         wq = wv * jnp.asarray(vt["weights"], dtype)[None, :] \
-            * jnp.asarray(detJ, dtype)[:, None]
+            * jnp.asarray(detq, dtype)
         out[p] = jnp.einsum("eq,iq,jq->eij", wq,
                             jnp.asarray(vt["V"], dtype),
                             jnp.asarray(vt["V"], dtype))

@@ -31,26 +31,52 @@ def ipdg_local_norm(basis: DGBasis, penalty: float = 2.0,
     mesh = basis.mesh
     fwd = _fwd_spec(dim)
 
+    from hpdg_tpu.mesh import geometry as geo
+    geom = geo.has_geometry(mesh)
+
     def apply(x):
         eta = jnp.zeros(mesh.n_elements, dtype=dtype)
-        # bulk: |∇x|^2 per element
+        # bulk: |∇x|^2 per element (PHYSICAL gradient for affine /
+        # trilinear geometry, via the effective tensor |det J| J^-1 J^-T)
         for p in basis.bucket_degrees:
             vt = tensor.volume_tables(p, dim, p + 2, family=basis.family)
             t1 = vt["t1d"]
-            ext = mesh.extent[basis.bucket_elems[p]]
+            elems = basis.bucket_elems[p]
+            ext = mesh.extent[elems]
             detJ = np.prod(ext, axis=1)
             d1 = p + 1
             u = x[p].reshape((-1,) + (d1,) * dim)
-            wq = jnp.asarray(
-                vt["weights"].reshape((len(t1.qweights),) * dim), dtype)
-            acc = 0.0
-            for a in range(dim):
-                tabs = [t1.derivatives if b == a else t1.values
-                        for b in range(dim)]
-                du = _chain(u, tabs, fwd, dtype)
-                coef = jnp.asarray(detJ / ext[:, a] ** 2, dtype)
-                acc = acc + coef * jnp.sum(
-                    wq[None] * du**2, axis=tuple(range(1, dim + 1)))
+            qshape = (len(t1.qweights),) * dim
+            wq = jnp.asarray(vt["weights"].reshape(qshape), dtype)
+            if geom:
+                xpq = (mesh.lower[elems][:, None, :]
+                       + vt["points"][None, :, :] * ext[:, None, :])
+                G = np.asarray(geo.effective_tensor(mesh, elems, None, xpq))
+                G = G.reshape((-1,) + qshape + (dim, dim))
+                dus = []
+                for a in range(dim):
+                    tabs = [t1.derivatives if b == a else t1.values
+                            for b in range(dim)]
+                    dus.append(_chain(u, tabs, fwd, dtype)
+                               * jnp.asarray(1.0 / ext[:, a], dtype).reshape(
+                                   (-1,) + (1,) * dim))
+                acc = 0.0
+                dp = jnp.asarray(detJ, dtype)
+                for a in range(dim):
+                    for b in range(dim):
+                        acc = acc + dp * jnp.sum(
+                            wq[None] * jnp.asarray(G[..., a, b], dtype)
+                            * dus[a] * dus[b],
+                            axis=tuple(range(1, dim + 1)))
+            else:
+                acc = 0.0
+                for a in range(dim):
+                    tabs = [t1.derivatives if b == a else t1.values
+                            for b in range(dim)]
+                    du = _chain(u, tabs, fwd, dtype)
+                    coef = jnp.asarray(detJ / ext[:, a] ** 2, dtype)
+                    acc = acc + coef * jnp.sum(
+                        wq[None] * du**2, axis=tuple(range(1, dim + 1)))
             eta = eta.at[jnp.asarray(basis.bucket_elems[p])].add(acc)
         # interior faces: sigma max(p)^2/(2|f|) ∫ [x]^2 to both elements
         for fg in plan.face_groups:

@@ -86,23 +86,25 @@ def laplace_bulk_operator(basis: DGBasis, diffusion=None, dtype=jnp.float64):
         ext, detJ = _bucket_geometry(basis, p)
         coef = detJ[:, None] / ext**2  # (n, dim)
         wq = vt["weights"].reshape((len(t1.qweights),) * dim)
-        xq = keff = None
+        xq = xpq = keff = None
         elems = basis.bucket_elems[p]
         if diffusion is not None or affine:
-            xq = (basis.mesh.lower[elems][:, None, :]
-                  + vt["points"][None, :, :] * ext[:, None, :])
-            xq = geo.apply_map(basis.mesh, elems, xq)
+            xpq = (basis.mesh.lower[elems][:, None, :]
+                   + vt["points"][None, :, :] * ext[:, None, :])
+            xq = geo.apply_map(basis.mesh, elems, xpq)
         if affine and diffusion is None:
-            # geometry folds into a per-element CONSTANT tensor
+            # geometry folds into a per-element constant (affine) or
+            # per-point (trilinear) tensor, precomputed on the host
             keff = np.asarray(geo.effective_tensor(
-                basis.mesh, elems, None, xq.shape[1]))
-            xq = None
+                basis.mesh, elems, None, xpq))
+            xq = xpq = None
         prep[p] = (t1.values, t1.derivatives, coef, wq, xq, ext, detJ,
-                   elems, keff)
+                   elems, keff, xpq)
 
     def apply(x):
         y = {}
-        for p, (V, D, coef, wq, xq, ext, detJ, elems, keff) in prep.items():
+        for p, (V, D, coef, wq, xq, ext, detJ, elems, keff,
+                xpq) in prep.items():
             shp = x[p].shape
             d1 = V.shape[0]
             u = x[p].reshape((shp[0],) + (d1,) * dim)
@@ -112,8 +114,7 @@ def laplace_bulk_operator(basis: DGBasis, diffusion=None, dtype=jnp.float64):
             elif xq is not None:
                 kq = diffusion(jnp.asarray(xq, dtype))
                 if affine:
-                    kq = geo.effective_tensor(basis.mesh, elems, kq,
-                                              xq.shape[1])
+                    kq = geo.effective_tensor(basis.mesh, elems, kq, xpq)
             out = 0.0
             if kmat:
                 # tensor medium: all reference-gradient fields, mixed by
@@ -156,17 +157,36 @@ def laplace_bulk_operator(basis: DGBasis, diffusion=None, dtype=jnp.float64):
 def mass_operator(basis: DGBasis, dtype=jnp.float64):
     """Matrix-free (u, v): batched dense block GEMM (SumFactMassOperator)."""
     prep = {}
+    tri = geo.is_trilinear(basis.mesh)
     for p in basis.bucket_degrees:
         vt = tensor.volume_tables(p, basis.dim, p + 2, family=basis.family)
-        M0 = np.einsum("iq,q,jq->ij", vt["V"], vt["weights"], vt["V"])
-        _, detJ = _bucket_geometry(basis, p)
-        detJ = detJ * geo.detj_phys(basis.mesh, basis.bucket_elems[p])
-        prep[p] = (jnp.asarray(M0, dtype), jnp.asarray(detJ, dtype))
+        ext, detJ = _bucket_geometry(basis, p)
+        elems = basis.bucket_elems[p]
+        if tri:
+            # per-point |det J|: the mass block varies per element
+            xpq = (basis.mesh.lower[elems][:, None, :]
+                   + vt["points"][None, :, :] * ext[:, None, :])
+            detq = (detJ[:, None]
+                    * geo.detj_phys(basis.mesh, elems, xpq))  # (n, q)
+            Me = np.einsum("eq,q,iq,jq->eij", detq, vt["weights"],
+                           vt["V"], vt["V"])
+            prep[p] = (jnp.asarray(Me, dtype), None)
+        else:
+            M0 = np.einsum("iq,q,jq->ij", vt["V"], vt["weights"], vt["V"])
+            detJ = detJ * geo.detj_phys(basis.mesh, elems)
+            prep[p] = (jnp.asarray(M0, dtype), jnp.asarray(detJ, dtype))
 
     def apply(x):
-        return {p: jnp.einsum("ni,ij->nj", x[p], M0,
-                              preferred_element_type=dtype) * detJ[:, None]
-                for p, (M0, detJ) in prep.items()}
+        out = {}
+        for p, (M, detJ) in prep.items():
+            if detJ is None:
+                out[p] = jnp.einsum("ni,nij->nj", x[p], M,
+                                    preferred_element_type=dtype)
+            else:
+                out[p] = jnp.einsum("ni,ij->nj", x[p], M,
+                                    preferred_element_type=dtype) \
+                    * detJ[:, None]
+        return out
 
     return apply
 
@@ -218,18 +238,17 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
         ein = mesh.faces.inside[fg.face_ids]
         eout = mesh.faces.outside[fg.face_ids]
         if diffusion is not None or affine:
-            g["xq"] = geo.apply_map(mesh, ein,
-                                    face_phys_points(basis, fg, g["pts"]))
+            g["xpq"] = face_phys_points(basis, fg, g["pts"])  # parametric
+            g["xq"] = geo.apply_map(mesh, ein, g["xpq"])
         if kmat:
             g["ext_in"] = mesh.extent[ein]
             g["ext_out"] = mesh.extent[eout]
             g["ein"], g["eout"] = ein, eout
         if affine and diffusion is None:
-            nq = g["xq"].shape[1]
-            g["keff_in"] = np.asarray(geo.effective_tensor(mesh, ein,
-                                                           None, nq))
-            g["keff_out"] = np.asarray(geo.effective_tensor(mesh, eout,
-                                                            None, nq))
+            g["keff_in"] = np.asarray(geo.effective_tensor(
+                mesh, ein, None, g["xpq"]))
+            g["keff_out"] = np.asarray(geo.effective_tensor(
+                mesh, eout, None, g["xpq"]))
 
     bgroups = []
     if dirichlet:
@@ -253,6 +272,7 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                 x = np.repeat(lo[:, None, :], len(ft["weights"]), axis=1)
                 for t, a in enumerate(tang):
                     x[:, :, a] += ft["points"][None, :, t] * mesh.extent[elems, a][:, None]
+                item["xpq"] = x
                 item["xq"] = geo.apply_map(mesh, elems, x)
             if kmat:
                 item["Dall"] = ft["Dall"]
@@ -260,7 +280,7 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                 item["elems"] = elems
             if affine and diffusion is None:
                 item["keff"] = np.asarray(geo.effective_tensor(
-                    mesh, elems, None, item["xq"].shape[1]))
+                    mesh, elems, None, item["xpq"]))
             bgroups.append(item)
 
     def apply(x):
@@ -290,9 +310,9 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                     kq = diffusion(jnp.asarray(g["xq"], dtype))
                     if affine:
                         k_in = geo.effective_tensor(mesh, g["ein"], kq,
-                                                    g["xq"].shape[1])
+                                                    g["xpq"])
                         k_out = geo.effective_tensor(mesh, g["eout"], kq,
-                                                     g["xq"].shape[1])
+                                                     g["xpq"])
                     else:
                         k_in = k_out = kq
                 Kai = k_in[..., fg.axis, :]       # (nf, q, dim)
@@ -346,7 +366,7 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                     kq = diffusion(jnp.asarray(g["xq"], dtype))
                     if affine:
                         kq = geo.effective_tensor(mesh, g["elems"], kq,
-                                                  g["xq"].shape[1])
+                                                  g["xpq"])
                 Ka = kq[..., bg.axis, :]
                 ih = J(1.0 / g["ext"])
                 Dall = J(g["Dall"])

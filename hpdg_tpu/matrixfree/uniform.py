@@ -195,8 +195,10 @@ def uniform_sipg_factorized(basis: DGBasis, penalty: float = 2.0,
     p = basis.bucket_degrees[0]
     if not np.allclose(mesh.extent, mesh.extent[0]):
         raise ValueError("factorized operator needs uniform extents")
-    if getattr(mesh, "jac", None) is not None:
-        raise ValueError("factorized operator: affine maps unsupported")
+    if getattr(mesh, "jac", None) is not None \
+            or getattr(mesh, "corners", None) is not None:
+        raise ValueError("factorized operator: general geometry "
+                         "unsupported (axis-aligned lattices only)")
     if len(mesh.faces.inside) and np.any(mesh.faces.nc_code != 0):
         raise ValueError("factorized operator: conforming meshes only")
     cells = _lattice_shape(mesh)

@@ -78,13 +78,22 @@ def refine_local(mesh: Mesh, marks: np.ndarray) -> Mesh:
     lowers = mesh.lower[parent_cat] + np.where(
         refined[:, None], bits[np.clip(child_pos, 0, nc - 1)] * half, 0.0)
     extents = np.where(refined[:, None], half, mesh.extent[parent_cat])
-    jac = shift = None
+    jac = shift = corners = None
     if mesh.jac is not None:  # children inherit the parent's affine map
         jac = mesh.jac[parent_cat]
         shift = mesh.shift[parent_cat]
+    if mesh.corners is not None:
+        # refined rows get the parent trilinear map evaluated at the
+        # child corners (exact restriction); kept rows copy verbatim
+        from hpdg_tpu.mesh import geometry as _geo
+        corners = mesh.corners[parent_cat].copy()
+        ref = np.where(refined)[0]
+        if len(ref):
+            corners[ref] = _geo.q1_child_corners(
+                mesh.corners, parent_cat[ref], child_pos[ref])
     return from_boxes(lowers, extents, parent=parent_cat,
                       child_pos=child_pos, parent_mesh=mesh,
-                      jac=jac, shift=shift)
+                      jac=jac, shift=shift, corners=corners)
 
 
 def unrefine(mesh: Mesh, marks: np.ndarray) -> Mesh:
@@ -111,7 +120,11 @@ def unrefine(mesh: Mesh, marks: np.ndarray) -> Mesh:
              if len(ks) == nc and marks[ks].all()}
     merged_children = set(k for ks in merge.values() for k in ks)
 
+    has_jac = mesh.jac is not None
+    has_corn = mesh.corners is not None
+    nd = mesh.dim
     lowers, extents, parent, child_pos = [], [], [], []
+    jacs, shifts, corns = [], [], []
     for k in range(mesh.n_elements):
         if k in merged_children:
             continue
@@ -119,6 +132,11 @@ def unrefine(mesh: Mesh, marks: np.ndarray) -> Mesh:
         extents.append(mesh.extent[k])
         parent.append(k)
         child_pos.append(-1)
+        if has_jac:
+            jacs.append(mesh.jac[k])
+            shifts.append(mesh.shift[k])
+        if has_corn:
+            corns.append(mesh.corners[k])
     for pe in sorted(merge):
         lowers.append(pm.lower[pe])
         extents.append(pm.extent[pe])
@@ -126,10 +144,22 @@ def unrefine(mesh: Mesh, marks: np.ndarray) -> Mesh:
         # first child; persistence uses restrict_to_coarse instead)
         parent.append(merge[pe][0])
         child_pos.append(-2)
+        if has_jac:  # siblings share the parent's global affine map
+            jacs.append(mesh.jac[merge[pe][0]])
+            shifts.append(mesh.shift[merge[pe][0]])
+        if has_corn:
+            # parent corner c = corner c of the child at position c
+            # (exact inverse of q1_child_corners' restriction)
+            kids = sorted(merge[pe], key=lambda k_: int(mesh.child_pos[k_]))
+            corns.append(np.stack([mesh.corners[kids[c], c]
+                                   for c in range(2**nd)]))
     return from_boxes(np.asarray(lowers), np.asarray(extents),
                       parent=np.asarray(parent, dtype=np.int32),
                       child_pos=np.asarray(child_pos, dtype=np.int32),
-                      parent_mesh=mesh)
+                      parent_mesh=mesh,
+                      jac=np.asarray(jacs) if has_jac else None,
+                      shift=np.asarray(shifts) if has_jac else None,
+                      corners=np.asarray(corns) if has_corn else None)
 
 
 def semicoarsen(mesh: Mesh, axis: int) -> Mesh:
@@ -156,6 +186,7 @@ def semicoarsen(mesh: Mesh, axis: int) -> Mesh:
     parent = np.full(n, -1, dtype=np.int32)
     child_pos = np.full(n, -1, dtype=np.int32)
     lowers, extents = [], []
+    jacs, shifts, corns = [], [], []
     for e in range(n):
         if parent[e] >= 0:
             continue
@@ -171,7 +202,21 @@ def semicoarsen(mesh: Mesh, axis: int) -> Mesh:
         ex[axis] *= 2.0
         lowers.append(lo)
         extents.append(ex)
-    coarse = from_boxes(np.asarray(lowers), np.asarray(extents))
+        if mesh.jac is not None:
+            jacs.append(mesh.jac[e])
+            shifts.append(mesh.shift[e])
+        if mesh.corners is not None:
+            # coarse corner c: low-side corners from the low mate, high-
+            # side from the high mate (exact for hierarchy-compatible Q1)
+            bit = dim - 1 - axis
+            corns.append(np.stack([
+                mesh.corners[mate if (c >> bit) & 1 else e, c]
+                for c in range(2**dim)]))
+    coarse = from_boxes(
+        np.asarray(lowers), np.asarray(extents),
+        jac=np.asarray(jacs) if mesh.jac is not None else None,
+        shift=np.asarray(shifts) if mesh.jac is not None else None,
+        corners=np.asarray(corns) if mesh.corners is not None else None)
     # relinked twin of the fine mesh pointing at the coarse one
     from dataclasses import replace as _replace
     fine_linked = _replace(mesh, parent=parent, child_pos=child_pos,

@@ -1,35 +1,46 @@
-"""First-class general (affine) element geometry.
+"""First-class general element geometry: affine and trilinear (Q1).
 
 The reference consumes arbitrary per-point geometry through DUNE's
 ``jacobianInverseTransposed`` inside every assembler
 (gausslobattoipdgassembler.hh:337-350); its grids (UGGrid etc.) supply
-the maps.  The TPU-native design stores one affine map per element as
-mesh data — ``x_phys = mesh.shift[e] + mesh.jac[e] @ x_param`` — and
-folds the geometry into the *coefficient tensors* every batched kernel
-already consumes:
+the maps.  The TPU-native design stores the geometry as mesh data and
+folds it into the *coefficient tensors* every batched kernel already
+consumes:
 
-* bulk:   |det A| A^-1 K A^-T replaces K (the pullback identity),
-* faces:  the co-normal flux  n_phys . K grad_phys u  per side becomes
-  ``sum_b k_eff[ax, b] (1/h_b) d_b u`` with the SAME trace-gradient
-  (``Dall``) contraction the tensor-coefficient path uses (Nanson's
-  ``da_phys = |det A| |A^-T n| da_param`` cancels the normalization of
-  the physical normal, leaving exactly the parametric face measure in
-  the quadrature weight),
-* penalty: sigma p^2 |f_phys| mean(1/h_phys), from the per-side face
-  Jacobian factors ``g = |det A| |A^-T e_axis|``.
+* bulk:   |det J| J^-1 K J^-T replaces K (the pullback identity),
+* faces:  the co-normal flux per side obeys, POINTWISE,
+  ``g(x) (K grad_phys u) . n_phys = (K_eff(x) grad_param u)_axis`` with
+  ``g = |det J| |J^-T e_axis|`` the Nanson area factor — so the face
+  consistency terms keep the parametric face measure in the quadrature
+  weight and need no extra geometry factors, for affine AND curved maps,
+* penalty: a per-face constant by convention ("measure" scaling is
+  geometry-free; "normal" uses the face-center physical factors).
 
 So general geometry needs no new kernels: every operator (assembled,
 matrix-free, diagonal blocks, oracle) takes the tensor-coefficient fast
-path with per-element-constant (or pointwise, when composed with a
-variable medium K(x)) effective tensors.  The parametric boxes remain
-the topology carrier: face matching, 2:1 refinement, partitions and the
-whole sharded layer are geometry-agnostic.
+path with per-element-constant (affine) or per-quad-point (trilinear)
+effective tensors.  The parametric boxes remain the topology carrier:
+face matching, 2:1 refinement, partitions and the whole sharded layer
+are geometry-agnostic.
 
-Supported maps are affine per element (parallelepiped hexes).  Smooth
-curvilinear domains enter through :func:`affinize` (per-element
-linearization at the element center — the degree-1 isoparametric
-approximation); genuinely trilinear hexes are not representable and the
-importer rejects them.
+Two representations, in precedence order:
+
+* ``mesh.corners`` (n, 2^dim, dim): genuinely TRILINEAR (isoparametric
+  Q1) hexes/quads — the multilinear interpolation of the physical corner
+  positions over the element's parametric box.  Per-point Jacobians.
+* ``mesh.jac``/``mesh.shift``: per-element AFFINE maps on the global
+  parametric space, ``x_phys = shift[e] + jac[e] @ x_param`` —
+  parallelepiped cells, constant Jacobians (cheaper; exactly conforming
+  for global maps).
+
+Constructors: :func:`affine_image` (one global affine map),
+:func:`affinize` (per-element linearization of a smooth map),
+:func:`isoparametric` (corner-sampled Q1 geometry of a smooth map —
+exactly conforming across shared faces of the SAME refinement level;
+build it on the coarsest mesh and refine to keep hanging-node
+hierarchies geometrically conforming, since children inherit by exact
+restriction), :func:`from_hex_lattice` (meshio/Gmsh-style import,
+affine when all cells are parallelepipeds, trilinear otherwise).
 """
 
 from __future__ import annotations
@@ -40,89 +51,257 @@ from hpdg_tpu.mesh.structured import Mesh, from_boxes
 from dataclasses import replace
 
 
+def _bits(dim: int) -> np.ndarray:
+    """Corner bit table (2^dim, dim): bit of corner c along axis a is
+    ``(c >> (dim-1-a)) & 1`` (C order, last axis fastest — matches
+    refine()'s child_pos convention)."""
+    nc = 2**dim
+    return ((np.arange(nc)[:, None] >> np.arange(dim - 1, -1, -1)[None, :])
+            & 1).astype(np.float64)
+
+
+def has_geometry(mesh: Mesh) -> bool:
+    """True if the mesh carries first-class geometry (affine or Q1)."""
+    return (getattr(mesh, "corners", None) is not None
+            or getattr(mesh, "jac", None) is not None)
+
+
 def has_affine(mesh: Mesh) -> bool:
-    return getattr(mesh, "jac", None) is not None
+    return has_geometry(mesh)
+
+
+def is_trilinear(mesh: Mesh) -> bool:
+    return getattr(mesh, "corners", None) is not None
+
+
+# ---------------------------------------------------------------------------
+# Q1 (multilinear) primitives — all numpy, host-side
+# ---------------------------------------------------------------------------
+
+def q1_eval(corners: np.ndarray, xi: np.ndarray) -> np.ndarray:
+    """Evaluate the multilinear corner interpolation: ``corners``
+    (n, 2^d, d) physical corners, ``xi`` (n, q, d) element-LOCAL points
+    in [0,1]^d -> (n, q, d) physical points."""
+    d = corners.shape[-1]
+    B = _bits(d)  # (nc, d)
+    # N_c(xi) = prod_a (B[c,a] ? xi_a : 1-xi_a):   (n, q, nc)
+    t = np.where(B[None, None, :, :] > 0.5,
+                 xi[:, :, None, :], 1.0 - xi[:, :, None, :])
+    N = t.prod(axis=-1)
+    return np.einsum("nqc,ncd->nqd", N, corners)
+
+
+def q1_jacobian_local(corners: np.ndarray, xi: np.ndarray) -> np.ndarray:
+    """d(phi)/d(xi) of the multilinear map: (n, q, d, d) with column a =
+    derivative along local axis a."""
+    n, q, d = xi.shape
+    B = _bits(d)
+    t = np.where(B[None, None, :, :] > 0.5,
+                 xi[:, :, None, :], 1.0 - xi[:, :, None, :])  # (n,q,nc,d)
+    sgn = 2.0 * B - 1.0  # (nc, d)
+    J = np.empty((n, q, d, d))
+    for a in range(d):
+        # dN_c/dxi_a = sgn[c,a] * prod_{b != a} t[...,b]
+        prod = np.ones((n, q, B.shape[0]))
+        for b in range(d):
+            if b != a:
+                prod = prod * t[..., b]
+        dN = prod * sgn[None, None, :, a]
+        J[..., a] = np.einsum("nqc,ncd->nqd", dN, corners)
+    return J
+
+
+def q1_child_corners(corners: np.ndarray, parent_idx: np.ndarray,
+                     child_pos: np.ndarray) -> np.ndarray:
+    """Corners of refinement children: evaluate each parent's trilinear
+    map at the child sub-box corners (exact restriction).  ``parent_idx``
+    and ``child_pos`` are per-child arrays; child_pos uses the same
+    C-order bit convention as the corner index."""
+    d = corners.shape[-1]
+    B = _bits(d)
+    # child corner c local coords within the parent: (bits(pos)+bits(c))/2
+    pos_off = B[np.asarray(child_pos, dtype=np.int64)]  # (m, d)
+    xi = 0.5 * (pos_off[:, None, :] + B[None, :, :])    # (m, nc, d)
+    return q1_eval(corners[np.asarray(parent_idx, dtype=np.int64)], xi)
+
+
+def _q1_gauss_det(mesh: Mesh) -> np.ndarray:
+    """SIGNED det J_global at the tensor Gauss(2) points, (n, 2^d)."""
+    d = mesh.dim
+    g = np.array([0.5 - 0.5 / np.sqrt(3.0), 0.5 + 0.5 / np.sqrt(3.0)])
+    pts = np.stack(np.meshgrid(*([g] * d), indexing="ij"),
+                   axis=-1).reshape(-1, d)  # (2^d, d) local
+    xi = np.broadcast_to(pts, (mesh.n_elements,) + pts.shape)
+    Jl = q1_jacobian_local(mesh.corners, xi)
+    return np.linalg.det(Jl) / np.prod(mesh.extent, axis=1)[:, None]
+
+
+def mean_detj_q1(mesh: Mesh) -> np.ndarray:
+    """Per-element mean of |det J_global| over the parametric box, exact
+    for Q1 geometry (tensor Gauss(2) rule integrates the degree-<=2-per-
+    variable det polynomial exactly).  volumes = prod(extent) * this."""
+    return np.abs(_q1_gauss_det(mesh)).mean(axis=1)
+
+
+def _check_q1_orientation(mesh: Mesh, what: str):
+    """Reject locally inverted/degenerate Q1 cells: the signed det must
+    stay positive pointwise, NOT on average — an inverted corner can
+    hide inside a positive mean.  Checked at the Gauss(2) points, the
+    corners and the center (det is degree <= 2 per variable, so this
+    samples every region a practical inversion lives in)."""
+    d = mesh.dim
+    g = np.array([0.5 - 0.5 / np.sqrt(3.0), 0.5 + 0.5 / np.sqrt(3.0)])
+    probe = [np.stack(np.meshgrid(*([g] * d), indexing="ij"),
+                      axis=-1).reshape(-1, d),
+             _bits(d), np.full((1, d), 0.5)]
+    pts = np.concatenate(probe)
+    xi = np.broadcast_to(pts, (mesh.n_elements,) + pts.shape)
+    det = np.linalg.det(q1_jacobian_local(mesh.corners, xi))
+    if np.min(det) <= 0:
+        raise ValueError(f"{what}: inverted or degenerate hex (det J "
+                         "changes sign; check vertex ordering)")
+
+
+# ---------------------------------------------------------------------------
+# per-point geometry queries (elems + GLOBAL parametric points)
+# ---------------------------------------------------------------------------
+
+def _param_pts(mesh: Mesh, elems, x) -> np.ndarray:
+    """Normalize points to (n, q, dim) and convert to element-local."""
+    x = np.asarray(x, np.float64)
+    if x.ndim == 2:  # (q, dim) shared across elements
+        x = np.broadcast_to(x, (len(elems),) + x.shape)
+    return (x - mesh.lower[elems][:, None, :]) / mesh.extent[elems][:, None, :]
 
 
 def apply_map(mesh: Mesh, elems, x):
-    """Map parametric points (n, q, dim) to physical space."""
-    if not has_affine(mesh):
+    """Map GLOBAL parametric points (n, q, dim) to physical space."""
+    if is_trilinear(mesh):
+        return q1_eval(mesh.corners[elems], _param_pts(mesh, elems, x))
+    if not has_geometry(mesh):
         return x
     A = mesh.jac[elems]
     s = mesh.shift[elems]
     return s[:, None, :] + np.einsum("eab,eqb->eqa", A, np.asarray(x))
 
 
+def jacobians(mesh: Mesh, elems, pts) -> np.ndarray:
+    """Per-point Jacobian d(phys)/d(global param): (n, q, d, d).
+    ``pts``: global parametric points (n, q, d) or (q, d)."""
+    d = mesh.dim
+    if is_trilinear(mesh):
+        xi = _param_pts(mesh, elems, pts)
+        Jl = q1_jacobian_local(mesh.corners[elems], xi)
+        return Jl / mesh.extent[elems][:, None, None, :]
+    nq = np.asarray(pts).shape[-2]
+    if not has_geometry(mesh):
+        return np.broadcast_to(np.eye(d), (len(elems), nq, d, d))
+    return np.broadcast_to(mesh.jac[elems][:, None], (len(elems), nq, d, d))
+
+
 def geometry_tensor(mesh: Mesh, elems) -> np.ndarray:
-    """Per-element effective tensor G_e = |det A| A^-1 A^-T (n, d, d).
-    For axis-aligned meshes this is the identity."""
-    if not has_affine(mesh):
-        d = mesh.dim
+    """Per-element effective tensor G_e = |det A| A^-1 A^-T (n, d, d),
+    evaluated at the element CENTER for trilinear meshes."""
+    d = mesh.dim
+    if not has_geometry(mesh):
         return np.broadcast_to(np.eye(d), (len(elems), d, d))
-    A = mesh.jac[elems]
-    Ai = np.linalg.inv(A)
-    det = np.abs(np.linalg.det(A))
-    return det[:, None, None] * np.einsum("eab,ecb->eac", Ai, Ai)
+    ctr = (mesh.lower[elems] + 0.5 * mesh.extent[elems])[:, None, :]
+    J = jacobians(mesh, elems, ctr)[:, 0]
+    Ji = np.linalg.inv(J)
+    det = np.abs(np.linalg.det(J))
+    return det[:, None, None] * np.einsum("eab,ecb->eac", Ji, Ji)
 
 
-def effective_tensor(mesh: Mesh, elems, k, nq: int):
-    """Fold the affine geometry into an evaluated coefficient.
+def effective_tensor(mesh: Mesh, elems, k, pts):
+    """Fold the geometry into an evaluated coefficient, per point.
 
     ``k``: None | (n, q) scalar array | (n, q, d, d) tensor array — the
     user's medium K evaluated at the physical quadrature points (numpy
-    or traced jax array).  Returns the (n, q, d, d) effective tensor
-    |det A| A^-1 K A^-T (a jax array when k is traced).  Only call for
-    affine meshes."""
+    or traced jax array).  ``pts``: the GLOBAL PARAMETRIC quadrature
+    points, (n, q, d) or (q, d).  Returns the (n, q, d, d) effective
+    tensor |det J| J^-1 K J^-T (a jax array when k is traced).  Only
+    call for meshes with first-class geometry."""
     d = mesh.dim
-    A = mesh.jac[elems]
-    Ai = np.linalg.inv(A)
-    det = np.abs(np.linalg.det(A))
-    G = det[:, None, None] * np.einsum("eab,ecb->eac", Ai, Ai)  # (n, d, d)
+    nq = np.asarray(pts).shape[-2]
+    if not is_trilinear(mesh):
+        # affine: per-element constants, broadcast over points (no copy)
+        A = mesh.jac[elems]
+        Ai = np.linalg.inv(A)
+        det = np.abs(np.linalg.det(A))
+        G1 = det[:, None, None] * np.einsum("eab,ecb->eac", Ai, Ai)
+        if k is None:
+            return np.broadcast_to(G1[:, None], (len(elems), nq, d, d))
+        if k.ndim == 2:  # scalar medium
+            return k[:, :, None, None] * G1[:, None]
+        import jax.numpy as jnp
+        return (jnp.einsum("eab,eqbc,edc->eqad", Ai, k, Ai)
+                * det[:, None, None, None])
+    J = jacobians(mesh, elems, pts)          # (n, q, d, d)
+    Ji = np.linalg.inv(J)
+    det = np.abs(np.linalg.det(J))           # (n, q)
+    G = det[..., None, None] * np.einsum("nqab,nqcb->nqac", Ji, Ji)
     if k is None:
-        return np.broadcast_to(G[:, None], (len(elems), nq, d, d))
+        return G
     if k.ndim == 2:  # scalar medium
-        return k[:, :, None, None] * G[:, None]
-    # tensor medium: |det A| A^-1 K(x_q) A^-T per point
+        return k[:, :, None, None] * G
+    # tensor medium: |det J| J^-1 K(x_q) J^-T per point
     import jax.numpy as jnp
-    return (jnp.einsum("eab,eqbc,edc->eqad", Ai, k, Ai)
-            * det[:, None, None, None])
+    return (jnp.einsum("nqab,nqbc,nqdc->nqad", Ji, k, Ji)
+            * det[..., None, None])
 
 
-def detj_phys(mesh: Mesh, elems) -> np.ndarray:
-    """|det| of the full parametric->physical volume element, i.e. the
-    factor multiplying prod(extent) in physical integrals."""
-    if not has_affine(mesh):
+def detj_phys(mesh: Mesh, elems, pts=None):
+    """|det| of the parametric->physical map.  Without ``pts``: the
+    per-element constant (n,) — affine meshes only.  With ``pts`` (global
+    parametric, (n, q, d) or (q, d)): per point (n, q)."""
+    if pts is not None:
+        return np.abs(np.linalg.det(jacobians(mesh, elems, pts)))
+    if is_trilinear(mesh):
+        raise ValueError("trilinear geometry: detj_phys needs points")
+    if not has_geometry(mesh):
         return np.ones(len(elems))
     return np.abs(np.linalg.det(mesh.jac[elems]))
 
 
-def face_jacobian_factor(mesh: Mesh, elems, axis) -> np.ndarray:
-    """Nanson factor g = |det A| |A^-T e_axis| per element: physical face
-    measure = g * parametric face measure for a face with parametric
-    normal e_axis."""
-    if not has_affine(mesh):
-        return np.ones(len(elems))
-    A = mesh.jac[elems]
-    Ai = np.linalg.inv(A)
-    det = np.abs(np.linalg.det(A))
+def face_jacobian_factor(mesh: Mesh, elems, axis, pts=None) -> np.ndarray:
+    """Nanson factor g = |det J| |J^-T e_axis|: physical face measure =
+    g * parametric face measure for a face with parametric normal
+    e_axis.  Per element without ``pts`` (face CENTER for trilinear
+    meshes); per point (n, q) with ``pts``."""
+    if pts is None:
+        if is_trilinear(mesh):
+            ctr = (mesh.lower[elems] + 0.5 * mesh.extent[elems])[:, None, :]
+            return face_jacobian_factor(mesh, elems, axis, ctr)[:, 0]
+        if not has_geometry(mesh):
+            return np.ones(len(elems))
+        A = mesh.jac[elems]
+        Ai = np.linalg.inv(A)
+        det = np.abs(np.linalg.det(A))
+        axis = np.broadcast_to(np.asarray(axis), (len(elems),))
+        rows = Ai[np.arange(len(elems)), axis, :]  # A^-T e_ax = A^-1[ax,:]
+        return det * np.linalg.norm(rows, axis=1)
+    J = jacobians(mesh, elems, pts)
+    Ji = np.linalg.inv(J)
+    det = np.abs(np.linalg.det(J))
     axis = np.broadcast_to(np.asarray(axis), (len(elems),))
-    rows = Ai[np.arange(len(elems)), axis, :]  # A^-T e_ax = (A^-1)[ax, :]
-    return det * np.linalg.norm(rows, axis=1)
+    rows = Ji[np.arange(len(elems)), :, axis, :]   # (n, q, d)
+    return det * np.linalg.norm(rows, axis=-1)
 
 
 def face_penalty_geometry(mesh: Mesh, fg):
-    """(fmeas_phys, inv_h_phys_in, inv_h_phys_out) for a face group.
-
-    h_phys per side = vol_phys / face_phys = extent[axis] |det A| / g —
-    reduces to the parametric values for axis-aligned meshes."""
+    """(fmeas_phys, inv_h_phys_in, inv_h_phys_out) for a face group,
+    per-face constants (face-CENTER values for trilinear meshes — the
+    penalty is a per-face-constant convention, matching the reference's
+    sigma max(p)^2/|e| with one measure per edge, variableipdg.hh:253).
+    """
     ein = mesh.faces.inside[fg.face_ids]
     eout = mesh.faces.outside[fg.face_ids]
-    if not has_affine(mesh):
+    if not has_geometry(mesh):
         return fg.fmeas, fg.inv_h_in, fg.inv_h_out
     g_in = face_jacobian_factor(mesh, ein, fg.axis)
     g_out = face_jacobian_factor(mesh, eout, fg.axis)
-    det_in = detj_phys(mesh, ein)
-    det_out = detj_phys(mesh, eout)
+    det_in = _det_center(mesh, ein)
+    det_out = _det_center(mesh, eout)
     # conforming affine meshes have identical physical faces from both
     # sides; affinized curvilinear maps differ at the linearization
     # error — use the mean (symmetric, consistent)
@@ -132,19 +311,26 @@ def face_penalty_geometry(mesh: Mesh, fg):
     return fmeas, ih_in, ih_out
 
 
+def _det_center(mesh: Mesh, elems) -> np.ndarray:
+    if is_trilinear(mesh):
+        ctr = (mesh.lower[elems] + 0.5 * mesh.extent[elems])[:, None, :]
+        return detj_phys(mesh, elems, ctr)[:, 0]
+    return detj_phys(mesh, elems)
+
+
 def boundary_penalty_geometry(mesh: Mesh, bg):
     """(fmeas_phys, inv_h_phys) for a boundary group."""
     elems = mesh.bfaces.elem[bg.face_ids]
-    if not has_affine(mesh):
+    if not has_geometry(mesh):
         return bg.fmeas, bg.inv_h
     g = face_jacobian_factor(mesh, elems, bg.axis)
-    det = detj_phys(mesh, elems)
+    det = _det_center(mesh, elems)
     return g * bg.fmeas, bg.inv_h * g / det
 
 
 def penalty_coef_mesh(mesh: Mesh, fg, penalty: float, pmax: int,
                       scaling: str = "measure") -> np.ndarray:
-    """Affine-aware face penalty coefficient c_f (= mu_f |f_phys|); for
+    """Geometry-aware face penalty coefficient c_f (= mu_f |f_phys|); for
     axis-aligned meshes identical to assemble.plan.penalty_coef."""
     if scaling == "measure":
         return penalty * pmax**2 * np.ones(len(fg.face_ids))
@@ -185,7 +371,8 @@ def affinize(mesh: Mesh, phi, dphi=None) -> Mesh:
     finite differences unless ``dphi`` is given), shift chosen so the
     element center maps exactly.  For a globally affine ``phi`` this is
     exact and conforming; for curved maps neighboring maps disagree at
-    O(h^2) on shared faces (standard first-order geometry)."""
+    O(h^2) on shared faces (standard first-order geometry).  Prefer
+    :func:`isoparametric` for exactly conforming curved geometry."""
     c = mesh.centers()
     n, d = c.shape
     if dphi is not None:
@@ -205,6 +392,27 @@ def affinize(mesh: Mesh, phi, dphi=None) -> Mesh:
     return replace(mesh, jac=A, shift=shift)
 
 
+def isoparametric(mesh: Mesh, phi) -> Mesh:
+    """Q1 (trilinear) isoparametric geometry: sample a smooth map ``phi``
+    ((m, dim) -> (m, dim), vectorized) at the parametric box corners.
+    Neighboring elements share corner values, so the geometry is EXACTLY
+    conforming across every shared same-level face (the bilinear face
+    interpolant is determined by the shared corners).  Build on the
+    coarsest mesh and refine to keep hanging-node hierarchies conforming
+    (children restrict the parent map exactly); calling this directly on
+    an already-refined nc mesh re-samples phi at hanging vertices and the
+    geometry differs O(h^2) across the nc interface."""
+    d = mesh.dim
+    B = _bits(d)
+    x = (mesh.lower[:, None, :]
+         + B[None, :, :] * mesh.extent[:, None, :])  # (n, nc, d) param
+    corners = np.asarray(phi(x.reshape(-1, d)),
+                         np.float64).reshape(x.shape)
+    m = replace(mesh, corners=corners, jac=None, shift=None)
+    _check_q1_orientation(m, "isoparametric")
+    return m
+
+
 # VTK/Gmsh hexahedron vertex ordering: bottom quad (0,1,2,3) CCW, top
 # quad (4,5,6,7); reference-cell (z,y,x)-bit corners in our C-order
 # convention mapped accordingly.
@@ -220,8 +428,9 @@ def from_hex_lattice(points, cells, lattice_shape, tol: float = 1e-9
     coordinates, ``cells`` (ncells, 8) vertex indices in VTK hexahedron
     ordering, ``lattice_shape`` the (nx, ny, nz) cell layout in C order
     (last axis fastest — the order Gmsh transfinite/structured grids
-    emit).  Every hex must be a parallelepiped (affine image of the
-    cube) to ``tol``; genuinely trilinear cells raise.
+    emit).  Parallelepiped cells (affine images of the cube, to ``tol``)
+    get per-element AFFINE maps; genuinely trilinear cells get Q1
+    isoparametric geometry (``mesh.corners``) with per-point Jacobians.
 
     The parametric domain is the unit lattice; topology comes from it,
     geometry from the vertices.  Use ``meshio.read(...)`` to get the
@@ -248,23 +457,29 @@ def from_hex_lattice(points, cells, lattice_shape, tol: float = 1e-9
     pred = v0[:, None, :] + np.einsum("eab,cb->eca", A, _VTK_CORNER_REF)
     scale = np.abs(A).sum(axis=(1, 2))[:, None, None] + 1e-30
     err = np.abs(pred - corners).max(axis=(1, 2)) / scale.reshape(-1)
-    bad = np.where(err > tol)[0]
-    if len(bad):
-        raise ValueError(
-            f"cells {bad[:5].tolist()}... are not parallelepipeds "
-            f"(max relative deviation {err.max():.2e}); trilinear hex "
-            "geometry is not representable by per-element affine maps")
+    trilinear = bool((err > tol).any())
     # parametric unit lattice in C order (last axis fastest)
     idx = np.stack(np.meshgrid(*[np.arange(s) for s in shape],
                                indexing="ij"), axis=-1).reshape(-1, 3)
     lower = idx.astype(np.float64)
     extent = np.ones_like(lower)
-    # physical map on parametric coords x: shift + A x with
-    # shift = v0 - A @ lower (per element)
-    shift = v0 - np.einsum("eab,eb->ea", A, lower)
-    if np.linalg.det(A).min() <= 0:
-        raise ValueError("negative-volume hex (check vertex ordering)")
-    m = from_boxes(lower, extent, jac=A, shift=shift)
+    if trilinear:
+        # reorder VTK corners into our C-order bit convention:
+        # corner c has ref coords bits (x, y, z) = B[c]
+        B = _bits(3)
+        vtk_of_bit = np.array([int(np.where(
+            (_VTK_CORNER_REF == B[c]).all(axis=1))[0][0])
+            for c in range(8)])
+        corn = corners[:, vtk_of_bit, :]
+        m = from_boxes(lower, extent, corners=corn)
+        _check_q1_orientation(m, "from_hex_lattice")
+    else:
+        # physical map on parametric coords x: shift + A x with
+        # shift = v0 - A @ lower (per element)
+        shift = v0 - np.einsum("eab,eb->ea", A, lower)
+        if np.linalg.det(A).min() <= 0:
+            raise ValueError("negative-volume hex (check vertex ordering)")
+        m = from_boxes(lower, extent, jac=A, shift=shift)
     # conformity: shared parametric faces must map to the same physical
     # face from both sides (vertices already guarantee it for a valid
     # import; verify cheaply via the shared-face centroids)
@@ -285,5 +500,5 @@ def _face_centroid(mesh: Mesh, elems, axis, high: bool) -> np.ndarray:
     off = np.zeros_like(ctr)
     off[np.arange(len(elems)), axis] = (0.5 if high else -0.5) \
         * mesh.extent[elems, axis]
-    x = ctr + off
-    return mesh.shift[elems] + np.einsum("eab,eb->ea", mesh.jac[elems], x)
+    x = (ctr + off)[:, None, :]
+    return apply_map(mesh, elems, x)[:, 0]

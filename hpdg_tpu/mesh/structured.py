@@ -7,9 +7,13 @@ static numpy arrays — per-element geometry plus precomputed face lists —
 built once on the host.  Device kernels consume fixed-shape batches
 derived from these arrays; no grid traversal ever reaches XLA.
 
-Geometry is axis-aligned (each element is a box ``[lower, lower+extent]``),
-matching the reference's test substrate.  Jacobians are diagonal; all
-geometry factors reduce to per-element ``extent`` vectors.
+The PARAMETRIC domain is axis-aligned (each element is a box
+``[lower, lower+extent]``), matching the reference's test substrate; by
+default physical == parametric and all geometry factors reduce to
+per-element ``extent`` vectors.  First-class general geometry is layered
+on top as mesh data — per-element affine maps (``jac``/``shift``) or
+genuinely trilinear Q1 corner interpolation (``corners``) — see
+mesh/geometry.py; the parametric boxes stay the topology carrier.
 
 Interior faces are stored with the convention: the *inside* element is on
 the low side of the face, so the unit normal (pointing inside→outside, as
@@ -81,6 +85,15 @@ class Mesh:
     # (affine_image / affinize / from_hex_lattice).
     jac: np.ndarray | None = None    # (n, dim, dim) float64
     shift: np.ndarray | None = None  # (n, dim) float64
+    # genuinely TRILINEAR (isoparametric Q1) geometry: physical corner
+    # positions of each element's parametric box, corner index c with
+    # bit (c >> (dim-1-a)) & 1 giving the high/low side along axis a
+    # (C order, last axis fastest — same convention as refine()'s
+    # child_pos).  When set, the per-point Jacobian of the multilinear
+    # corner interpolation replaces the constant jac/shift map — the
+    # full analog of the reference's per-quad-point
+    # jacobianInverseTransposed (gausslobattoipdgassembler.hh:337-350).
+    corners: np.ndarray | None = None  # (n, 2^dim, dim) float64
 
     @property
     def n_elements(self) -> int:
@@ -89,6 +102,9 @@ class Mesh:
     @property
     def volumes(self) -> np.ndarray:
         vols = np.prod(self.extent, axis=1)
+        if self.corners is not None:
+            from hpdg_tpu.mesh import geometry as _geo
+            return vols * _geo.mean_detj_q1(self)
         if self.jac is not None:
             vols = vols * np.abs(np.linalg.det(self.jac))
         return vols
@@ -268,7 +284,7 @@ def _validate_unmatched(lower, extent, bfaces: BoundaryFaces, tol: float):
 def from_boxes(lower: np.ndarray, extent: np.ndarray, parent=None,
                child_pos=None, parent_mesh=None,
                topology: str = "auto", validate: bool = True,
-               jac=None, shift=None) -> Mesh:
+               jac=None, shift=None, corners=None) -> Mesh:
     """topology: 'auto' (native C++ kernel for large meshes when
     available), 'native', or 'python'.  ``validate`` checks that no
     unmatched faces look interior (overlapping opposite-facing
@@ -306,7 +322,8 @@ def from_boxes(lower: np.ndarray, extent: np.ndarray, parent=None,
         _validate_unmatched(lower, extent, bfaces, float(extent.min() * 1e-6))
     return Mesh(dim=lower.shape[1], lower=lower, extent=extent, faces=faces,
                 bfaces=bfaces, parent=parent, child_pos=child_pos,
-                parent_mesh=parent_mesh, jac=jac, shift=shift)
+                parent_mesh=parent_mesh, jac=jac, shift=shift,
+                corners=corners)
 
 
 def structured(cells, lower=None, upper=None, mask=None) -> Mesh:
@@ -366,13 +383,20 @@ def refine(mesh: Mesh, marks: np.ndarray | None = None) -> Mesh:
     order = np.lexsort(tuple(q[:, a] for a in range(dim - 1, -1, -1)))
     # children inherit the parent's affine map verbatim (the parametric
     # child box is a subset of the parent box, so the same map applies)
-    jac = shift = None
+    jac = shift = corners = None
     if mesh.jac is not None:
         jac = np.repeat(mesh.jac, nc, axis=0)[order]
         shift = np.repeat(mesh.shift, nc, axis=0)[order]
+    if mesh.corners is not None:
+        # a trilinear map restricted to a child sub-box is trilinear with
+        # corner values = parent map evaluated at the child's corners
+        from hpdg_tpu.mesh import geometry as _geo
+        corners = _geo.q1_child_corners(
+            mesh.corners, parent, child_pos)[order]
     return from_boxes(child_lower[order], child_extent[order],
                       parent=parent[order], child_pos=child_pos[order],
-                      parent_mesh=mesh, jac=jac, shift=shift)
+                      parent_mesh=mesh, jac=jac, shift=shift,
+                      corners=corners)
 
 
 def hierarchy(base: Mesh, levels: int) -> list[Mesh]:

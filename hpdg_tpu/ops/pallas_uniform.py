@@ -48,6 +48,10 @@ def pallas_uniform_sipg_operator(basis: DGBasis, penalty: float = 2.0,
     if len(basis.bucket_degrees) != 1 or not np.allclose(
             mesh.extent, mesh.extent[0]):
         raise ValueError("uniform meshes only")
+    if getattr(mesh, "jac", None) is not None \
+            or getattr(mesh, "corners", None) is not None:
+        raise ValueError("pallas uniform kernel: general geometry "
+                         "unsupported (axis-aligned lattices only)")
     # infer full-grid dims from element count and extents
     h = mesh.extent[0]
     dims = [int(round((mesh.lower[:, a].max() - mesh.lower[:, a].min())

@@ -243,18 +243,34 @@ def build_hp_sharded(cells, degrees, devices=None, penalty: float = 2.0,
                     gdeg = degrees[mids]
                 ghosts.append(dict(ch=1 + 2 * ha + side, lower=glow,
                                    extent=gext, lay_deg=gdeg,
-                                   gids=ids if has else mids))
+                                   gids=ids if has else mids,
+                                   detached=not has))
                 send_ids[(s, 1 + 2 * ha + side)] = own[
                     _own_layer_ids(a, 1 - side)]
         lo = [gmesh.lower[own]] + [g["lower"] for g in ghosts]
         ex = [gmesh.extent[own]] + [g["extent"] for g in ghosts]
         dg = [degrees[own]] + [g["lay_deg"] for g in ghosts]
-        ejac = eshift = None
+        ejac = eshift = ecorn = None
         if getattr(gmesh, "jac", None) is not None:
             eids = np.concatenate([own] + [g["gids"] for g in ghosts])
             ejac, eshift = gmesh.jac[eids], gmesh.shift[eids]
+        if getattr(gmesh, "corners", None) is not None:
+            from hpdg_tpu.mesh import geometry as geo
+            # detached fake ghosts get identity (box) corners: their
+            # parametric boxes are moved, so real corners would yield
+            # garbage Jacobians (NaN risk in masked lanes)
+            parts = [gmesh.corners[own]]
+            B = geo._bits(gmesh.dim)
+            for g in ghosts:
+                if g["detached"]:
+                    parts.append(g["lower"][:, None, :]
+                                 + B[None, :, :] * g["extent"][:, None, :])
+                else:
+                    parts.append(gmesh.corners[g["gids"]])
+            ecorn = np.concatenate(parts)
         emesh = hmesh.from_boxes(np.concatenate(lo), np.concatenate(ex),
-                                 validate=False, jac=ejac, shift=eshift)
+                                 validate=False, jac=ejac, shift=eshift,
+                                 corners=ecorn)
         ebasis = DGBasis(emesh, np.concatenate(dg))
         shards.append(dict(own=own, ghosts=ghosts, emesh=emesh, ebasis=ebasis,
                            plan=build_plan(ebasis)))
@@ -432,16 +448,19 @@ def build_hp_sharded_general(gmesh, degrees, devices=None,
         lo = [gmesh.lower[own]] + [g["lower"] for g in ghosts]
         ex = [gmesh.extent[own]] + [g["extent"] for g in ghosts]
         dg = [degrees[own]] + [g["lay_deg"] for g in ghosts]
-        ejac = eshift = None
+        ejac = eshift = ecorn = None
+        eids = np.concatenate([own] + [g["gids"] for g in ghosts])
         if getattr(gmesh, "jac", None) is not None:
-            eids = np.concatenate([own] + [g["gids"] for g in ghosts])
             ejac, eshift = gmesh.jac[eids], gmesh.shift[eids]
+        if getattr(gmesh, "corners", None) is not None:
+            ecorn = gmesh.corners[eids]
         key = None
         if plan_cache is not None:
             import hashlib
             h = hashlib.sha1()
             for a in (lo + ex + dg
-                      + ([ejac, eshift] if ejac is not None else [])):
+                      + ([ejac, eshift] if ejac is not None else [])
+                      + ([ecorn] if ecorn is not None else [])):
                 h.update(np.ascontiguousarray(a).tobytes())
             h.update(np.int64([g["lower"].shape[0] for g in ghosts]
                               ).tobytes())
@@ -456,7 +475,8 @@ def build_hp_sharded_general(gmesh, degrees, devices=None,
                 continue
             misses += 1
         emesh = hmesh.from_boxes(np.concatenate(lo), np.concatenate(ex),
-                                 validate=False, jac=ejac, shift=eshift)
+                                 validate=False, jac=ejac, shift=eshift,
+                                 corners=ecorn)
         ebasis = DGBasis(emesh, np.concatenate(dg))
         shards.append(dict(own=own, ghosts=ghosts, emesh=emesh, ebasis=ebasis,
                            plan=build_plan(ebasis), cache_key=key))
@@ -639,14 +659,14 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                     bih[s, :no] = 1.0 / ext
                     bdj[s, :no] = np.prod(ext, axis=1)
                 if has_k:
-                    xq = (gmesh.lower[own_p][:, None, :]
-                          + vtp["points"][None, :, :] * ext[:, None, :])
-                    xq = geo.apply_map(gmesh, own_p, xq)
+                    xpq = (gmesh.lower[own_p][:, None, :]
+                           + vtp["points"][None, :, :] * ext[:, None, :])
+                    xq = geo.apply_map(gmesh, own_p, xpq)
                     kq_b = (np.asarray(diffusion(jnp.asarray(xq)))
                             if diffusion is not None else None)
                     if affine:
                         kq_b = np.asarray(geo.effective_tensor(
-                            gmesh, own_p, kq_b, xq.shape[1]))
+                            gmesh, own_p, kq_b, xpq))
                     bk[s, :no] = kq_b
             D = Dsh[s]
             if p in D and no:
@@ -710,17 +730,17 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                     penalty_coef(fg, penalty, max(pi, po), penalty_scaling))
                 if has_k:
                     from hpdg_tpu.assemble.plan import face_phys_points
-                    xq = face_phys_points(sh["ebasis"], fg, fin_c["points"])
-                    if affine:
-                        xq = geo.apply_map(sh["emesh"], ein, xq)
+                    xpq = face_phys_points(sh["ebasis"], fg, fin_c["points"])
+                    xq = (geo.apply_map(sh["emesh"], ein, xpq)
+                          if affine else xpq)
                     kq_f = (np.asarray(diffusion(jnp.asarray(xq)))
                             if diffusion is not None else None)
                     if affine:
                         arr["kq"][s, :k] = np.asarray(geo.effective_tensor(
-                            sh["emesh"], ein, kq_f, xq.shape[1]))
+                            sh["emesh"], ein, kq_f, xpq))
                         arr["kq_out"][s, :k] = np.asarray(
                             geo.effective_tensor(sh["emesh"], eout, kq_f,
-                                                 xq.shape[1]))
+                                                 xpq))
                     else:
                         arr["kq"][s, :k] = kq_f
                 if kmat:
@@ -767,17 +787,17 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                     if side == 1:
                         lo[:, ax] += em.extent[els, ax]
                     tangs = [a_ for a_ in range(dim) if a_ != ax]
-                    xq = np.repeat(lo[:, None, :], len(ftc["weights"]),
-                                   axis=1)
+                    xpq = np.repeat(lo[:, None, :], len(ftc["weights"]),
+                                    axis=1)
                     for t_, a_ in enumerate(tangs):
-                        xq[:, :, a_] += (ftc["points"][None, :, t_]
-                                         * em.extent[els, a_][:, None])
-                    xq = geo.apply_map(em, els, xq)
+                        xpq[:, :, a_] += (ftc["points"][None, :, t_]
+                                          * em.extent[els, a_][:, None])
+                    xq = geo.apply_map(em, els, xpq)
                     kq_bd = (np.asarray(diffusion(jnp.asarray(xq)))
                              if diffusion is not None else None)
                     if affine:
                         kq_bd = np.asarray(geo.effective_tensor(
-                            em, els, kq_bd, xq.shape[1]))
+                            em, els, kq_bd, xpq))
                     arr["kq"][s, :k] = kq_bd
                 if kmat:
                     arr["ih_all"][s, :k] = 1.0 / sh["emesh"].extent[

@@ -67,6 +67,49 @@ def _aff(mesh, e):
     return A, np.linalg.inv(A), abs(np.linalg.det(A)), mesh.shift[e]
 
 
+def _geo_at(mesh, e, xg):
+    """Per-point geometry at GLOBAL parametric point ``xg`` of element e:
+    (J, J^-1, |det J|, x_phys) with J = d(phys)/d(global param).
+    Deliberately re-derived with explicit scalar loops (shares no code
+    with mesh/geometry.py) — the oracle for trilinear (Q1) and affine
+    element maps."""
+    d = mesh.dim
+    if getattr(mesh, "corners", None) is not None:
+        xi = (xg - mesh.lower[e]) / mesh.extent[e]
+        phi = np.zeros(d)
+        Jl = np.zeros((d, d))
+        for c in range(2**d):
+            bits = [(c >> (d - 1 - a)) & 1 for a in range(d)]
+            wgt = 1.0
+            for a in range(d):
+                wgt *= xi[a] if bits[a] else 1.0 - xi[a]
+            phi += wgt * mesh.corners[e, c]
+            for a in range(d):
+                gfac = 1.0
+                for b in range(d):
+                    if b == a:
+                        gfac *= 1.0 if bits[b] else -1.0
+                    else:
+                        gfac *= xi[b] if bits[b] else 1.0 - xi[b]
+                Jl[:, a] += gfac * mesh.corners[e, c]
+        J = Jl / mesh.extent[e][None, :]
+        return J, np.linalg.inv(J), abs(np.linalg.det(J)), phi
+    if getattr(mesh, "jac", None) is None:
+        return np.eye(d), np.eye(d), 1.0, xg
+    A = mesh.jac[e]
+    return A, np.linalg.inv(A), abs(np.linalg.det(A)), mesh.shift[e] + A @ xg
+
+
+def _face_center_factors(mesh, e, ax):
+    """(nanson g, |det|) at the ELEMENT center — the per-face-constant
+    convention used for 'normal' penalty scaling (matches
+    mesh/geometry.py's face_jacobian_factor/_det_center)."""
+    ctr = mesh.lower[e] + 0.5 * mesh.extent[e]
+    _, Ji, det, _ = _geo_at(mesh, e, ctr)
+    g = det * np.linalg.norm(Ji[ax])
+    return g, det
+
+
 def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
                 diffusion=None, penalty_scaling: str = "measure") -> np.ndarray:
     """Dense SIPG stiffness matrix in the flat element-ordered layout.
@@ -97,11 +140,11 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
         detJ = np.prod(h)
         o = basis.offsets[e]
         n = basis.block_sizes[e]
-        Ae, Ai, dA, sh = _aff(mesh, e)
         for q in range(len(w)):
-            # physical gradients: parametric grads times A^-1 (row form)
-            G = _grad_phi(nodes, pts[q], h) @ Ai
-            x = sh + Ae @ (mesh.lower[e] + pts[q] * h)
+            xg = mesh.lower[e] + pts[q] * h
+            _, Ji, dA, x = _geo_at(mesh, e, xg)
+            # physical gradients: parametric grads times J^-1 (row form)
+            G = _grad_phi(nodes, pts[q], h) @ Ji
             kq = K(x)
             if np.ndim(kq) == 2:
                 A[o:o + n, o:o + n] += w[q] * detJ * dA * (G @ kq @ G.T)
@@ -126,49 +169,57 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
         ilo = np.maximum(mesh.lower[ei], mesh.lower[eo])
         iext = np.minimum(hi, ho)
         fmeas = np.prod(np.delete(iext, ax))
-        Aei, Aii, dAi, shi = _aff(mesh, ei)
-        Aeo, Aio, dAo, sho = _aff(mesh, eo)
-        # Nanson face factors and physical unit normal (per side; equal
-        # for exactly conforming affine meshes)
-        gi = dAi * np.linalg.norm(Aii[ax])
-        go = dAo * np.linalg.norm(Aio[ax])
-        gmean = 0.5 * (gi + go)
-        nrm_i = Aii[ax] / np.linalg.norm(Aii[ax])
-        fmeas_phys = gmean * fmeas
+        # per-face-constant penalty coefficient pen_f = mu * |f_phys|
+        # (the reference's sigma max(p)^2/|e| convention with ONE measure
+        # per edge, variableipdg.hh:253; element-center factors for
+        # curved maps — matching mesh/geometry.py)
         if penalty_scaling == "measure":
-            mu = penalty * pmax**2 / fmeas_phys
-        else:  # "normal": mean inverse normal PHYSICAL extent
-            mu = penalty * pmax**2 * 0.5 * (gi / (dAi * hi[ax])
-                                            + go / (dAo * ho[ax]))
+            pen_f = penalty * pmax**2
+        else:  # "normal": |f_phys| * mean inverse normal PHYSICAL extent
+            gic, dic = _face_center_factors(mesh, ei, ax)
+            goc, doc = _face_center_factors(mesh, eo, ax)
+            pen_f = (penalty * pmax**2 * 0.5 * (gic + goc) * fmeas
+                     * 0.5 * (gic / (dic * hi[ax]) + goc / (doc * ho[ax])))
         oi, no = basis.offsets[ei], basis.block_sizes[ei]
         oo, mo = basis.offsets[eo], basis.block_sizes[eo]
         tang = [a for a in range(dim) if a != ax]
         for q in range(len(tw)):
-            xphys = np.zeros(dim)
-            xphys[ax] = mesh.lower[eo][ax]  # face plane
+            xg = np.zeros(dim)
+            xg[ax] = mesh.lower[eo][ax]  # face plane (global parametric)
             for t, a in enumerate(tang):
-                xphys[a] = ilo[a] + tpts[q][t] * iext[a]
-            xi = (xphys - mesh.lower[ei]) / hi
+                xg[a] = ilo[a] + tpts[q][t] * iext[a]
+            xi = (xg - mesh.lower[ei]) / hi
             xi[ax] = 1.0
-            xo = (xphys - mesh.lower[eo]) / ho
+            xo = (xg - mesh.lower[eo]) / ho
             xo[ax] = 0.0
             vi = _phi(nodes_i, xi)
             vo = _phi(nodes_o, xo)
-            # physical co-normal derivative (K grad phi).n
-            kq = K(shi + Aei @ xphys)
+            # per-point geometry on each side (equal physical surface for
+            # conforming maps; per-side Jacobians differ off the face)
+            _, Jii, dAi, xpi = _geo_at(mesh, ei, xg)
+            _, Jio, dAo, _ = _geo_at(mesh, eo, xg)
+            gi = dAi * np.linalg.norm(Jii[ax])
+            go = dAo * np.linalg.norm(Jio[ax])
+            nrm_i = Jii[ax] / np.linalg.norm(Jii[ax])
+            # physical co-normal derivative (K grad phi).n per point
+            kq = K(xpi)
             Km = kq if np.ndim(kq) == 2 else kq * np.eye(dim)
-            dni = (_grad_phi(nodes_i, xi, hi) @ Aii) @ (Km @ nrm_i)
-            dno = (_grad_phi(nodes_o, xo, ho) @ Aio) @ (Km @ nrm_i)
-            k = 1.0
-            z = tw[q] * fmeas_phys
-            M11 = -0.5 * k * (np.outer(vi, dni) + np.outer(dni, vi)) + mu * np.outer(vi, vi)
-            M12 = -0.5 * k * np.outer(vi, dno) + 0.5 * k * np.outer(dni, vo) - mu * np.outer(vi, vo)
-            M21 = +0.5 * k * np.outer(vo, dni) - 0.5 * k * np.outer(dno, vi) - mu * np.outer(vo, vi)
-            M22 = +0.5 * k * (np.outer(vo, dno) + np.outer(dno, vo)) + mu * np.outer(vo, vo)
-            A[oi:oi + no, oi:oi + no] += z * M11
-            A[oi:oi + no, oo:oo + mo] += z * M12
-            A[oo:oo + mo, oi:oi + no] += z * M21
-            A[oo:oo + mo, oo:oo + mo] += z * M22
+            dni = (_grad_phi(nodes_i, xi, hi) @ Jii) @ (Km @ nrm_i)
+            dno = (_grad_phi(nodes_o, xo, ho) @ Jio) @ (Km @ nrm_i)
+            z = tw[q] * fmeas * 0.5 * (gi + go)  # physical surface elem
+            zp = tw[q] * pen_f                   # penalty (parametric w)
+            M11 = -0.5 * z * (np.outer(vi, dni) + np.outer(dni, vi)) \
+                + zp * np.outer(vi, vi)
+            M12 = z * (-0.5 * np.outer(vi, dno) + 0.5 * np.outer(dni, vo)) \
+                - zp * np.outer(vi, vo)
+            M21 = z * (+0.5 * np.outer(vo, dni) - 0.5 * np.outer(dno, vi)) \
+                - zp * np.outer(vo, vi)
+            M22 = 0.5 * z * (np.outer(vo, dno) + np.outer(dno, vo)) \
+                + zp * np.outer(vo, vo)
+            A[oi:oi + no, oi:oi + no] += M11
+            A[oi:oi + no, oo:oo + mo] += M12
+            A[oo:oo + mo, oi:oi + no] += M21
+            A[oo:oo + mo, oo:oo + mo] += M22
 
     # ---- Dirichlet boundary faces ----
     if dirichlet:
@@ -186,26 +237,26 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
             nodes = lagrange.nodes_1d(p, basis.family)
             h = mesh.extent[e]
             fmeas = np.prod(np.delete(h, ax))
-            Ae, Ai2, dA, sh = _aff(mesh, e)
-            g = dA * np.linalg.norm(Ai2[ax])
-            nrm = Ai2[ax] / np.linalg.norm(Ai2[ax])
-            fmeas_phys = g * fmeas
             if penalty_scaling == "measure":
-                mu = penalty * p**2 / fmeas_phys
+                pen_f = penalty * p**2
             else:
-                mu = penalty * p**2 * g / (dA * h[ax])
+                gc, dc = _face_center_factors(mesh, e, ax)
+                pen_f = penalty * p**2 * gc * fmeas * gc / (dc * h[ax])
             o, n = basis.offsets[e], basis.block_sizes[e]
             for q in range(len(tw)):
                 x = _face_point(tpts[q], ax, side, dim)
                 v = _phi(nodes, x)
-                xphys = sh + Ae @ (mesh.lower[e] + x * h)
+                xg = mesh.lower[e] + x * h
+                _, Ji, dA, xphys = _geo_at(mesh, e, xg)
+                g = dA * np.linalg.norm(Ji[ax])
+                nrm = Ji[ax] / np.linalg.norm(Ji[ax])
                 kq = K(xphys)
                 Km = kq if np.ndim(kq) == 2 else kq * np.eye(dim)
-                dn = sign * ((_grad_phi(nodes, x, h) @ Ai2) @ (Km @ nrm))
-                k = 1.0
-                z = tw[q] * fmeas_phys
-                A[o:o + n, o:o + n] += z * (
-                    -k * (np.outer(v, dn) + np.outer(dn, v)) + mu * np.outer(v, v)
+                dn = sign * ((_grad_phi(nodes, x, h) @ Ji) @ (Km @ nrm))
+                z = tw[q] * fmeas * g
+                A[o:o + n, o:o + n] += (
+                    -z * (np.outer(v, dn) + np.outer(dn, v))
+                    + tw[q] * pen_f * np.outer(v, v)
                 )
     return A
 
@@ -226,8 +277,10 @@ def mass_matrix(basis: DGBasis, weight=None, quad_order=None) -> np.ndarray:
         o, n = basis.offsets[e], basis.block_sizes[e]
         for q in range(len(w)):
             v = _phi(nodes, pts[q])
-            x = mesh.lower[e] + pts[q] * h
-            M[o:o + n, o:o + n] += w[q] * detJ * wfun(x) * np.outer(v, v)
+            xg = mesh.lower[e] + pts[q] * h
+            _, _, dA, x = _geo_at(mesh, e, xg)
+            M[o:o + n, o:o + n] += w[q] * detJ * dA * wfun(x) \
+                * np.outer(v, v)
     return M
 
 
@@ -242,21 +295,26 @@ def l2_functional(basis: DGBasis, g, quad_order=None) -> np.ndarray:
         qn, qw = quadrature.gauss_legendre_for_order(order)
         pts, w = quadrature.tensor_rule(qn, qw, dim)
         h = mesh.extent[e]
-        Ae, _, dA, sh = _aff(mesh, e)
-        detJ = np.prod(h) * dA
+        detJ = np.prod(h)
         o, n = basis.offsets[e], basis.block_sizes[e]
         for q in range(len(w)):
             v = _phi(nodes, pts[q])
-            x = sh + Ae @ (mesh.lower[e] + pts[q] * h)
-            b[o:o + n] += w[q] * detJ * g(x) * v
+            xg = mesh.lower[e] + pts[q] * h
+            _, _, dA, x = _geo_at(mesh, e, xg)
+            b[o:o + n] += w[q] * detJ * dA * g(x) * v
     return b
 
 
-def dirichlet_rhs(basis: DGBasis, g, penalty: float = 2.0) -> np.ndarray:
-    """SIPG-consistent Dirichlet data: b_i = ∫_bdry g (mu v_i - dn v_i)
-    (reference: ipdgboundaryassembler.hh:131-137 with DGType = -1)."""
+def dirichlet_rhs(basis: DGBasis, g, penalty: float = 2.0,
+                  diffusion=None,
+                  penalty_scaling: str = "measure") -> np.ndarray:
+    """SIPG-consistent Dirichlet data:
+    b_i = ∫_bdry g (mu v_i - (K grad v_i).n), geometry- and
+    coefficient-aware (reference: ipdgboundaryassembler.hh:131-137 with
+    DGType = -1)."""
     mesh = basis.mesh
     dim = mesh.dim
+    K = diffusion or (lambda x: 1.0)
     b = np.zeros(basis.ndof)
     for f in range(len(mesh.bfaces)):
         e = int(mesh.bfaces.elem[f])
@@ -272,14 +330,24 @@ def dirichlet_rhs(basis: DGBasis, g, penalty: float = 2.0) -> np.ndarray:
         nodes = lagrange.nodes_1d(p, basis.family)
         h = mesh.extent[e]
         fmeas = np.prod(np.delete(h, ax))
-        mu = penalty * p**2 / fmeas
+        if penalty_scaling == "measure":
+            pen_f = penalty * p**2
+        else:
+            gc, dc = _face_center_factors(mesh, e, ax)
+            pen_f = penalty * p**2 * gc * fmeas * gc / (dc * h[ax])
         o, n = basis.offsets[e], basis.block_sizes[e]
         for q in range(len(tw)):
             x = _face_point(tpts[q], ax, side, dim)
             v = _phi(nodes, x)
-            dn = sign * _grad_phi(nodes, x, h)[:, ax]
-            xphys = mesh.lower[e] + x * h
-            b[o:o + n] += tw[q] * fmeas * g(xphys) * (mu * v - dn)
+            xg = mesh.lower[e] + x * h
+            _, Ji, dA, xphys = _geo_at(mesh, e, xg)
+            gfac = dA * np.linalg.norm(Ji[ax])
+            nrm = Ji[ax] / np.linalg.norm(Ji[ax])
+            kq = K(xphys)
+            Km = kq if np.ndim(kq) == 2 else kq * np.eye(dim)
+            dn = sign * ((_grad_phi(nodes, x, h) @ Ji) @ (Km @ nrm))
+            b[o:o + n] += tw[q] * (pen_f * g(xphys) * v
+                                   - fmeas * gfac * g(xphys) * dn)
     return b
 
 

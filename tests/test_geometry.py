@@ -198,10 +198,22 @@ def test_hex_lattice_import():
                      DGBasis(m_ref, deg))
     assert np.abs(np.asarray(A1) - np.asarray(A2)).max() < 1e-11
 
-    # trilinear cell -> rejected
+    # trilinear cells -> Q1 isoparametric geometry (mesh.corners)
+    pts_tri = pts.copy()
+    pts_tri[vid(1, 1, 1)] += np.array([0.2, 0.1, -0.1])
+    m_tri = geo.from_hex_lattice(pts_tri, np.asarray(cells), shape)
+    assert m_tri.corners is not None and m_tri.jac is None
+    # corner positions round-trip exactly
+    B = geo._bits(3)
+    want = m_tri.lower[:, None, :] + B[None] * m_tri.extent[:, None, :]
+    got = geo.apply_map(m_tri, np.arange(8), want)
+    assert np.abs(np.sort(got.reshape(-1, 3), axis=0)
+                  - np.sort(pts_tri[np.asarray(cells)].reshape(-1, 3),
+                            axis=0)).max() < 1e-12
+    # an INVERTED hex is still rejected
     pts_bad = pts.copy()
-    pts_bad[vid(1, 1, 1)] += np.array([0.2, 0.1, -0.1])
-    with pytest.raises(ValueError, match="parallelepiped"):
+    pts_bad[vid(1, 1, 1)] -= 4.0 * np.array([1.0, 1.0, 1.0]) @ S.T
+    with pytest.raises(ValueError):
         geo.from_hex_lattice(pts_bad, np.asarray(cells), shape)
 
 

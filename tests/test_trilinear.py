@@ -1,0 +1,338 @@
+"""Trilinear (isoparametric Q1) element geometry.
+
+The mesh stores physical corner positions (``Mesh.corners``); every
+operator consumes the resulting PER-QUAD-POINT Jacobians through the
+effective-tensor path — the full analog of the reference's per-point
+jacobianInverseTransposed (gausslobattoipdgassembler.hh:337-350), which
+the affine representation only captured per element.  Differential-
+tested against the independent per-point oracle (testing/oracle.py
+``_geo_at`` — explicit scalar loops, no shared code)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from hpdg_tpu import mesh as hmesh
+from hpdg_tpu.mesh import geometry as geo
+from hpdg_tpu.mesh import adaptive
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.assemble import (assemble_laplace, build_plan, l2_functional,
+                               assemble_mass, dirichlet_rhs)
+from hpdg_tpu.matrixfree import sipg_operator
+from hpdg_tpu.matrixfree.diagonal import sipg_diagonal_blocks
+from hpdg_tpu.linalg import blockmatrix as bm
+from hpdg_tpu.testing import oracle
+
+
+def _wavy2(x):
+    x = np.asarray(x, np.float64)
+    return np.stack([x[..., 0] + 0.08 * np.sin(np.pi * x[..., 0])
+                     * np.sin(np.pi * x[..., 1]),
+                     x[..., 1] - 0.06 * np.sin(np.pi * x[..., 0] * 0.7)
+                     * np.cos(np.pi * x[..., 1] * 0.5)], -1)
+
+
+def _wavy3(x):
+    x = np.asarray(x, np.float64)
+    s = np.sin(np.pi * x[..., 0]) * np.sin(np.pi * x[..., 1])
+    return np.stack([x[..., 0] + 0.06 * np.sin(np.pi * x[..., 1] * 0.8),
+                     x[..., 1] + 0.05 * s,
+                     x[..., 2] + 0.07 * np.sin(np.pi * x[..., 2] * 0.6)
+                     * np.cos(np.pi * x[..., 0])], -1)
+
+
+def _rel(a, b):
+    return np.abs(np.asarray(a) - np.asarray(b)).max() / np.abs(b).max()
+
+
+def test_isoparametric_of_affine_equals_affine_image():
+    """Q1 geometry sampled from a globally affine map reproduces the
+    affine representation exactly (Jacobian constant per element)."""
+    S = np.array([[1.0, 0.4], [0.2, 0.9]])
+    base = hmesh.structured((3, 2))
+    m_aff = geo.affine_image(base, S, b=np.array([0.3, -0.1]))
+    m_tri = geo.isoparametric(base, lambda x: x @ S.T + [0.3, -0.1])
+    deg = np.array([1, 2, 3, 2, 1, 2])
+    for scaling in ("measure", "normal"):
+        A1 = bm.to_dense(assemble_laplace(
+            DGBasis(m_tri, deg), penalty=2.0, dirichlet=True,
+            penalty_scaling=scaling), DGBasis(m_tri, deg))
+        A2 = bm.to_dense(assemble_laplace(
+            DGBasis(m_aff, deg), penalty=2.0, dirichlet=True,
+            penalty_scaling=scaling), DGBasis(m_aff, deg))
+        assert np.abs(np.asarray(A1) - np.asarray(A2)).max() < 1e-12
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_trilinear_assembly_matches_oracle(dim):
+    """Wavy Q1 mesh, mixed degrees: batched assembly equals the
+    independent per-point oracle at 1e-11, both penalty conventions,
+    with scalar and tensor media on top."""
+    if dim == 2:
+        m = geo.isoparametric(hmesh.structured((3, 2)), _wavy2)
+        deg = np.array([1, 2, 3, 2, 1, 2])
+    else:
+        m = geo.isoparametric(hmesh.structured((2, 2, 2)), _wavy3)
+        deg = np.array([1, 2, 1, 2, 2, 1, 2, 1])
+    basis = DGBasis(m, deg)
+    for scaling in ("measure", "normal"):
+        A = bm.to_dense(assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                                         penalty_scaling=scaling), basis)
+        A_ref = oracle.sipg_matrix(basis, penalty=2.0, dirichlet=True,
+                                   penalty_scaling=scaling)
+        assert _rel(A, A_ref) < 1e-11
+
+    def Ks(x):
+        return 1.0 + 0.5 * jnp.sin(2 * x[..., 0]) * x[..., 1]
+
+    A = bm.to_dense(assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                                     diffusion=Ks,
+                                     penalty_scaling="measure"), basis)
+    A_ref = oracle.sipg_matrix(
+        basis, penalty=2.0, dirichlet=True, penalty_scaling="measure",
+        diffusion=lambda x: 1.0 + 0.5 * np.sin(2 * x[0]) * x[1])
+    assert _rel(A, A_ref) < 1e-11
+
+    # tensor medium on a curved mesh (anisotropy + geometry pullback)
+    T0 = np.eye(dim) + 0.3 * np.ones((dim, dim))
+
+    def Kt(x):
+        return jnp.broadcast_to(jnp.asarray(T0, x.dtype),
+                                x.shape[:-1] + T0.shape)
+
+    A = bm.to_dense(assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                                     diffusion=Kt,
+                                     penalty_scaling="measure"), basis)
+    A_ref = oracle.sipg_matrix(basis, penalty=2.0, dirichlet=True,
+                               penalty_scaling="measure",
+                               diffusion=lambda x: T0)
+    assert _rel(A, A_ref) < 1e-11
+
+
+def test_trilinear_all_paths_agree():
+    """Matrix-free apply == assembled matvec; diagonal blocks ==
+    assembled diagonal; lumped mass stays exactly diagonal — all on a
+    genuinely trilinear 3D mesh."""
+    m = geo.isoparametric(hmesh.structured((2, 2, 2)), _wavy3)
+    rng = np.random.default_rng(3)
+    deg = rng.choice([1, 2], size=8)
+    basis = DGBasis(m, deg)
+    plan = build_plan(basis)
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                         penalty_scaling="normal", plan=plan)
+    op = sipg_operator(basis, penalty=2.0, dirichlet=True,
+                       penalty_scaling="normal", plan=plan)
+    x = {p: jnp.asarray(rng.standard_normal((basis.bucket_size(p),
+                                             (p + 1)**3)))
+         for p in basis.bucket_degrees}
+    y1, y2 = bm.matvec(A, x), op(x)
+    assert max(np.abs(np.asarray(y1[p]) - y2[p]).max() for p in y1) < 1e-12
+
+    Ad = np.asarray(bm.to_dense(A, basis))
+    D = sipg_diagonal_blocks(basis, penalty=2.0, dirichlet=True,
+                             penalty_scaling="normal", plan=plan)
+    offs = np.concatenate([[0], np.cumsum([(int(d) + 1)**3 for d in deg])])
+    for p in D:
+        for k_e, e in enumerate(basis.bucket_elems[p]):
+            bs = (p + 1)**3
+            blk = Ad[offs[e]:offs[e] + bs, offs[e]:offs[e] + bs]
+            assert np.abs(np.asarray(D[p][k_e]) - blk).max() < 1e-12
+
+
+def test_trilinear_mass_rhs_volume():
+    """Mass and L2 functional carry the per-point |det J|: integrating 1
+    gives the exact curved-domain volume (= sum of exact Q1 element
+    volumes, Gauss(2) being exact for the multilinear det)."""
+    m = geo.isoparametric(hmesh.structured((2, 2, 2)), _wavy3)
+    vol_exact = float(m.volumes.sum())
+    basis = DGBasis(m, np.full(8, 2))
+    M = assemble_mass(basis)
+    ones = {p: jnp.ones((basis.bucket_size(p), (p + 1)**3))
+            for p in basis.bucket_degrees}
+    vol = sum(float(jnp.vdot(ones[p], v))
+              for p, v in bm.matvec(M, ones).items())
+    assert abs(vol - vol_exact) < 1e-11
+    b = l2_functional(basis, lambda x: jnp.ones_like(x[..., 0]))
+    vol2 = sum(float(jnp.sum(b[p] * ones[p])) for p in b)
+    assert abs(vol2 - vol_exact) < 1e-11
+    # oracle agreement for a nontrivial weight
+    Mo = oracle.mass_matrix(basis,
+                            weight=lambda x: 1.0 + x[0] * x[1])
+    Mf = bm.to_dense(assemble_mass(basis,
+                                   weight=lambda x: 1.0 + x[..., 0]
+                                   * x[..., 1]), basis)
+    assert _rel(Mf, Mo) < 1e-11
+    # matrix-free mass operator matches the assembled one
+    from hpdg_tpu.matrixfree.sumfact import mass_operator
+    mop = mass_operator(basis)
+    rng = np.random.default_rng(4)
+    x = {p: jnp.asarray(rng.standard_normal((basis.bucket_size(p),
+                                             (p + 1)**3)))
+         for p in basis.bucket_degrees}
+    y1, y2 = bm.matvec(assemble_mass(basis), x), mop(x)
+    assert max(np.abs(np.asarray(y1[p]) - y2[p]).max() for p in y1) < 1e-12
+
+
+def test_trilinear_dirichlet_rhs_matches_oracle():
+    """Geometry- and coefficient-aware Dirichlet functional."""
+    m = geo.isoparametric(hmesh.structured((3, 2)), _wavy2)
+    basis = DGBasis(m, np.array([1, 2, 3, 2, 1, 2]))
+
+    def gj(x):
+        return jnp.sin(x[..., 0]) + x[..., 1]
+
+    def gn(x):
+        return np.sin(x[0]) + x[1]
+
+    for scaling in ("measure", "normal"):
+        b = dirichlet_rhs(basis, gj, penalty=3.0, penalty_scaling=scaling)
+        b_ref = oracle.dirichlet_rhs(basis, gn, penalty=3.0,
+                                     penalty_scaling=scaling)
+        from hpdg_tpu.linalg.blockvector import to_flat
+        assert np.abs(np.asarray(to_flat(basis, b)) - b_ref).max() \
+            / np.abs(b_ref).max() < 1e-11
+
+    def Ks(x):
+        if np.ndim(x) == 1:
+            return 1.0 + 0.5 * np.sin(x[0])
+        return 1.0 + 0.5 * jnp.sin(x[..., 0])
+
+    b = dirichlet_rhs(basis, gj, penalty=3.0, diffusion=Ks)
+    b_ref = oracle.dirichlet_rhs(basis, gn, penalty=3.0, diffusion=Ks)
+    from hpdg_tpu.linalg.blockvector import to_flat
+    assert np.abs(np.asarray(to_flat(basis, b)) - b_ref).max() \
+        / np.abs(b_ref).max() < 1e-11
+
+
+def test_trilinear_refine_conforming_and_hanging():
+    """Children restrict the parent Q1 map exactly: the refined and the
+    adaptively refined (hanging-node) meshes still match the oracle —
+    the geometry stays conforming across nc interfaces because child
+    corners are interpolated, not re-sampled."""
+    base = geo.isoparametric(hmesh.structured((2, 2)), _wavy2)
+    mf = hmesh.refine(base)
+    assert mf.corners is not None and mf.corners.shape == (16, 4, 2)
+    basis = DGBasis(mf, np.full(16, 2))
+    A = bm.to_dense(assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                                     penalty_scaling="normal"), basis)
+    A_ref = oracle.sipg_matrix(basis, penalty=2.0, dirichlet=True,
+                               penalty_scaling="normal")
+    assert _rel(A, A_ref) < 1e-11
+
+    # local refinement -> hanging nodes on a curved mesh
+    marks = np.zeros(16, bool)
+    marks[[0, 5]] = True
+    ma = adaptive.refine_local(mf, marks)
+    assert (ma.faces.nc_code > 0).any()
+    rng = np.random.default_rng(5)
+    dega = rng.choice([1, 2], size=ma.n_elements)
+    ba = DGBasis(ma, dega)
+    Aa = bm.to_dense(assemble_laplace(ba, penalty=2.0, dirichlet=True,
+                                      penalty_scaling="measure"), ba)
+    Aa_ref = oracle.sipg_matrix(ba, penalty=2.0, dirichlet=True,
+                                penalty_scaling="measure")
+    assert _rel(Aa, Aa_ref) < 1e-11
+
+
+def test_trilinear_poisson_solves():
+    """Full system on a wavy 2D mesh: PCG + block-Jacobi solution equals
+    the dense oracle solve."""
+    from hpdg_tpu.solvers.cg import pcg
+    from hpdg_tpu.solvers import smoothers
+    m = geo.isoparametric(hmesh.structured((4, 4)), _wavy2)
+    basis = DGBasis(m, np.full(16, 2))
+    A = assemble_laplace(basis, penalty=4.0, dirichlet=True,
+                         penalty_scaling="normal")
+    b = l2_functional(basis, lambda x: jnp.ones_like(x[..., 0]))
+    M = smoothers.block_jacobi_preconditioner(A)
+    x, info = pcg(lambda v: bm.matvec(A, v), b, precond=M, tol=1e-12,
+                  maxiter=500)
+    Ad = oracle.sipg_matrix(basis, penalty=4.0, dirichlet=True,
+                            penalty_scaling="normal")
+    b_ref = oracle.l2_functional(basis, lambda x: 1.0)
+    x_ref = np.linalg.solve(Ad, b_ref)
+    from hpdg_tpu.linalg.blockvector import to_flat
+    assert np.abs(np.asarray(to_flat(basis, x)) - x_ref).max() < 1e-9
+
+
+def test_trilinear_hex_import_matches_isoparametric():
+    """from_hex_lattice on wavy vertices == isoparametric() of the same
+    map (same corners, same operator)."""
+    shape = (2, 2, 2)
+    nx, ny, nz = shape
+    gx = np.stack(np.meshgrid(np.arange(nx + 1), np.arange(ny + 1),
+                              np.arange(nz + 1), indexing="ij"),
+                  axis=-1).reshape(-1, 3).astype(np.float64)
+    # wavy but smooth; scale down so cells stay valid on the unit lattice
+    pts = _wavy3(gx / np.array([nx, ny, nz])) * np.array([nx, ny, nz])
+
+    def vid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    cells = []
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                cells.append([vid(i, j, k), vid(i + 1, j, k),
+                              vid(i + 1, j + 1, k), vid(i, j + 1, k),
+                              vid(i, j, k + 1), vid(i + 1, j, k + 1),
+                              vid(i + 1, j + 1, k + 1),
+                              vid(i, j + 1, k + 1)])
+    m_imp = geo.from_hex_lattice(pts, np.asarray(cells), shape)
+    assert m_imp.corners is not None
+    m_iso = geo.isoparametric(
+        hmesh.structured(shape, upper=shape),
+        lambda x: _wavy3(x / np.array(shape)) * np.array(shape))
+    assert np.abs(m_imp.corners - m_iso.corners).max() < 1e-12
+    deg = np.full(8, 2)
+    A1 = bm.to_dense(assemble_laplace(DGBasis(m_imp, deg), penalty=2.0,
+                                      dirichlet=True), DGBasis(m_imp, deg))
+    A2 = bm.to_dense(assemble_laplace(DGBasis(m_iso, deg), penalty=2.0,
+                                      dirichlet=True), DGBasis(m_iso, deg))
+    assert np.abs(np.asarray(A1) - np.asarray(A2)).max() < 1e-12
+
+
+def test_trilinear_manufactured_convergence():
+    """2D manufactured solution on the wavy domain: DG energy error
+    decreases ~4x per refinement at p=1 (h^1 in energy ~ h^2 in L2;
+    a loose 3x bar guards the rate without flakiness)."""
+    from hpdg_tpu.solvers.cg import pcg
+    from hpdg_tpu.solvers import smoothers
+    from hpdg_tpu.linalg.blockvector import to_flat
+
+    def uex(x):
+        return np.sin(np.pi * x[..., 0]) * np.sin(np.pi * x[..., 1])
+
+    errs = []
+    base = geo.isoparametric(hmesh.structured((3, 3)), _wavy2)
+    m = base
+    for lvl in range(2):
+        if lvl:
+            m = hmesh.refine(m)
+        basis = DGBasis(m, np.full(m.n_elements, 2))
+        A = assemble_laplace(basis, penalty=6.0, dirichlet=True)
+        # -lap(u) pulled back through the map: evaluate on physical pts
+        f = lambda x: 2 * np.pi**2 * jnp.sin(np.pi * x[..., 0]) \
+            * jnp.sin(np.pi * x[..., 1])  # noqa: E731
+        b = l2_functional(basis, f, quad_order=8)
+        bd = dirichlet_rhs(basis, lambda x: jnp.asarray(uex(np.asarray(x))),
+                           penalty=6.0)
+        b = {p: b[p] + bd[p] for p in b}
+        M = smoothers.block_jacobi_preconditioner(A)
+        x, _ = pcg(lambda v: bm.matvec(A, v), b, precond=M, tol=1e-12,
+                   maxiter=2000)
+        # L2 error by quadrature against the interpolant is enough for a
+        # rate check: compare dof values at GL nodes to exact values
+        from hpdg_tpu.basis import lagrange, tensor as btensor
+        p = 2
+        nodes = lagrange.nodes_1d(p, basis.family)
+        mi = btensor.multiindices(p, 2)
+        xi = nodes[mi]  # (nl, 2) local coords of the nodal points
+        elems = np.arange(m.n_elements)
+        xg = (m.lower[:, None, :] + xi[None] * m.extent[:, None, :])
+        xph = geo.apply_map(m, elems, xg)
+        vals = np.asarray(to_flat(basis, x)).reshape(m.n_elements, -1)
+        err = vals - uex(xph)
+        w2 = np.sqrt((err**2).mean())
+        errs.append(w2)
+    assert errs[1] < errs[0] / 3.0
