@@ -343,23 +343,53 @@ def main():
         rate = (res[-1] / res[1]) ** (1.0 / (len(res) - 2))
         t_cycle = timeit(lambda v: jstep(v, b32), x0, reps=5)
 
-        # one fused host step: apply the correction in f64, recompute the
-        # f64 residual + norm, emit the f32-rescaled rhs for the next TPU
-        # solve (single CPU executable per refinement step)
-        def host_step(x64, c32, scale):
-            x64 = {k: x64[k] + scale * c32[k].astype(jnp.float64)
-                   for k in x64}
-            r64 = bvv.sub(b64, mv_host(x64))
-            nr = bvv.norm(r64)
-            r32n = {k: (v / nr).astype(jnp.float32) for k, v in r64.items()}
-            return x64, r32n, nr
+        # host refinement step: apply the correction in f64, recompute
+        # the f64 residual + norm, emit the f32-rescaled rhs for the
+        # next TPU solve.  Production path: the native (C++) factorized
+        # apply — measured 6.3x faster than the same contraction chain
+        # under XLA-CPU on this host (65 vs 414 ms at 24^3 p=4 under
+        # load; cpp/meshkit.cc::hpdg_sipg_fact_apply3) — with plain
+        # numpy for the update/norm (memory-bound).  Fallback: one
+        # fused jitted CPU executable.
+        nat = None
+        if n > 12:
+            try:
+                from hpdg_tpu.matrixfree.uniform import \
+                    uniform_sipg_factorized_host
+                nat = uniform_sipg_factorized_host(
+                    basis_mg, penalty=2.0, dirichlet=True,
+                    penalty_scaling="normal")
+                log(f"# [n={n}] host residual: native factorized (C++)")
+            except Exception as e:
+                log(f"# [n={n}] native host apply unavailable ({e}); "
+                    "jitted CPU host step")
+        if nat is not None:
+            b64np = np.asarray(b64[p], np.float64)
 
-        b32h = jax.tree.map(lambda v: v.astype(jnp.float32), b64)
-        gh, ch = hoist_constants(host_step, b64, b32h, jnp.float64(1.0))
-        jh = jax.jit(gh, device=cpu)
-        hstep = lambda x64, c32, s: jh(ch, x64, c32, s)  # noqa: E731
-        jax.block_until_ready(hstep(jax.tree.map(jnp.zeros_like, b64),
-                                    b32h, jnp.float64(0.0)))
+            def hstep(x64, c32, s):
+                x64 = x64 + float(s) * np.asarray(c32[p], np.float64)
+                r64 = b64np - nat(x64)
+                nr = float(np.linalg.norm(r64))
+                return x64, {p: (r64 / nr).astype(np.float32)}, nr
+
+            zeros64 = lambda: np.zeros_like(b64np)  # noqa: E731
+        else:
+            def host_step(x64, c32, scale):
+                x64 = {k: x64[k] + scale * c32[k].astype(jnp.float64)
+                       for k in x64}
+                r64 = bvv.sub(b64, mv_host(x64))
+                nr = bvv.norm(r64)
+                r32n = {k: (v / nr).astype(jnp.float32)
+                        for k, v in r64.items()}
+                return x64, r32n, nr
+
+            b32h = jax.tree.map(lambda v: v.astype(jnp.float32), b64)
+            gh, ch = hoist_constants(host_step, b64, b32h, jnp.float64(1.0))
+            jh = jax.jit(gh, device=cpu)
+            hstep = lambda x64, c32, s: jh(ch, x64, c32, s)  # noqa: E731
+            jax.block_until_ready(hstep(jax.tree.map(jnp.zeros_like, b64),
+                                        b32h, jnp.float64(0.0)))
+            zeros64 = lambda: jax.tree.map(jnp.zeros_like, b64)  # noqa: E731
 
         # ---- the measured solve: n_runs COMPLETE from-zero solves ----
         nb = float(bvv.norm(b64))
@@ -367,7 +397,7 @@ def main():
         runs = []
         hist = [1.0]
         for run in range(n_runs):
-            x64 = jax.tree.map(jnp.zeros_like, b64)
+            x64 = zeros64()
             hist_r = [1.0]
             t_solve0 = time.perf_counter()
             # r(x=0) = b: no residual evaluation needed for the 1st step

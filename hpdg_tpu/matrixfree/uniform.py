@@ -162,6 +162,92 @@ def _lattice_shape(mesh):
     return cells
 
 
+def sipg_factor_blocks(basis: DGBasis, penalty: float = 2.0,
+                       dirichlet: bool = False,
+                       penalty_scaling: str = "measure"):
+    """1D factor blocks of the exactly-separable uniform-lattice SIPG
+    operator A = sum_ax L_ax (x) Mm (x) ... (x) Mm (numpy f64).
+
+    Returns ``(cells, nb, Mm, D_int, D_lo, D_hi, F12, F21)`` with the
+    line matrices as dicts keyed by axis.  Shared by the XLA apply
+    (:func:`uniform_sipg_factorized`) and the native host kernel
+    (:func:`uniform_sipg_factorized_host` / cpp hpdg_sipg_fact_apply3).
+    """
+    from hpdg_tpu.basis import lagrange
+    mesh = basis.mesh
+    dim = mesh.dim
+    p = basis.bucket_degrees[0]
+    cells = _lattice_shape(mesh)
+    h = mesh.extent[0]
+    detJ = float(np.prod(h))
+    nb = p + 1
+
+    t1 = lagrange.tables(p, p + 2, family=basis.family)
+    w1 = t1.qweights
+    Mm = np.einsum("iq,q,jq->ij", t1.values, w1, t1.values)
+    S = np.einsum("iq,q,jq->ij", t1.derivatives, w1, t1.derivatives)
+    v0, v1 = t1.at0, t1.at1
+    d0, d1 = t1.dat0, t1.dat1
+
+    # per-axis 1D line-operator blocks (normal-direction factors of the
+    # dense-stencil matrices in uniform_sipg_operator)
+    D_int = {}; D_lo = {}; D_hi = {}; F12 = {}; F21 = {}
+    for ax in range(dim):
+        fmeas = detJ / h[ax]
+        if penalty_scaling == "measure":
+            pen = penalty * p**2
+        else:
+            pen = penalty * p**2 * fmeas / h[ax]
+        c = -0.5 * fmeas / h[ax]
+        N11 = c * _sym(np.outer(v1, d1)) + pen * np.outer(v1, v1)
+        N22 = -c * _sym(np.outer(v0, d0)) + pen * np.outer(v0, v0)
+        F12[ax] = (c * np.outer(v1, d0) - c * np.outer(d1, v0)
+                   - pen * np.outer(v1, v0))
+        F21[ax] = F12[ax].T
+        MB0 = (fmeas / h[ax]) * _sym(np.outer(v0, d0)) + pen * np.outer(v0, v0)
+        MB1 = (-fmeas / h[ax]) * _sym(np.outer(v1, d1)) + pen * np.outer(v1, v1)
+        bulk = (detJ / h[ax] ** 2) * S
+        D_int[ax] = bulk + N11 + N22
+        D_lo[ax] = bulk + N11 + (MB0 if dirichlet else 0.0)   # line start
+        D_hi[ax] = bulk + (MB1 if dirichlet else 0.0) + N22   # line end
+        if cells[ax] == 1:  # degenerate single-element line
+            D_lo[ax] = bulk + (MB1 + MB0 if dirichlet else 0.0)
+    return cells, nb, Mm, D_int, D_lo, D_hi, F12, F21
+
+
+def uniform_sipg_factorized_host(basis: DGBasis, penalty: float = 2.0,
+                                 dirichlet: bool = False,
+                                 penalty_scaling: str = "measure"):
+    """Native (C++/OpenMP) f64 factorized apply on the HOST: numpy
+    (n_elements, nb^3) -> same.  3D full uniform lattices only; raises
+    if the native library or the lattice structure is unavailable —
+    callers fall back to :func:`uniform_sipg_factorized` (XLA) or the
+    dense-block :func:`uniform_sipg_operator`.
+
+    This is the production host-residual kernel of the f64 iterative-
+    refinement solve (bench.py): same operator to f64 roundoff as the
+    XLA twin, minus XLA-CPU's transpose/copy overhead."""
+    from hpdg_tpu import native
+    mesh = basis.mesh
+    if mesh.dim != 3:
+        raise ValueError("native factorized apply is 3D-only")
+    if len(basis.bucket_degrees) != 1:
+        raise ValueError("factorized operator needs a single degree")
+    if not np.allclose(mesh.extent, mesh.extent[0]):
+        raise ValueError("factorized operator needs uniform extents")
+    if getattr(mesh, "jac", None) is not None \
+            or getattr(mesh, "corners", None) is not None:
+        raise ValueError("factorized operator: general geometry "
+                         "unsupported (axis-aligned lattices only)")
+    if len(mesh.faces.inside) and np.any(mesh.faces.nc_code != 0):
+        raise ValueError("factorized operator: conforming meshes only")
+    cells, nb, Mm, D_int, D_lo, D_hi, F12, F21 = sipg_factor_blocks(
+        basis, penalty, dirichlet, penalty_scaling)
+    pack = lambda D: np.stack([D[ax] for ax in range(3)])  # noqa: E731
+    return native.SipgFactApply3(cells, nb, Mm, pack(D_int), pack(D_lo),
+                                 pack(D_hi), pack(F12), pack(F21))
+
+
 def uniform_sipg_factorized(basis: DGBasis, penalty: float = 2.0,
                             dirichlet: bool = False, dtype=jnp.float64,
                             penalty_scaling: str = "measure"):
@@ -201,42 +287,8 @@ def uniform_sipg_factorized(basis: DGBasis, penalty: float = 2.0,
                          "unsupported (axis-aligned lattices only)")
     if len(mesh.faces.inside) and np.any(mesh.faces.nc_code != 0):
         raise ValueError("factorized operator: conforming meshes only")
-    cells = _lattice_shape(mesh)
-    h = mesh.extent[0]
-    detJ = float(np.prod(h))
-    nb = p + 1
-
-    t1 = lagrange.tables(p, p + 2, family=basis.family)
-    w1 = t1.qweights
-    Mm = np.einsum("iq,q,jq->ij", t1.values, w1, t1.values)
-    S = np.einsum("iq,q,jq->ij", t1.derivatives, w1, t1.derivatives)
-    v0, v1 = t1.at0, t1.at1
-    d0, d1 = t1.dat0, t1.dat1
-
-    # per-axis 1D line-operator blocks (normal-direction factors of the
-    # dense-stencil matrices in uniform_sipg_operator)
-    D_int = {}; D_lo = {}; D_hi = {}; F12 = {}; F21 = {}
-    for ax in range(dim):
-        fmeas = detJ / h[ax]
-        if penalty_scaling == "measure":
-            pen = penalty * p**2
-        else:
-            pen = penalty * p**2 * fmeas / h[ax]
-        c = -0.5 * fmeas / h[ax]
-        N11 = c * _sym(np.outer(v1, d1)) + pen * np.outer(v1, v1)
-        N22 = -c * _sym(np.outer(v0, d0)) + pen * np.outer(v0, v0)
-        F12[ax] = (c * np.outer(v1, d0) - c * np.outer(d1, v0)
-                   - pen * np.outer(v1, v0))
-        F21[ax] = F12[ax].T
-        MB0 = (fmeas / h[ax]) * _sym(np.outer(v0, d0)) + pen * np.outer(v0, v0)
-        MB1 = (-fmeas / h[ax]) * _sym(np.outer(v1, d1)) + pen * np.outer(v1, v1)
-        bulk = (detJ / h[ax] ** 2) * S
-        D_int[ax] = bulk + N11 + N22
-        D_lo[ax] = bulk + N11 + (MB0 if dirichlet else 0.0)   # line start
-        D_hi[ax] = bulk + (MB1 if dirichlet else 0.0) + N22   # line end
-        if cells[ax] == 1:  # degenerate single-element line
-            D_lo[ax] = bulk + (MB1 + MB0 if dirichlet else 0.0)
-
+    cells, nb, Mm, D_int, D_lo, D_hi, F12, F21 = sipg_factor_blocks(
+        basis, penalty, dirichlet, penalty_scaling)
     cast = lambda M: jnp.asarray(M, dtype)  # noqa: E731
     Mm_j = cast(Mm)
     D_int_j = {ax: cast(D_int[ax]) for ax in range(dim)}

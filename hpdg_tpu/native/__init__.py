@@ -33,10 +33,14 @@ def _load():
     try:
         if (not _LIB.exists()
                 or _LIB.stat().st_mtime < _SRC.stat().st_mtime):
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                 "-fPIC", "-o", str(_LIB), str(_SRC)],
-                check=True, capture_output=True, timeout=120)
+            base = ["g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                    "-fPIC", "-o", str(_LIB), str(_SRC)]
+            try:  # threaded kernels when OpenMP is available
+                subprocess.run(base[:1] + ["-fopenmp"] + base[1:],
+                               check=True, capture_output=True, timeout=120)
+            except subprocess.CalledProcessError:
+                subprocess.run(base, check=True, capture_output=True,
+                               timeout=120)
         lib = ctypes.CDLL(str(_LIB))
         lib.hpdg_build_faces.restype = ctypes.c_int
         lib.hpdg_build_faces.argtypes = [
@@ -50,6 +54,11 @@ def _load():
             ctypes.c_int64, ctypes.c_int64,
             np.ctypeslib.ndpointer(np.int64), np.ctypeslib.ndpointer(np.int64),
         ]
+        if hasattr(lib, "hpdg_sipg_fact_apply3"):
+            lib.hpdg_sipg_fact_apply3.restype = ctypes.c_int
+            lib.hpdg_sipg_fact_apply3.argtypes = (
+                [ctypes.c_int64] * 3 + [ctypes.c_int32]
+                + [np.ctypeslib.ndpointer(np.float64)] * 11)
         _lib = lib
     except Exception:
         _lib = None
@@ -91,3 +100,48 @@ def build_faces(lower: np.ndarray, extent: np.ndarray, tol: float):
     return (f_in[:k].copy(), f_out[:k].copy(), f_ax[:k].copy(),
             f_nc[:k].copy(), b_el[:m].copy(), b_ax[:m].copy(),
             b_sd[:m].copy())
+
+
+class SipgFactApply3:
+    """Reusable f64 factorized uniform-lattice SIPG apply (3D).
+
+    Holds the 1D factor blocks and scratch buffers; ``__call__`` maps a
+    flat (n_elements, nb^3) f64 array to the operator image.  The math
+    twin of matrixfree.uniform.uniform_sipg_factorized — see the kernel
+    comment in cpp/meshkit.cc.  Construct via
+    matrixfree.uniform.uniform_sipg_factorized_host (which builds the
+    factor blocks); returns None-equivalent if the library is missing.
+    """
+
+    def __init__(self, cells, nb, Mm, Dint, Dlo, Dhi, F12, F21):
+        if len(cells) != 3:
+            raise ValueError("native factorized apply is 3D-only")
+        self.cells = tuple(int(c) for c in cells)
+        self.nb = int(nb)
+        c = lambda a: np.ascontiguousarray(a, np.float64)  # noqa: E731
+        self.Mm = c(Mm)
+        self.Dint, self.Dlo, self.Dhi = c(Dint), c(Dlo), c(Dhi)
+        self.F12, self.F21 = c(F12), c(F21)
+        n = int(np.prod(self.cells)) * self.nb ** 3
+        self._s1 = np.empty(n, np.float64)
+        self._s2 = np.empty(n, np.float64)
+        self._s3 = np.empty(n, np.float64)
+        self._lib = _load()
+        if self._lib is None or not hasattr(self._lib,
+                                            "hpdg_sipg_fact_apply3"):
+            raise RuntimeError("native library unavailable")
+
+    def __call__(self, u: np.ndarray, out: np.ndarray | None = None
+                 ) -> np.ndarray:
+        n = int(np.prod(self.cells)) * self.nb ** 3
+        u = np.ascontiguousarray(u, np.float64).reshape(-1)
+        if u.shape[0] != n:
+            raise ValueError("size mismatch")
+        y = out.reshape(-1) if out is not None else np.empty(n, np.float64)
+        rc = self._lib.hpdg_sipg_fact_apply3(
+            self.cells[0], self.cells[1], self.cells[2], self.nb,
+            self.Mm, self.Dint, self.Dlo, self.Dhi, self.F12, self.F21,
+            u, y, self._s1, self._s2, self._s3)
+        if rc != 0:
+            raise RuntimeError("native factorized apply failed")
+        return y.reshape(int(np.prod(self.cells)), self.nb ** 3)

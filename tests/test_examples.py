@@ -64,3 +64,11 @@ def test_anisotropic_line_mg_example(capsys):
     run_example("anisotropic_line_mg.py", ["--cycles", "5"])
     out = capsys.readouterr().out
     assert "serial line" in out
+
+
+def test_curved_geometry_example(capsys):
+    run_example("curved_geometry.py", ["--n", "4", "--p", "2",
+                                       "--levels", "2"])
+    out = capsys.readouterr().out
+    assert "curved elements" in out
+    assert "ratio" in out

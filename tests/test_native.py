@@ -69,3 +69,43 @@ def test_native_large_mesh_speed():
     dt = time.time() - t0
     assert len(m.faces) == (31 * 32 * 16 + 32 * 31 * 16 + 32 * 32 * 15)
     assert dt < 10.0
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_factorized_sipg_apply_matches_xla():
+    """cpp hpdg_sipg_fact_apply3 == the XLA factorized apply (itself
+    differential-tested against the dense stencil and the assembled
+    operator) to f64 roundoff, across degrees, boundary conditions,
+    penalty conventions and anisotropic lattice shapes."""
+    import jax
+    import jax.numpy as jnp
+    from hpdg_tpu.basis.dgbasis import DGBasis
+    from hpdg_tpu.matrixfree.uniform import (
+        uniform_sipg_factorized, uniform_sipg_factorized_host)
+    rng = np.random.default_rng(1887)
+    for cells, p in [((4, 4, 4), 2), ((3, 3, 3), 4), ((6, 2, 3), 3),
+                     ((1, 4, 2), 2)]:
+        m = hmesh.structured(cells)
+        b = DGBasis(m, np.full(int(np.prod(cells)), p))
+        u = rng.standard_normal((int(np.prod(cells)), (p + 1) ** 3))
+        for diri in (False, True):
+            for sc in ("measure", "normal"):
+                xla = uniform_sipg_factorized(b, 2.0, diri, jnp.float64, sc)
+                nat = uniform_sipg_factorized_host(b, 2.0, diri, sc)
+                y1 = np.asarray(xla({p: jnp.asarray(u)})[p])
+                y2 = nat(u)
+                err = np.abs(y1 - y2).max() / np.abs(y1).max()
+                assert err < 1e-14, (cells, p, diri, sc, err)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_factorized_rejects_bad_shapes():
+    from hpdg_tpu.basis.dgbasis import DGBasis
+    from hpdg_tpu.matrixfree.uniform import uniform_sipg_factorized_host
+    m2 = hmesh.structured((3, 3))
+    with pytest.raises(ValueError, match="3D"):
+        uniform_sipg_factorized_host(DGBasis(m2, np.full(9, 2)))
+    m3 = hmesh.structured((2, 2, 2))
+    deg = np.array([2, 2, 2, 2, 3, 3, 3, 3])
+    with pytest.raises(ValueError, match="single degree"):
+        uniform_sipg_factorized_host(DGBasis(m3, deg))
