@@ -73,14 +73,17 @@ class DGBasis:
     # ------------------------------------------------------------------
     def node_positions(self, p: int) -> np.ndarray:
         """Physical positions of the nodal dofs of bucket p:
-        shape (n_p, (p+1)^dim, dim)."""
+        shape (n_p, (p+1)^dim, dim).  Honors first-class geometry
+        (affine / trilinear maps), so VTK plots show the curved mesh."""
         nodes1 = lagrange.nodes_1d(p, self.family)
         mi = tensor.multiindices(p, self.dim)  # (nl, dim)
         ref = nodes1[mi]  # (nl, dim) reference coords
         elems = self.bucket_elems[p]
         lo = self.mesh.lower[elems][:, None, :]
         ex = self.mesh.extent[elems][:, None, :]
-        return lo + ref[None, :, :] * ex
+        xp = lo + ref[None, :, :] * ex
+        from hpdg_tpu.mesh import geometry as geo
+        return geo.apply_map(self.mesh, elems, xp)
 
     def with_degrees(self, degrees: np.ndarray) -> "DGBasis":
         return DGBasis(self.mesh, degrees, self.family)

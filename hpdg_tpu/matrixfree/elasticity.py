@@ -29,6 +29,12 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
 
     ``include_bulk=False`` gives the skeleton/boundary terms only (used
     by the sharded layer's masked boundary corrections)."""
+    from hpdg_tpu.mesh import geometry as geo
+    if geo.has_geometry(basis.mesh):
+        raise NotImplementedError(
+            "matrix-free elasticity: general geometry not wired yet — "
+            "use the assembled operator (assemble_elasticity handles "
+            "affine/trilinear meshes)")
     plan = plan or build_plan(basis)
     mesh = basis.mesh
     d = mesh.dim

@@ -362,7 +362,10 @@ def elasticity_matrix(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
     """Dense SIPG matrix for linear elasticity:
     a(u,v) = ∫ 2 mu eps(u):eps(v) + lam div u div v  + SIPG face terms with
     traction averages {sigma(u) n} and vector jumps, penalty
-    sigma_0 max(p)^2/|f| [u].[v]."""
+    sigma_0 max(p)^2/|f| [u].[v].  Geometry-aware (affine / trilinear
+    meshes): physical gradients via per-point J^-1, tractions with the
+    true physical normal and Nanson surface measure ("measure" penalty
+    convention: the penalty weight stays parametric)."""
     mesh = basis.mesh
     dim = mesh.dim
     nd = basis.ndof * dim
@@ -371,14 +374,14 @@ def elasticity_matrix(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
     def offs(e):
         return basis.offsets[e] * dim, basis.block_sizes[e]
 
-    def sigma_n(G, e_comp, ax, h):
-        """(sigma(phi_j e_comp) n)_b for all j, b; G = ref grads (nl, dim),
-        already physical.  n = +e_ax (sign applied by caller)."""
-        nl = G.shape[0]
-        out = np.zeros((dim, nl))
+    def sigma_n(G, e_comp, nrm):
+        """(sigma(phi_j e_comp) n)_b for all j, b; G = physical grads
+        (nl, dim), nrm the physical unit normal."""
+        Gn = G @ nrm  # (nl,)
+        out = np.zeros((dim, G.shape[0]))
         for b in range(dim):
-            out[b] = mu * ((b == e_comp) * G[:, ax] + (e_comp == ax) * G[:, b])
-            out[b] += lam * (b == ax) * G[:, e_comp]
+            out[b] = (mu * ((b == e_comp) * Gn + nrm[e_comp] * G[:, b])
+                      + lam * nrm[b] * G[:, e_comp])
         return out
 
     # bulk
@@ -391,8 +394,10 @@ def elasticity_matrix(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
         detJ = np.prod(h)
         o, nl = offs(e)
         for q in range(len(w)):
-            G = _grad_phi(nodes, pts[q], h)  # (nl, dim) physical grads
-            z = w[q] * detJ
+            xg = mesh.lower[e] + pts[q] * h
+            _, Ji, dA, _ = _geo_at(mesh, e, xg)
+            G = _grad_phi(nodes, pts[q], h) @ Ji  # (nl, dim) physical
+            z = w[q] * detJ * dA
             for c in range(dim):
                 for ec in range(dim):
                     blk = (mu * (c == ec) * (G @ G.T)
@@ -412,32 +417,46 @@ def elasticity_matrix(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
         nodes_i = lagrange.nodes_1d(pi, basis.family)
         nodes_o = lagrange.nodes_1d(po, basis.family)
         hi, ho = mesh.extent[ei], mesh.extent[eo]
-        fmeas = np.prod(np.delete(hi, ax))
-        pen = penalty * pmax**2 / fmeas
+        ilo = np.maximum(mesh.lower[ei], mesh.lower[eo])
+        iext = np.minimum(hi, ho)
+        fmeas = np.prod(np.delete(iext, ax))
+        pen_f = penalty * pmax**2  # parametric "measure" convention
         o1, n1 = offs(ei)
         o2, n2 = offs(eo)
+        tang = [a for a in range(dim) if a != ax]
         for q in range(len(tw)):
-            xi = _face_point(tpts[q], ax, 1, dim)
-            xo = _face_point(tpts[q], ax, 0, dim)
+            xg = np.zeros(dim)
+            xg[ax] = mesh.lower[eo][ax]
+            for t, a in enumerate(tang):
+                xg[a] = ilo[a] + tpts[q][t] * iext[a]
+            xi = (xg - mesh.lower[ei]) / hi
+            xi[ax] = 1.0
+            xo = (xg - mesh.lower[eo]) / ho
+            xo[ax] = 0.0
             vi = _phi(nodes_i, xi)
             vo = _phi(nodes_o, xo)
-            Gi = _grad_phi(nodes_i, xi, hi)
-            Go = _grad_phi(nodes_o, xo, ho)
-            z = tw[q] * fmeas
-            # sides: (value vec, sigma_n rows, jump sign)
+            _, Jii, dAi, _ = _geo_at(mesh, ei, xg)
+            _, Jio, dAo, _ = _geo_at(mesh, eo, xg)
+            gi = dAi * np.linalg.norm(Jii[ax])
+            go = dAo * np.linalg.norm(Jio[ax])
+            nrm = Jii[ax] / np.linalg.norm(Jii[ax])
+            Gi = _grad_phi(nodes_i, xi, hi) @ Jii
+            Go = _grad_phi(nodes_o, xo, ho) @ Jio
+            z = tw[q] * fmeas * 0.5 * (gi + go)
+            zp = tw[q] * pen_f
             sides = [(vi, Gi, +1.0, o1, n1), (vo, Go, -1.0, o2, n2)]
             for (vA, GA, sA, oA, nA) in sides:          # test side
                 for (vB, GB, sB, oB, nB) in sides:      # trial side
                     for c in range(dim):                # test component
                         for ec in range(dim):           # trial component
-                            snB = sigma_n(GB, ec, ax, None)[c]  # (nlB,)
-                            snA = sigma_n(GA, c, ax, None)[ec]  # (nlA,)
-                            blk = (-0.5 * sA * np.outer(vA, snB)
-                                   - 0.5 * sB * np.outer(snA, vB)
-                                   + pen * (c == ec) * sA * sB
+                            snB = sigma_n(GB, ec, nrm)[c]  # (nlB,)
+                            snA = sigma_n(GA, c, nrm)[ec]  # (nlA,)
+                            blk = (z * (-0.5 * sA * np.outer(vA, snB)
+                                        - 0.5 * sB * np.outer(snA, vB))
+                                   + zp * (c == ec) * sA * sB
                                    * np.outer(vA, vB))
                             A[oA + c * nA:oA + (c + 1) * nA,
-                              oB + ec * nB:oB + (ec + 1) * nB] += z * blk
+                              oB + ec * nB:oB + (ec + 1) * nB] += blk
 
     # Dirichlet boundary
     if dirichlet:
@@ -452,19 +471,24 @@ def elasticity_matrix(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
             nodes = lagrange.nodes_1d(p, basis.family)
             h = mesh.extent[e]
             fmeas = np.prod(np.delete(h, ax))
-            pen = penalty * p**2 / fmeas
+            pen_f = penalty * p**2
             o, nl = offs(e)
             for q in range(len(tw)):
                 x = _face_point(tpts[q], ax, side, dim)
                 v = _phi(nodes, x)
-                G = sgn * _grad_phi(nodes, x, h)  # signed: sigma(u).n outward
-                z = tw[q] * fmeas
+                xg = mesh.lower[e] + x * h
+                _, Ji, dA, _ = _geo_at(mesh, e, xg)
+                gfac = dA * np.linalg.norm(Ji[ax])
+                nrm = sgn * Ji[ax] / np.linalg.norm(Ji[ax])  # outward
+                G = _grad_phi(nodes, x, h) @ Ji
+                z = tw[q] * fmeas * gfac
+                zp = tw[q] * pen_f
                 for c in range(dim):
                     for ec in range(dim):
-                        snB = sigma_n(G, ec, ax, None)[c]
-                        snA = sigma_n(G, c, ax, None)[ec]
-                        blk = (-np.outer(v, snB) - np.outer(snA, v)
-                               + pen * (c == ec) * np.outer(v, v))
+                        snB = sigma_n(G, ec, nrm)[c]
+                        snA = sigma_n(G, c, nrm)[ec]
+                        blk = (z * (-np.outer(v, snB) - np.outer(snA, v))
+                               + zp * (c == ec) * np.outer(v, v))
                         A[o + c * nl:o + (c + 1) * nl,
-                          o + ec * nl:o + (ec + 1) * nl] += z * blk
+                          o + ec * nl:o + (ec + 1) * nl] += blk
     return A
