@@ -30,15 +30,21 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
     ``include_bulk=False`` gives the skeleton/boundary terms only (used
     by the sharded layer's masked boundary corrections)."""
     from hpdg_tpu.mesh import geometry as geo
-    if geo.has_geometry(basis.mesh):
-        raise NotImplementedError(
-            "matrix-free elasticity: general geometry not wired yet — "
-            "use the assembled operator (assemble_elasticity handles "
-            "affine/trilinear meshes)")
     plan = plan or build_plan(basis)
     mesh = basis.mesh
     d = mesh.dim
+    geom = geo.has_geometry(mesh)
     J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
+
+    def h_table(elems, xpq):
+        """H[n,q,b,a] = (1/h_b) Jinv[n,q,b,a]: local-parametric deriv b
+        -> physical deriv a, per point; R[n,q,a] = |det J| Jinv[ax,a]
+        is the Nanson covector (computed at face prep sites)."""
+        Jac = geo.jacobians(mesh, elems, xpq)
+        Ji = np.linalg.inv(Jac)
+        dA = np.abs(np.linalg.det(Jac))
+        ih = 1.0 / mesh.extent[elems]
+        return ih[:, None, :, None] * Ji, dA
 
     # ---- bulk prep: per bucket quadrature tables + geometry ----
     bulk_prep = {}
@@ -47,7 +53,12 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
         elems = basis.bucket_elems[p]
         ext = mesh.extent[elems]
         detJ = np.prod(ext, axis=1)
-        bulk_prep[p] = (vt["G"], vt["weights"], ext, detJ)
+        H = dA = None
+        if geom:
+            xpq = (mesh.lower[elems][:, None, :]
+                   + vt["points"][None, :, :] * ext[:, None, :])
+            H, dA = h_table(elems, xpq)
+        bulk_prep[p] = (vt["G"], vt["weights"], ext, detJ, H, dA)
 
     fgroups = []
     for fg in plan.face_groups:
@@ -55,11 +66,22 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
         fin, fout = face_group_tables(basis, fg, pmax + 2)
         ein = mesh.faces.inside[fg.face_ids]
         eout = mesh.faces.outside[fg.face_ids]
-        fgroups.append(dict(
+        g = dict(
             fg=fg, fin=fin, fout=fout, pmax=pmax,
             ih_in=1.0 / mesh.extent[ein],  # (nf, d)
             ih_out=1.0 / mesh.extent[eout],
-        ))
+        )
+        if geom:
+            from hpdg_tpu.assemble.plan import face_phys_points
+            xpq = face_phys_points(basis, fg, fin["points"])
+            for tag, elems in (("in", ein), ("out", eout)):
+                Jac = geo.jacobians(mesh, elems, xpq)
+                Ji = np.linalg.inv(Jac)
+                dA = np.abs(np.linalg.det(Jac))
+                g["H_" + tag] = (1.0 / mesh.extent[elems])[:, None, :, None] \
+                    * Ji
+                g["R_" + tag] = dA[..., None] * Ji[:, :, fg.axis, :]
+        fgroups.append(g)
 
     bgroups = []
     if dirichlet:
@@ -67,10 +89,26 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
             ft = tensor.face_tables(bg.p, d, bg.axis, bg.side, bg.p + 2,
                                     family=basis.family)
             elems = mesh.bfaces.elem[bg.face_ids]
-            bgroups.append(dict(
+            g = dict(
                 bg=bg, ft=ft, sign=1.0 if bg.side == 1 else -1.0,
                 ih=1.0 / mesh.extent[elems],
-            ))
+            )
+            if geom:
+                lo = mesh.lower[elems].copy()
+                if bg.side == 1:
+                    lo[:, bg.axis] += mesh.extent[elems, bg.axis]
+                tang = [a for a in range(d) if a != bg.axis]
+                xpq = np.repeat(lo[:, None, :], len(ft["weights"]), axis=1)
+                for t, a in enumerate(tang):
+                    xpq[:, :, a] += ft["points"][None, :, t] \
+                        * mesh.extent[elems, a][:, None]
+                Jac = geo.jacobians(mesh, elems, xpq)
+                Ji = np.linalg.inv(Jac)
+                dA = np.abs(np.linalg.det(Jac))
+                g["H"] = (1.0 / mesh.extent[elems])[:, None, :, None] * Ji
+                # outward Nanson covector
+                g["R"] = g["sign"] * dA[..., None] * Ji[:, :, bg.axis, :]
+            bgroups.append(g)
 
     def traction(du, ax, mu_, lam_):
         """(sigma(u) n)_c from grad array du[..., b, c] (=∂_b u_c), n=+e_ax."""
@@ -83,26 +121,34 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
         if not include_bulk:
             y = {p: jnp.zeros_like(x[p]) for p in x}
         # -------- bulk: 2 mu eps(u):eps(v) + lam div div --------
-        for p, (G, w, ext, detJ) in (bulk_prep.items() if include_bulk
-                                     else ()):
+        for p, (G, w, ext, detJ, H, dA) in (bulk_prep.items()
+                                            if include_bulk else ()):
             nl = (p + 1) ** d
             u = x[p].reshape(-1, d, nl)
             n = u.shape[0]
             Gj = J(G)
-            # du[n, q, b, c] = ∂_b u_c at quad points (physical)
+            # du[n, q, b, c] = ∂_b u_c at quad points (local parametric)
             du = jnp.einsum("ncj,bjq->nqbc", u, Gj,
                             preferred_element_type=dtype)
-            du = du / J(ext)[:, None, :, None]
+            if H is not None:  # physical gradients via per-point J^-1
+                du = jnp.einsum("nqbc,nqba->nqac", du, J(H))
+            else:
+                du = du / J(ext)[:, None, :, None]
             eps = 0.5 * (du + jnp.swapaxes(du, -2, -1))
             div = jnp.trace(du, axis1=-2, axis2=-1)
             # sigma[n,q,b,c]
             sig = 2 * mu * eps + lam * div[..., None, None] * jnp.eye(d, dtype=dtype)
-            # integrate: y[c,i] += Σ_q w detJ sigma_bc ∂_b phi_i / h_b
+            # integrate: y[c,i] += Σ_q w detJ |det| sigma_ac (∂_a phi_i)_phys
             sw = sig * (J(w)[None, :, None, None]
                         * J(detJ)[:, None, None, None])
-            sw = sw / J(ext)[:, None, :, None]  # 1/h_b on the test gradient
-            out = jnp.einsum("nqbc,bjq->ncj", sw, Gj,
-                             preferred_element_type=dtype)
+            if H is not None:
+                sw = sw * J(dA)[..., None, None]
+                out = jnp.einsum("nqac,nqba,bjq->ncj", sw, J(H), Gj,
+                                 preferred_element_type=dtype)
+            else:
+                sw = sw / J(ext)[:, None, :, None]  # 1/h_b on test gradient
+                out = jnp.einsum("nqbc,bjq->ncj", sw, Gj,
+                                 preferred_element_type=dtype)
             y[p] = out.reshape(n, d * nl)
 
         # -------- interior faces --------
@@ -110,7 +156,10 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
             fg = g["fg"]
             fin, fout = g["fin"], g["fout"]
             w = J(fin["weights"])
-            pen = J(penalty_coef(fg, penalty, g["pmax"], penalty_scaling))
+            pen = J(geo.penalty_coef_mesh(mesh, fg, penalty, g["pmax"],
+                                          penalty_scaling)
+                    if geom else
+                    penalty_coef(fg, penalty, g["pmax"], penalty_scaling))
             nli = (fg.p_in + 1) ** d
             nlo = (fg.p_out + 1) ** d
             u_in = x[fg.p_in][jnp.asarray(fg.in_pos)].reshape(-1, d, nli)
@@ -120,41 +169,74 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
             # values and grads at face points
             uin_q = jnp.einsum("nci,iq->nqc", u_in, Vi)
             uout_q = jnp.einsum("nci,iq->nqc", u_out, Vo)
-            duin = jnp.einsum("nci,biq->nqbc", u_in, Di) \
-                * J(g["ih_in"])[:, None, :, None]
-            duout = jnp.einsum("nci,biq->nqbc", u_out, Do) \
-                * J(g["ih_out"])[:, None, :, None]
             ax = fg.axis
             jump = uin_q - uout_q
-            t_avg = 0.5 * (traction(duin, ax, mu, lam)
-                           + traction(duout, ax, mu, lam))
             zw = J(fg.fmeas)[:, None, None] * w[None, :, None]
             penw = pen[:, None, None] * w[None, :, None]
+            if geom:
+                Hi, Ho = J(g["H_in"]), J(g["H_out"])
+                Ri, Ro = J(g["R_in"]), J(g["R_out"])
+                duin = jnp.einsum("nci,biq,nqba->nqac", u_in, Di, Hi)
+                duout = jnp.einsum("nci,biq,nqba->nqac", u_out, Do, Ho)
+
+                def sig_of(du):
+                    eps = 0.5 * (du + jnp.swapaxes(du, -2, -1))
+                    div = jnp.trace(du, axis1=-2, axis2=-1)
+                    return (2 * mu * eps + lam * div[..., None, None]
+                            * jnp.eye(d, dtype=dtype))
+
+                # co-normal tractions g sigma(u) n_phys per side
+                t_avg = 0.5 * (
+                    jnp.einsum("nqa,nqac->nqc", Ri, sig_of(duin))
+                    + jnp.einsum("nqa,nqac->nqc", Ro, sig_of(duout)))
+            else:
+                duin = jnp.einsum("nci,biq->nqbc", u_in, Di) \
+                    * J(g["ih_in"])[:, None, :, None]
+                duout = jnp.einsum("nci,biq->nqbc", u_out, Do) \
+                    * J(g["ih_out"])[:, None, :, None]
+                t_avg = 0.5 * (traction(duin, ax, mu, lam)
+                               + traction(duout, ax, mu, lam))
             # value-type contributions (multiply V of the test side)
             tv_in = zw * (-t_avg) + penw * jump
             tv_out = zw * t_avg - penw * jump
-            # gradient-type: -1/2 [u].(sigma(phi) n): assemble the tensor
-            # S[n,q,b,c] to integrate against ∂_b phi_i e_c of each side
-            def test_tensor(jmp):
-                # contributions to sigma(v)n contracted with jump/2:
-                # mu (δ ∂ax + ...) pattern transposed: build T[n,q,b,c]
-                T = jnp.zeros(jmp.shape[:2] + (d, d), dtype)
-                # term mu δ_ce ∂_ax φ: T[ax, c] += mu * jmp_c
-                T = T.at[..., ax, :].add(mu * jmp)
-                # term mu δ_{c,ax} ∂_e φ: T[e, ax] += mu * jmp_e
-                T = T.at[..., :, ax].add(mu * jmp)
-                # term lam δ_{e,ax} ∂_c φ: T[c, c']... dive: lam * jmp_ax on diag
-                T = T + lam * jmp[..., ax][..., None, None] \
-                    * jnp.eye(d, dtype=dtype)
-                return T
+            y_in = jnp.einsum("nqc,iq->nci", tv_in, Vi)
+            y_out = jnp.einsum("nqc,iq->nci", tv_out, Vo)
+            if geom:
+                # test-gradient term -1/2 [u].(g sigma(v) n_phys):
+                # P_S[n,q,c,i] = (∂_c phi_i)_phys, Q_S = R.P
+                zw2 = J(fg.fmeas)[:, None] * w[None, :]
+                for (Dt, Hs, Rs, tgt, sidep, pos) in (
+                        (Di, Hi, Ri, "in", fg.p_in, fg.in_pos),
+                        (Do, Ho, Ro, "out", fg.p_out, fg.out_pos)):
+                    P = jnp.einsum("biq,nqbc->nqci", Dt, Hs)
+                    Q = jnp.einsum("nqc,nqci->nqi", Rs, P)
+                    A1 = jnp.einsum("nqk,nqki->nqi", jump, P)
+                    tg = (mu * jnp.einsum("nq,nqc,nqi->nci", zw2, Rs, A1)
+                          + mu * jnp.einsum("nq,nqc,nqi->nci", zw2, jump, Q)
+                          + lam * jnp.einsum("nq,nq,nqci->nci", zw2,
+                                             jnp.einsum("nqc,nqc->nq",
+                                                        jump, Rs), P))
+                    if tgt == "in":
+                        y_in = y_in - 0.5 * tg
+                    else:
+                        y_out = y_out - 0.5 * tg
+            else:
+                # gradient-type: -1/2 [u].(sigma(phi) n) with n = e_ax
+                def test_tensor(jmp):
+                    T = jnp.zeros(jmp.shape[:2] + (d, d), dtype)
+                    T = T.at[..., ax, :].add(mu * jmp)
+                    T = T.at[..., :, ax].add(mu * jmp)
+                    T = T + lam * jmp[..., ax][..., None, None] \
+                        * jnp.eye(d, dtype=dtype)
+                    return T
 
-            Tj = test_tensor(jump)
-            tg_in = (-0.5) * zw[..., None] * Tj * J(g["ih_in"])[:, None, :, None]
-            tg_out = (-0.5) * zw[..., None] * Tj * J(g["ih_out"])[:, None, :, None]
-            y_in = (jnp.einsum("nqc,iq->nci", tv_in, Vi)
-                    + jnp.einsum("nqbc,biq->nci", tg_in, Di))
-            y_out = (jnp.einsum("nqc,iq->nci", tv_out, Vo)
-                     + jnp.einsum("nqbc,biq->nci", tg_out, Do))
+                Tj = test_tensor(jump)
+                tg_in = (-0.5) * zw[..., None] * Tj \
+                    * J(g["ih_in"])[:, None, :, None]
+                tg_out = (-0.5) * zw[..., None] * Tj \
+                    * J(g["ih_out"])[:, None, :, None]
+                y_in = y_in + jnp.einsum("nqbc,biq->nci", tg_in, Di)
+                y_out = y_out + jnp.einsum("nqbc,biq->nci", tg_out, Do)
             y[fg.p_in] = y[fg.p_in].at[jnp.asarray(fg.in_pos)].add(
                 y_in.reshape(-1, d * nli))
             y[fg.p_out] = y[fg.p_out].at[jnp.asarray(fg.out_pos)].add(
@@ -165,26 +247,50 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
             bg = g["bg"]
             ft = g["ft"]
             w = J(ft["weights"])
-            pen = J(boundary_penalty_coef(bg, penalty, penalty_scaling))
+            pen = J(geo.boundary_penalty_coef_mesh(mesh, bg, penalty,
+                                                   penalty_scaling)
+                    if geom else
+                    boundary_penalty_coef(bg, penalty, penalty_scaling))
             nl = (bg.p + 1) ** d
             u = x[bg.p][jnp.asarray(bg.pos)].reshape(-1, d, nl)
             V, Dall = J(ft["V"]), J(ft["Dall"])
             uq = jnp.einsum("nci,iq->nqc", u, V)
-            du = jnp.einsum("nci,biq->nqbc", u, Dall) \
-                * J(g["ih"])[:, None, :, None]
             ax = bg.axis
-            t_full = g["sign"] * traction(du, ax, mu, lam)
             zw = J(bg.fmeas)[:, None, None] * w[None, :, None]
             penw = pen[:, None, None] * w[None, :, None]
-            tv = zw * (-t_full) + penw * uq
-            T = jnp.zeros(uq.shape[:2] + (d, d), dtype)
-            T = T.at[..., ax, :].add(mu * uq)
-            T = T.at[..., :, ax].add(mu * uq)
-            T = T + lam * uq[..., ax][..., None, None] * jnp.eye(d, dtype=dtype)
-            tg = (-1.0) * zw[..., None] * T * (g["sign"]
-                                               * J(g["ih"]))[:, None, :, None]
-            yb = (jnp.einsum("nqc,iq->nci", tv, V)
-                  + jnp.einsum("nqbc,biq->nci", tg, Dall))
+            if geom:
+                Hb, Rb = J(g["H"]), J(g["R"])
+                du = jnp.einsum("nci,biq,nqba->nqac", u, Dall, Hb)
+                eps = 0.5 * (du + jnp.swapaxes(du, -2, -1))
+                div = jnp.trace(du, axis1=-2, axis2=-1)
+                sig = (2 * mu * eps + lam * div[..., None, None]
+                       * jnp.eye(d, dtype=dtype))
+                t_full = jnp.einsum("nqa,nqac->nqc", Rb, sig)
+                tv = zw * (-t_full) + penw * uq
+                zw2 = J(bg.fmeas)[:, None] * w[None, :]
+                P = jnp.einsum("biq,nqbc->nqci", Dall, Hb)
+                Q = jnp.einsum("nqc,nqci->nqi", Rb, P)
+                A1 = jnp.einsum("nqk,nqki->nqi", uq, P)
+                tg = (mu * jnp.einsum("nq,nqc,nqi->nci", zw2, Rb, A1)
+                      + mu * jnp.einsum("nq,nqc,nqi->nci", zw2, uq, Q)
+                      + lam * jnp.einsum("nq,nq,nqci->nci", zw2,
+                                         jnp.einsum("nqc,nqc->nq", uq, Rb),
+                                         P))
+                yb = jnp.einsum("nqc,iq->nci", tv, V) - tg
+            else:
+                du = jnp.einsum("nci,biq->nqbc", u, Dall) \
+                    * J(g["ih"])[:, None, :, None]
+                t_full = g["sign"] * traction(du, ax, mu, lam)
+                tv = zw * (-t_full) + penw * uq
+                T = jnp.zeros(uq.shape[:2] + (d, d), dtype)
+                T = T.at[..., ax, :].add(mu * uq)
+                T = T.at[..., :, ax].add(mu * uq)
+                T = T + lam * uq[..., ax][..., None, None] \
+                    * jnp.eye(d, dtype=dtype)
+                tg = (-1.0) * zw[..., None] * T \
+                    * (g["sign"] * J(g["ih"]))[:, None, :, None]
+                yb = (jnp.einsum("nqc,iq->nci", tv, V)
+                      + jnp.einsum("nqbc,biq->nci", tg, Dall))
             y[bg.p] = y[bg.p].at[jnp.asarray(bg.pos)].add(
                 yb.reshape(-1, d * nl))
         return y

@@ -395,3 +395,29 @@ def test_elasticity_trilinear_3d_solves():
     x_ref = np.linalg.solve(np.asarray(A_ref), bf)
     xf = np.asarray(to_flat(basis, x, ncomp=3))
     assert np.abs(xf - x_ref).max() < 1e-8
+
+
+def test_matrixfree_elasticity_general_geometry():
+    """Matrix-free elasticity apply == assembled matvec on affine and
+    trilinear meshes (bulk + faces + Dirichlet, both scalings)."""
+    from hpdg_tpu.assemble.elasticity import assemble_elasticity
+    from hpdg_tpu.matrixfree.elasticity import elasticity_operator
+    rng = np.random.default_rng(11)
+    S = np.array([[1.0, 0.35], [0.15, 0.9]])
+    meshes = [geo.affine_image(hmesh.structured((2, 3)), S),
+              geo.isoparametric(hmesh.structured((2, 3)), _wavy2)]
+    for m in meshes:
+        deg = np.array([1, 2, 2, 1, 2, 3])
+        basis = DGBasis(m, deg)
+        x = {p: jnp.asarray(rng.standard_normal(
+            (basis.bucket_size(p), 2 * (p + 1) ** 2)))
+            for p in basis.bucket_degrees}
+        for diri in (False, True):
+            A = assemble_elasticity(basis, mu=1.3, lam=0.7, penalty=3.0,
+                                    dirichlet=diri)
+            op = elasticity_operator(basis, mu=1.3, lam=0.7, penalty=3.0,
+                                     dirichlet=diri)
+            y1, y2 = bm.matvec(A, x), op(x)
+            err = max(np.abs(np.asarray(y1[p]) - np.asarray(y2[p])).max()
+                      for p in y1)
+            assert err < 1e-12, (diri, err)
