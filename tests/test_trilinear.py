@@ -421,3 +421,67 @@ def test_matrixfree_elasticity_general_geometry():
             err = max(np.abs(np.asarray(y1[p]) - np.asarray(y2[p])).max()
                       for p in y1)
             assert err < 1e-12, (diri, err)
+
+
+def test_obstacle_tnnmg_on_curved_mesh():
+    """TNNMG obstacle solve on a wavy trilinear mesh: the assembled
+    geometry-aware operator flows through the nonsmooth solver stack —
+    energy decreases monotonically, the obstacle activates, the
+    solution stays feasible (buildingblocks/solve.hh:40-124 scope)."""
+    from hpdg_tpu.blocks import api
+    m = geo.isoparametric(hmesh.structured((4, 4)), _wavy2)
+    basis = DGBasis(m, np.full(16, 2))
+    A = api.laplace(basis, penalty=4.0, dirichlet=True)
+    b = api.l2_functional(basis, lambda x: 8.0 * jnp.ones_like(x[..., 0]))
+    lo, up = api.constant_bounds(basis, lower=-0.05, upper=0.05)
+    x, info = api.solve_obstacle(basis, A, b, lo, up, tol=1e-10,
+                                 maxiter=80)
+    en = info["energy"]
+    assert all(b2 <= a2 + 1e-10 for a2, b2 in zip(en, en[1:]))
+    assert max(info["truncated"]) > 0  # contact zone active
+    for p in x:
+        assert np.all(np.asarray(x[p]) <= np.asarray(up[p]) + 1e-9)
+        assert np.all(np.asarray(x[p]) >= np.asarray(lo[p]) - 1e-9)
+
+
+def test_h_adaptive_loop_on_curved_mesh():
+    """Full h-adaptive cycle on a trilinear mesh: solve -> estimate
+    (geometry-aware DG norm) -> mark -> refine_local (children restrict
+    the parent Q1 map, nc interfaces stay conforming) -> persist ->
+    re-solve.  The true (geometry-aware) L2 error drops."""
+    from hpdg_tpu.blocks import api
+    from hpdg_tpu.blocks.persist import save_state, interpolate_to
+    from hpdg_tpu.estimators.utility import mark_fraction
+    from hpdg_tpu.estimators import l2_error
+
+    u = lambda x: jnp.sin(jnp.pi * x[..., 0]) * jnp.sin(jnp.pi * x[..., 1])
+    f = lambda x: 2 * jnp.pi**2 * u(x)
+    m = geo.isoparametric(hmesh.structured((4, 4)), _wavy2)
+    basis = DGBasis(m, np.full(16, 2))
+
+    def solve(basis):
+        A = api.laplace(basis, penalty=4.0, dirichlet=True)
+        b = api.l2_functional(basis, f)
+        bd = dirichlet_rhs(basis, u, penalty=4.0)
+        b = {p: b[p] + bd[p] for p in b}
+        x, _ = api.solve_linear(basis, A, b, tol=1e-10, maxiter=400)
+        return x
+
+    x = solve(basis)
+    err1 = float(l2_error(basis, x, u))
+    eta = np.asarray(api.local_norm(
+        basis, {p: x[p] - api.interpolate(basis, u)[p] for p in x},
+        penalty=4.0))
+    marks = mark_fraction(eta, 0.7)
+    assert marks.any() and not marks.all()
+    saved = save_state(basis, x)
+    m2 = adaptive.refine_local(m, adaptive.close_marks(m, marks))
+    assert m2.corners is not None
+    deg2 = np.full(m2.n_elements, 2)
+    basis2 = DGBasis(m2, deg2)
+    x0 = interpolate_to(saved, basis2)
+    assert float(np.asarray(
+        sum(jnp.sum(v**2) for v in x0.values()))) > 0
+    x2 = solve(basis2)
+    err2 = float(l2_error(basis2, x2, u))
+    assert err2 < 0.7 * err1, (err1, err2)
