@@ -548,3 +548,31 @@ def test_h_multigrid_on_curved_mesh_converges():
     r_box = rate_for(hmesh.structured((3, 3)))
     r_wavy = rate_for(geo.isoparametric(hmesh.structured((3, 3)), _wavy2))
     assert r_wavy < 1.0 and r_wavy < r_box + 0.05, (r_box, r_wavy)
+
+
+def test_neumann_rhs_curved_surface_measure():
+    """∫_bdry 1 · v summed over all test functions = physical surface
+    area.  Independent check: the area of each curved boundary face is
+    integrated by dense sampling of the Q1 map's tangent vectors
+    (finite differences + cross products, no shared code)."""
+    from hpdg_tpu.assemble.rhs import neumann_rhs
+    m = geo.isoparametric(hmesh.structured((3, 3)), _wavy2)
+    basis = DGBasis(m, np.full(9, 3))
+    b = neumann_rhs(basis, lambda x: jnp.ones_like(x[..., 0]))
+    total = sum(float(jnp.sum(v)) for v in b.values())
+
+    # independent: sample each boundary edge densely through the map
+    area = 0.0
+    s = np.linspace(0.0, 1.0, 2001)
+    mid = 0.5 * (s[1:] + s[:-1])
+    for f in range(len(m.bfaces)):
+        e = int(m.bfaces.elem[f])
+        ax = int(m.bfaces.axis[f])
+        side = int(m.bfaces.side[f])
+        tang = 1 - ax
+        xg = np.zeros((len(s), 2))
+        xg[:, ax] = m.lower[e, ax] + side * m.extent[e, ax]
+        xg[:, tang] = m.lower[e, tang] + s * m.extent[e, tang]
+        xp = geo.apply_map(m, np.full(len(s), e), xg[None])[0]
+        area += np.linalg.norm(np.diff(xp, axis=0), axis=1).sum()
+    assert abs(total - area) < 1e-6 * area, (total, area)
