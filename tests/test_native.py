@@ -109,3 +109,67 @@ def test_native_factorized_rejects_bad_shapes():
     deg = np.array([2, 2, 2, 2, 3, 3, 3, 3])
     with pytest.raises(ValueError, match="single degree"):
         uniform_sipg_factorized_host(DGBasis(m3, deg))
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_refinement_loop_reaches_1e8():
+    """The bench.py iterative-refinement structure with the NATIVE host
+    residual kernel: f32 matrix-free MG chains + f64 native-apply
+    refinement steps drive the true f64 relative residual below 1e-8
+    (validates the native host-step integration without TPU access)."""
+    import jax
+    import jax.numpy as jnp
+    from hpdg_tpu.basis.dgbasis import DGBasis
+    from hpdg_tpu.assemble import l2_functional
+    from hpdg_tpu.solvers.multigrid import matrixfree_multigrid_solver
+    from hpdg_tpu.matrixfree.uniform import uniform_sipg_factorized_host
+    from hpdg_tpu.linalg import blockvector as bvv
+
+    n, p = 6, 4
+    meshes = [hmesh.structured((3, 3, 3))]
+    meshes.append(hmesh.refine(meshes[-1]))
+    mesh_mg = meshes[-1]
+    basis = DGBasis(mesh_mg, np.full(mesh_mg.n_elements, p))
+    f = lambda x: (2 * jnp.pi**2  # noqa: E731
+                   * jnp.sin(jnp.pi * x[..., 0])
+                   * jnp.sin(jnp.pi * x[..., 1])
+                   * jnp.sin(jnp.pi * x[..., 2]))
+    b64 = l2_functional(basis, f, dtype=jnp.float64)
+    nat = uniform_sipg_factorized_host(basis, penalty=2.0, dirichlet=True,
+                                       penalty_scaling="normal")
+    step, _ = matrixfree_multigrid_solver(
+        basis, penalty=2.0, dirichlet=True, meshes=meshes,
+        penalty_scaling="normal", use_pallas=False, cheby_degree=4,
+        dtype=jnp.float32)
+
+    def chain(rhs, k=6):
+        x = bvv.zeros_like(rhs)
+        for _ in range(k):
+            x = step(x, rhs)
+        return x
+
+    jchain = jax.jit(chain)
+    b64np = np.asarray(b64[p], np.float64)
+
+    def hstep(x64, c32, s):
+        x64 = x64 + float(s) * np.asarray(c32[p], np.float64)
+        r64 = b64np - nat(x64)
+        nr = float(np.linalg.norm(r64))
+        return x64, {p: (r64 / nr).astype(np.float32)}, nr
+
+    nb = float(np.linalg.norm(b64np))
+    x64 = np.zeros_like(b64np)
+    r32 = {p: jnp.asarray((b64np / nb).astype(np.float32))}
+    scale = nb
+    hist = [1.0]
+    for _ in range(6):
+        c32 = jax.device_get(jchain(r32))
+        x64, r32n, nr = hstep(x64, c32, scale)
+        hist.append(nr / nb)
+        if nr / nb <= 1e-8:
+            break
+        r32 = {p: jnp.asarray(r32n[p])}
+        scale = nr
+    assert hist[-1] <= 1e-8, hist
+    # monotone contraction of the refinement history
+    assert all(b2 < a2 for a2, b2 in zip(hist, hist[1:])), hist
