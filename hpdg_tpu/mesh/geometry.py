@@ -495,6 +495,57 @@ def from_hex_lattice(points, cells, lattice_shape, tol: float = 1e-9
     return m
 
 
+_VTK_CORNER_REF_2D = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float64)
+
+
+def from_quad_lattice(points, cells, lattice_shape, tol: float = 1e-9
+                      ) -> Mesh:
+    """2D analog of :func:`from_hex_lattice`: import a lattice-ordered
+    quadrilateral mesh (VTK quad vertex ordering, CCW).  Parallelogram
+    cells get affine maps; genuinely bilinear cells get Q1 corners."""
+    points = np.asarray(points, np.float64)
+    cells = np.asarray(cells)
+    shape = tuple(int(s) for s in lattice_shape)
+    n = cells.shape[0]
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"lattice_shape {shape} does not match {n} cells")
+    if points.shape[1] != 2 or cells.shape[1] != 4:
+        raise ValueError("expected (npts, 2) points and (ncells, 4) quads")
+    corners = points[cells]  # (n, 4, 2)
+    v0 = corners[:, 0]
+    A = np.stack([corners[:, 1] - v0, corners[:, 3] - v0], axis=-1)
+    pred = v0[:, None, :] + np.einsum("eab,cb->eca", A, _VTK_CORNER_REF_2D)
+    scale = np.abs(A).sum(axis=(1, 2))[:, None, None] + 1e-30
+    err = np.abs(pred - corners).max(axis=(1, 2)) / scale.reshape(-1)
+    bilinear = bool((err > tol).any())
+    idx = np.stack(np.meshgrid(*[np.arange(s) for s in shape],
+                               indexing="ij"), axis=-1).reshape(-1, 2)
+    lower = idx.astype(np.float64)
+    extent = np.ones_like(lower)
+    if bilinear:
+        B = _bits(2)
+        vtk_of_bit = np.array([int(np.where(
+            (_VTK_CORNER_REF_2D == B[c]).all(axis=1))[0][0])
+            for c in range(4)])
+        m = from_boxes(lower, extent, corners=corners[:, vtk_of_bit, :])
+        _check_q1_orientation(m, "from_quad_lattice")
+    else:
+        shift = v0 - np.einsum("eab,eb->ea", A, lower)
+        if np.linalg.det(A).min() <= 0:
+            raise ValueError("negative-area quad (check vertex ordering)")
+        m = from_boxes(lower, extent, jac=A, shift=shift)
+    f = m.faces
+    if len(f):
+        ctr_in = _face_centroid(m, f.inside, f.axis, high=True)
+        ctr_out = _face_centroid(m, f.outside, f.axis, high=False)
+        dev = np.abs(ctr_in - ctr_out).max()
+        if dev > 1e-8 * max(1.0, np.abs(points).max()):
+            raise ValueError(f"imported quads disagree on shared faces "
+                             f"(max deviation {dev:.2e}) — the cell "
+                             "array is not lattice-ordered")
+    return m
+
+
 def _face_centroid(mesh: Mesh, elems, axis, high: bool) -> np.ndarray:
     ctr = mesh.lower[elems] + 0.5 * mesh.extent[elems]
     off = np.zeros_like(ctr)

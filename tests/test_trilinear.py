@@ -576,3 +576,40 @@ def test_neumann_rhs_curved_surface_measure():
         xp = geo.apply_map(m, np.full(len(s), e), xg[None])[0]
         area += np.linalg.norm(np.diff(xp, axis=0), axis=1).sum()
     assert abs(total - area) < 1e-6 * area, (total, area)
+
+
+def test_quad_lattice_import_2d():
+    """from_quad_lattice: wavy 2D vertices (VTK quad ordering) import to
+    the same operator as isoparametric() of the same map; parallelogram
+    lattices import as affine."""
+    shape = (3, 2)
+    nx, ny = shape
+    gx = np.stack(np.meshgrid(np.arange(nx + 1), np.arange(ny + 1),
+                              indexing="ij"), axis=-1
+                  ).reshape(-1, 2).astype(np.float64)
+    phi = lambda x: _wavy2(x / np.array(shape)) * np.array(shape)
+    pts = phi(gx)
+
+    def vid(i, j):
+        return i * (ny + 1) + j
+
+    cells = []
+    for i in range(nx):
+        for j in range(ny):
+            cells.append([vid(i, j), vid(i + 1, j),
+                          vid(i + 1, j + 1), vid(i, j + 1)])
+    m_imp = geo.from_quad_lattice(pts, np.asarray(cells), shape)
+    assert m_imp.corners is not None
+    m_iso = geo.isoparametric(hmesh.structured(shape, upper=shape), phi)
+    assert np.abs(m_imp.corners - m_iso.corners).max() < 1e-12
+    deg = np.array([1, 2, 3, 2, 1, 2])
+    A1 = bm.to_dense(assemble_laplace(DGBasis(m_imp, deg), penalty=2.0,
+                                      dirichlet=True), DGBasis(m_imp, deg))
+    A2 = bm.to_dense(assemble_laplace(DGBasis(m_iso, deg), penalty=2.0,
+                                      dirichlet=True), DGBasis(m_iso, deg))
+    assert np.abs(np.asarray(A1) - np.asarray(A2)).max() < 1e-12
+
+    # parallelogram lattice -> affine representation
+    S = np.array([[1.0, 0.4], [0.1, 0.8]])
+    m_aff = geo.from_quad_lattice(gx @ S.T, np.asarray(cells), shape)
+    assert m_aff.jac is not None and m_aff.corners is None
