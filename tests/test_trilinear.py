@@ -613,3 +613,26 @@ def test_quad_lattice_import_2d():
     S = np.array([[1.0, 0.4], [0.1, 0.8]])
     m_aff = geo.from_quad_lattice(gx @ S.T, np.asarray(cells), shape)
     assert m_aff.jac is not None and m_aff.corners is None
+
+
+def test_hp_smoothness_decision_on_curved_mesh():
+    """The Legendre-decay smoothness indicator drives the hp decision on
+    a curved mesh: a globally smooth field votes 'raise p' (small
+    indicator) while a kinked field votes 'refine h' (large indicator)
+    on the elements containing the kink — geometry does not confuse the
+    parametric modal decay (smoothnessindicator.hh:12-41 role)."""
+    from hpdg_tpu.estimators.smoothness import smoothness_indicator
+    from hpdg_tpu.blocks import api
+    m = geo.isoparametric(hmesh.structured((4, 4)), _wavy2)
+    basis = DGBasis(m, np.full(16, 3))
+    xs = api.interpolate(basis, lambda p: jnp.sin(p[..., 0])
+                         * jnp.cos(p[..., 1]))
+    xr = api.interpolate(basis, lambda p: jnp.abs(p[..., 0] - 0.53)
+                         + jnp.abs(p[..., 1] - 0.47))
+    ind_s = np.asarray(smoothness_indicator(basis, xs))
+    ind_r = np.asarray(smoothness_indicator(basis, xr))
+    # kinked: strong, LOCALIZED response (large only on kink elements);
+    # smooth: uniformly weak
+    assert ind_r.max() > 3 * ind_s.max(), (ind_r.max(), ind_s.max())
+    assert np.median(ind_r) < ind_r.max() / 10, (np.median(ind_r),
+                                                 ind_r.max())
