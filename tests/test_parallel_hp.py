@@ -1013,3 +1013,25 @@ def test_trilinear_sharded_pmg_solves():
     err = max(np.abs(np.asarray(xs[p]) - np.asarray(xg[p])).max()
               for p in xs)
     assert err < 1e-8, err
+
+
+def test_trilinear_sharded_adaptive_loop():
+    """The full sharded adaptive loop on a CURVED (trilinear) base mesh:
+    solve -> estimate -> mark -> refine (children restrict the Q1 map)
+    -> repartition -> migrate, with incremental replanning.  Residuals
+    stay converged every cycle and the mesh grows where marked."""
+    from hpdg_tpu.mesh import geometry as geo
+    from hpdg_tpu.parallel.adaptive import sharded_adaptive_solve
+
+    def f(x):
+        return jnp.exp(-40 * ((x[..., 0] - 0.4) ** 2
+                              + (x[..., 1] - 0.5) ** 2))
+
+    m0 = geo.isoparametric(hmesh.structured((8, 4)), _wavy_tri)
+    mesh_f, deg_f, x_f, info = sharded_adaptive_solve(
+        m0, np.full(32, 2), f, devices=jax.devices()[:8], cycles=2,
+        frac=0.25, penalty=2.0, penalty_scaling="measure", cg_iters=300,
+        partition="inherit")
+    assert mesh_f.corners is not None
+    assert mesh_f.n_elements > 32
+    assert all(float(r) < 1e-9 for r in info["residual"]), info["residual"]
