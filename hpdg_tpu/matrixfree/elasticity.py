@@ -20,6 +20,87 @@ from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
                                     boundary_penalty_coef)
 
 
+def elasticity_geom_tables(basis: DGBasis, plan: AssemblyPlan | None = None,
+                           penalty: float = 2.0, dirichlet: bool = False,
+                           penalty_scaling: str = "measure") -> dict:
+    """Per-point geometry tables of the elasticity operator as a plain
+    pytree of numpy arrays — everything in the operator that depends on
+    the element maps (and nothing that depends only on the parametric
+    lattice).  Keys:
+
+    * ``bulk[p] = (H, dA)``: H[n,q,b,a] = (1/h_b) J^-1 (local-parametric
+      derivative b -> physical derivative a), dA[n,q] = |det J|;
+    * ``face[i] = (H_in, H_out, R_in, R_out, pen)`` per face group:
+      R[n,q,a] = |det J| J^-1[ax,a] is the Nanson covector, ``pen`` the
+      per-face penalty coefficient;
+    * ``bnd[i] = (H, R, pen)`` per Dirichlet boundary group (outward R).
+
+    The sharded layer stacks these per shard and feeds them through
+    ``shard_map`` so ONE compiled SPMD program serves shards with
+    different physical geometry (the vector-valued analog of the scalar
+    path's [.., q, d, d] coefficient arrays in parallel/hp.py)."""
+    from hpdg_tpu.mesh import geometry as geo
+    from hpdg_tpu.assemble.plan import face_phys_points
+    plan = plan or build_plan(basis)
+    mesh = basis.mesh
+    d = mesh.dim
+
+    def h_and_det(elems, xpq):
+        Jac = geo.jacobians(mesh, elems, xpq)
+        Ji = np.linalg.inv(Jac)
+        dA = np.abs(np.linalg.det(Jac))
+        H = (1.0 / mesh.extent[elems])[:, None, :, None] * Ji
+        return H, Ji, dA
+
+    bulk = {}
+    for p in basis.bucket_degrees:
+        vt = tensor.volume_tables(p, d, p + 2, family=basis.family)
+        elems = basis.bucket_elems[p]
+        ext = mesh.extent[elems]
+        xpq = (mesh.lower[elems][:, None, :]
+               + vt["points"][None, :, :] * ext[:, None, :])
+        H, _, dA = h_and_det(elems, xpq)
+        bulk[p] = (H, dA)
+
+    face = []
+    for fg in plan.face_groups:
+        pmax = max(fg.p_in, fg.p_out)
+        fin, _ = face_group_tables(basis, fg, pmax + 2)
+        xpq = face_phys_points(basis, fg, fin["points"])
+        ein = mesh.faces.inside[fg.face_ids]
+        eout = mesh.faces.outside[fg.face_ids]
+        Hi, Jii, _ = h_and_det(ein, xpq)
+        Ho, Jio, _ = h_and_det(eout, xpq)
+        dAi = np.abs(1.0 / np.linalg.det(Jii))
+        dAo = np.abs(1.0 / np.linalg.det(Jio))
+        pen = geo.penalty_coef_mesh(mesh, fg, penalty, pmax,
+                                    penalty_scaling)
+        face.append((Hi, Ho, dAi[..., None] * Jii[:, :, fg.axis, :],
+                     dAo[..., None] * Jio[:, :, fg.axis, :], pen))
+
+    bnd = []
+    if dirichlet:
+        for bg in plan.boundary_groups:
+            ft = tensor.face_tables(bg.p, d, bg.axis, bg.side, bg.p + 2,
+                                    family=basis.family)
+            elems = mesh.bfaces.elem[bg.face_ids]
+            sign = 1.0 if bg.side == 1 else -1.0
+            lo = mesh.lower[elems].copy()
+            if bg.side == 1:
+                lo[:, bg.axis] += mesh.extent[elems, bg.axis]
+            tang = [a for a in range(d) if a != bg.axis]
+            xpq = np.repeat(lo[:, None, :], len(ft["weights"]), axis=1)
+            for t, a in enumerate(tang):
+                xpq[:, :, a] += ft["points"][None, :, t] \
+                    * mesh.extent[elems, a][:, None]
+            H, Ji, dA = h_and_det(elems, xpq)
+            pen = geo.boundary_penalty_coef_mesh(mesh, bg, penalty,
+                                                 penalty_scaling)
+            # outward Nanson covector
+            bnd.append((H, sign * dA[..., None] * Ji[:, :, bg.axis, :], pen))
+    return {"bulk": bulk, "face": tuple(face), "bnd": tuple(bnd)}
+
+
 def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
                         penalty: float = 2.0, dirichlet: bool = False,
                         dtype=jnp.float64, plan: AssemblyPlan | None = None,
@@ -28,7 +109,13 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
     """Returns apply: {p: [n, dim*(p+1)^dim]} -> same (jit-safe).
 
     ``include_bulk=False`` gives the skeleton/boundary terms only (used
-    by the sharded layer's masked boundary corrections)."""
+    by the sharded layer's masked boundary corrections).
+
+    On meshes with first-class geometry the returned apply also accepts
+    ``apply(x, gt)`` where ``gt`` overrides the baked-in geometry tables
+    (see :func:`elasticity_geom_tables`) — possibly with traced arrays,
+    which is how the sharded layer feeds per-shard geometry through one
+    SPMD program."""
     from hpdg_tpu.mesh import geometry as geo
     plan = plan or build_plan(basis)
     mesh = basis.mesh
@@ -36,32 +123,22 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
     geom = geo.has_geometry(mesh)
     J = lambda a: jnp.asarray(a, dtype)  # noqa: E731
 
-    def h_table(elems, xpq):
-        """H[n,q,b,a] = (1/h_b) Jinv[n,q,b,a]: local-parametric deriv b
-        -> physical deriv a, per point; R[n,q,a] = |det J| Jinv[ax,a]
-        is the Nanson covector (computed at face prep sites)."""
-        Jac = geo.jacobians(mesh, elems, xpq)
-        Ji = np.linalg.inv(Jac)
-        dA = np.abs(np.linalg.det(Jac))
-        ih = 1.0 / mesh.extent[elems]
-        return ih[:, None, :, None] * Ji, dA
+    baked_gt = (elasticity_geom_tables(basis, plan, penalty=penalty,
+                                       dirichlet=dirichlet,
+                                       penalty_scaling=penalty_scaling)
+                if geom else None)
 
-    # ---- bulk prep: per bucket quadrature tables + geometry ----
+    # ---- bulk prep: per bucket parametric quadrature tables ----
     bulk_prep = {}
     for p in basis.bucket_degrees:
         vt = tensor.volume_tables(p, d, p + 2, family=basis.family)
         elems = basis.bucket_elems[p]
         ext = mesh.extent[elems]
         detJ = np.prod(ext, axis=1)
-        H = dA = None
-        if geom:
-            xpq = (mesh.lower[elems][:, None, :]
-                   + vt["points"][None, :, :] * ext[:, None, :])
-            H, dA = h_table(elems, xpq)
-        bulk_prep[p] = (vt["G"], vt["weights"], ext, detJ, H, dA)
+        bulk_prep[p] = (vt["G"], vt["weights"], ext, detJ)
 
     fgroups = []
-    for fg in plan.face_groups:
+    for gi, fg in enumerate(plan.face_groups):
         pmax = max(fg.p_in, fg.p_out)
         fin, fout = face_group_tables(basis, fg, pmax + 2)
         ein = mesh.faces.inside[fg.face_ids]
@@ -71,21 +148,13 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
             ih_in=1.0 / mesh.extent[ein],  # (nf, d)
             ih_out=1.0 / mesh.extent[eout],
         )
-        if geom:
-            from hpdg_tpu.assemble.plan import face_phys_points
-            xpq = face_phys_points(basis, fg, fin["points"])
-            for tag, elems in (("in", ein), ("out", eout)):
-                Jac = geo.jacobians(mesh, elems, xpq)
-                Ji = np.linalg.inv(Jac)
-                dA = np.abs(np.linalg.det(Jac))
-                g["H_" + tag] = (1.0 / mesh.extent[elems])[:, None, :, None] \
-                    * Ji
-                g["R_" + tag] = dA[..., None] * Ji[:, :, fg.axis, :]
+        if not geom:
+            g["pen"] = penalty_coef(fg, penalty, pmax, penalty_scaling)
         fgroups.append(g)
 
     bgroups = []
     if dirichlet:
-        for bg in plan.boundary_groups:
+        for bi, bg in enumerate(plan.boundary_groups):
             ft = tensor.face_tables(bg.p, d, bg.axis, bg.side, bg.p + 2,
                                     family=basis.family)
             elems = mesh.bfaces.elem[bg.face_ids]
@@ -93,21 +162,9 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
                 bg=bg, ft=ft, sign=1.0 if bg.side == 1 else -1.0,
                 ih=1.0 / mesh.extent[elems],
             )
-            if geom:
-                lo = mesh.lower[elems].copy()
-                if bg.side == 1:
-                    lo[:, bg.axis] += mesh.extent[elems, bg.axis]
-                tang = [a for a in range(d) if a != bg.axis]
-                xpq = np.repeat(lo[:, None, :], len(ft["weights"]), axis=1)
-                for t, a in enumerate(tang):
-                    xpq[:, :, a] += ft["points"][None, :, t] \
-                        * mesh.extent[elems, a][:, None]
-                Jac = geo.jacobians(mesh, elems, xpq)
-                Ji = np.linalg.inv(Jac)
-                dA = np.abs(np.linalg.det(Jac))
-                g["H"] = (1.0 / mesh.extent[elems])[:, None, :, None] * Ji
-                # outward Nanson covector
-                g["R"] = g["sign"] * dA[..., None] * Ji[:, :, bg.axis, :]
+            if not geom:
+                g["pen"] = boundary_penalty_coef(bg, penalty,
+                                                 penalty_scaling)
             bgroups.append(g)
 
     def traction(du, ax, mu_, lam_):
@@ -116,13 +173,15 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
         t = mu_ * (du[..., ax, :] + du[..., :, ax])
         return t + lam_ * div * (jnp.arange(d) == ax).astype(du.dtype)
 
-    def apply(x):
+    def apply(x, gt=None):
+        gt = baked_gt if gt is None else gt
         y = {}
         if not include_bulk:
             y = {p: jnp.zeros_like(x[p]) for p in x}
         # -------- bulk: 2 mu eps(u):eps(v) + lam div div --------
-        for p, (G, w, ext, detJ, H, dA) in (bulk_prep.items()
-                                            if include_bulk else ()):
+        for p, (G, w, ext, detJ) in (bulk_prep.items()
+                                     if include_bulk else ()):
+            H, dA = gt["bulk"][p] if geom else (None, None)
             nl = (p + 1) ** d
             u = x[p].reshape(-1, d, nl)
             n = u.shape[0]
@@ -152,14 +211,11 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
             y[p] = out.reshape(n, d * nl)
 
         # -------- interior faces --------
-        for g in fgroups:
+        for gi, g in enumerate(fgroups):
             fg = g["fg"]
             fin, fout = g["fin"], g["fout"]
             w = J(fin["weights"])
-            pen = J(geo.penalty_coef_mesh(mesh, fg, penalty, g["pmax"],
-                                          penalty_scaling)
-                    if geom else
-                    penalty_coef(fg, penalty, g["pmax"], penalty_scaling))
+            pen = J(gt["face"][gi][4] if geom else g["pen"])
             nli = (fg.p_in + 1) ** d
             nlo = (fg.p_out + 1) ** d
             u_in = x[fg.p_in][jnp.asarray(fg.in_pos)].reshape(-1, d, nli)
@@ -174,8 +230,9 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
             zw = J(fg.fmeas)[:, None, None] * w[None, :, None]
             penw = pen[:, None, None] * w[None, :, None]
             if geom:
-                Hi, Ho = J(g["H_in"]), J(g["H_out"])
-                Ri, Ro = J(g["R_in"]), J(g["R_out"])
+                Hi_, Ho_, Ri_, Ro_, _ = gt["face"][gi]
+                Hi, Ho = J(Hi_), J(Ho_)
+                Ri, Ro = J(Ri_), J(Ro_)
                 duin = jnp.einsum("nci,biq,nqba->nqac", u_in, Di, Hi)
                 duout = jnp.einsum("nci,biq,nqba->nqac", u_out, Do, Ho)
 
@@ -243,14 +300,11 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
                 y_out.reshape(-1, d * nlo))
 
         # -------- Dirichlet boundary --------
-        for g in bgroups:
+        for bi, g in enumerate(bgroups):
             bg = g["bg"]
             ft = g["ft"]
             w = J(ft["weights"])
-            pen = J(geo.boundary_penalty_coef_mesh(mesh, bg, penalty,
-                                                   penalty_scaling)
-                    if geom else
-                    boundary_penalty_coef(bg, penalty, penalty_scaling))
+            pen = J(gt["bnd"][bi][2] if geom else g["pen"])
             nl = (bg.p + 1) ** d
             u = x[bg.p][jnp.asarray(bg.pos)].reshape(-1, d, nl)
             V, Dall = J(ft["V"]), J(ft["Dall"])
@@ -259,7 +313,8 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
             zw = J(bg.fmeas)[:, None, None] * w[None, :, None]
             penw = pen[:, None, None] * w[None, :, None]
             if geom:
-                Hb, Rb = J(g["H"]), J(g["R"])
+                Hb_, Rb_, _ = gt["bnd"][bi]
+                Hb, Rb = J(Hb_), J(Rb_)
                 du = jnp.einsum("nci,biq,nqba->nqac", u, Dall, Hb)
                 eps = 0.5 * (du + jnp.swapaxes(du, -2, -1))
                 div = jnp.trace(du, axis1=-2, axis2=-1)

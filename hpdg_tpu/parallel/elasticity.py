@@ -21,6 +21,20 @@ traction face terms:
 
 Correctness contract: equals the serial global elasticity operator at
 1e-11 (test_parallel_hp.py::test_sharded_elasticity_matches_serial).
+
+General geometry (``gmesh=`` with first-class affine or trilinear maps):
+the template trick no longer applies — instead the per-shard geometry
+tables of the serial operator (H/R/penalty arrays, see
+``matrixfree.elasticity.elasticity_geom_tables``) are stacked over the
+device axis and fed through ``shard_map``, so ONE compiled SPMD program
+serves shards with different physical geometry; edge shards' missing
+ghost layers get Q1-extrapolated ("mirror") corners whose Jacobian at
+the shared face equals the owned element's, and the masked boundary
+corrections carry an exact per-face penalty-difference term, making the
+apply equal to the serial curved operator at 1e-11 for both penalty
+conventions.  Reference analog: elasticity assembled through generic
+fufem machinery on arbitrary DUNE grids + communicationhpdg.hh's
+parallel layer.
 """
 
 from __future__ import annotations
@@ -35,7 +49,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from hpdg_tpu import mesh as hmesh
 from hpdg_tpu.basis.dgbasis import DGBasis
 from hpdg_tpu.assemble.plan import build_plan
-from hpdg_tpu.matrixfree.elasticity import elasticity_operator
+from hpdg_tpu.matrixfree.elasticity import (elasticity_operator,
+                                            elasticity_geom_tables)
 
 
 @dataclass
@@ -50,6 +65,9 @@ class ShardedElasticity:
     bs: int                      # dim * (p+1)^dim
     apply: callable              # [N, bs] -> [N, bs] (sharded)
     sharding: NamedSharding
+    # general-geometry extras (None for the translation-invariant path):
+    # per-shard extended bases, for per-shard preconditioner blocks
+    shard_ebases: list | None = None
 
     @property
     def n_global(self) -> int:
@@ -60,8 +78,18 @@ def build_sharded_elasticity(cells, p: int, mu: float = 1.0,
                              lam: float = 1.0, devices=None,
                              penalty: float = 8.0, dirichlet: bool = True,
                              axis_name: str = "x", dtype=jnp.float64,
-                             penalty_scaling: str = "measure"
-                             ) -> ShardedElasticity:
+                             penalty_scaling: str = "measure",
+                             gmesh=None) -> ShardedElasticity:
+    """``gmesh``: optional global mesh over the ``cells`` lattice
+    (C element order, axis 0 slowest) carrying first-class geometry —
+    curved-domain elasticity then shards via per-device geometry tables
+    instead of the translation-invariant template."""
+    from hpdg_tpu.mesh import geometry as geo
+    if gmesh is not None and geo.has_geometry(gmesh):
+        return _build_sharded_elasticity_geom(
+            gmesh, cells, p, mu=mu, lam=lam, devices=devices,
+            penalty=penalty, dirichlet=dirichlet, axis_name=axis_name,
+            dtype=dtype, penalty_scaling=penalty_scaling)
     cells = tuple(int(c) for c in cells)
     dim = len(cells)
     devices = devices if devices is not None else jax.devices()
@@ -152,6 +180,205 @@ def build_sharded_elasticity(cells, p: int, mu: float = 1.0,
                              apply=apply_sharded, sharding=sharding)
 
 
+def _global_corners(gmesh) -> np.ndarray:
+    """(n, 2^d, d) physical corners of every element — native for
+    trilinear meshes; for affine meshes the Q1 interpolation of the
+    affine corner images reproduces the affine map exactly."""
+    from hpdg_tpu.mesh import geometry as geo
+    if geo.is_trilinear(gmesh):
+        return np.asarray(gmesh.corners, np.float64)
+    B = geo._bits(gmesh.dim)
+    X = gmesh.lower[:, None, :] + B[None] * gmesh.extent[:, None, :]
+    return gmesh.shift[:, None, :] + np.einsum("eab,ekb->eka", gmesh.jac, X)
+
+
+def _build_sharded_elasticity_geom(gmesh, cells, p: int, mu, lam, devices,
+                                   penalty, dirichlet, axis_name, dtype,
+                                   penalty_scaling) -> ShardedElasticity:
+    """Curved-mesh sharded elasticity: one SPMD program, per-shard
+    geometry tables stacked over the device axis (module docstring)."""
+    from hpdg_tpu.mesh import geometry as geo
+    cells = tuple(int(c) for c in cells)
+    dim = len(cells)
+    nc2 = 2 ** dim
+    half = nc2 // 2  # corner index < half <=> low side along axis 0
+    devices = devices if devices is not None else jax.devices()
+    ndev = len(devices)
+    if cells[0] % ndev != 0:
+        raise ValueError(f"cells[0]={cells[0]} not divisible by {ndev}")
+    if int(np.prod(cells)) != gmesh.n_elements:
+        raise ValueError("gmesh does not match the cells lattice")
+    loc0 = cells[0] // ndev
+    h = 1.0 / np.asarray(cells)
+    layer = int(np.prod(cells[1:]))
+    n_local = loc0 * layer
+    bs = dim * (p + 1) ** dim
+
+    # global corners in x-major layer layout (C element order, axis 0
+    # slowest): (cells[0], layer, 2^d, d)
+    C = _global_corners(gmesh).reshape(cells[0], layer, nc2, dim)
+
+    def mirror_low(F):
+        """Ghost layer left of first-layer corners F: shared face
+        coincides (ghost high half = F low half) and the low half is the
+        Q1 extrapolation, so the ghost Jacobian on the shared face
+        equals F's there (positive orientation — a sheared translation,
+        not a reflection)."""
+        G = np.empty_like(F)
+        G[:, half:] = F[:, :half]
+        G[:, :half] = 2.0 * F[:, :half] - F[:, half:]
+        return G
+
+    def mirror_high(L):
+        G = np.empty_like(L)
+        G[:, :half] = L[:, half:]
+        G[:, half:] = 2.0 * L[:, half:] - L[:, :half]
+        return G
+
+    # parametric extended template (identical for every shard)
+    ecells = (loc0 + 2,) + cells[1:]
+    upper = (float((loc0 + 2) * h[0]),) + tuple(1.0 for _ in cells[1:])
+    etmpl = hmesh.structured(ecells, upper=upper)
+    degs_ext = np.full(etmpl.n_elements, p)
+    eplan_full = build_plan(DGBasis(etmpl, degs_ext))
+    # template x-boundary groups belong to the ghost far ends (rows
+    # discarded); drop them from the operator plan
+    eplan = replace(eplan_full, boundary_groups=tuple(
+        bg for bg in eplan_full.boundary_groups if bg.axis != 0))
+
+    # one-layer correction templates (low/high side of the shard)
+    lcells = (1,) + cells[1:]
+    ltmpl = hmesh.structured(lcells, upper=(float(h[0]),)
+                             + tuple(1.0 for _ in cells[1:]))
+    degs_lay = np.full(layer, p)
+    lplan_full = build_plan(DGBasis(ltmpl, degs_lay))
+    lplans = {}
+    for side in (0, 1):
+        lplans[side] = replace(
+            lplan_full, face_groups=(), boundary_groups=tuple(
+                bg for bg in lplan_full.boundary_groups
+                if bg.axis == 0 and bg.side == side))
+
+    # phantom interface faces in the extended plan: (axis-0 group face
+    # index, layer position of the owned element) per shard edge
+    phantom = {}
+    for fg in eplan.face_groups:
+        if fg.axis != 0:
+            continue
+        ein = etmpl.faces.inside[fg.face_ids]
+        eout = etmpl.faces.outside[fg.face_ids]
+        lo_mask = (ein < layer) | (eout < layer)
+        hi0 = (loc0 + 1) * layer
+        hi_mask = (ein >= hi0) | (eout >= hi0)
+        own_lo = np.where(ein < layer, eout, ein) - layer
+        own_hi = np.where(ein >= hi0, eout, ein) - loc0 * layer
+        phantom[0] = (fg, np.nonzero(lo_mask)[0], own_lo[lo_mask])
+        phantom[1] = (fg, np.nonzero(hi_mask)[0], own_hi[hi_mask])
+
+    # ---- per-shard geometry tables ----
+    np_dtype = np.float64 if jnp.asarray(0.0, dtype).dtype == jnp.float64 \
+        else np.float32
+    gts_ext, gts_lo, gts_hi, gts_full_lo, gts_full_hi = [], [], [], [], []
+    shard_ebases = []
+    for s in range(ndev):
+        own = C[s * loc0:(s + 1) * loc0]
+        gl = C[s * loc0 - 1] if s > 0 else mirror_low(C[0])
+        gr = C[(s + 1) * loc0] if s < ndev - 1 else mirror_high(C[-1])
+        ecorn = np.concatenate([gl[None], own, gr[None]]
+                               ).reshape(-1, nc2, dim)
+        emesh_s = replace(etmpl, corners=ecorn)
+        ebasis_s = DGBasis(emesh_s, degs_ext)
+        shard_ebases.append(ebasis_s)
+        gts_ext.append(elasticity_geom_tables(
+            ebasis_s, eplan, penalty=penalty, dirichlet=dirichlet,
+            penalty_scaling=penalty_scaling))
+        # corrections: one-layer meshes with the shard's true edge-layer
+        # geometry; the penalty table carries the exact difference
+        # between the true boundary coefficient and the phantom face's
+        for side, lay in ((0, own[0]), (1, own[-1])):
+            lmesh_s = replace(ltmpl, corners=lay)
+            lb_s = DGBasis(lmesh_s, degs_lay)
+            gt = elasticity_geom_tables(lb_s, lplans[side],
+                                        penalty=penalty, dirichlet=True,
+                                        penalty_scaling=penalty_scaling)
+            fg, fidx, ownpos = phantom[side]
+            pen_ph_all = geo.penalty_coef_mesh(emesh_s, fg, penalty, p,
+                                               penalty_scaling)
+            pen_ph = np.zeros(layer)
+            pen_ph[ownpos] = pen_ph_all[fidx]
+            (bgH, bgR, pen_bnd) = gt["bnd"][0]
+            bg = lplans[side].boundary_groups[0]
+            q = lmesh_s.bfaces.elem[bg.face_ids]
+            delta = pen_bnd - pen_ph[q]
+            # clo/chi are applied with weight 1/2: pen table 2*delta
+            # yields the exact penalty correction (see module docstring)
+            gt_cons = dict(gt, bnd=((bgH, bgR, 2.0 * delta),))
+            (gts_lo if side == 0 else gts_hi).append(gt_cons)
+            if not dirichlet:
+                (gts_full_lo if side == 0 else gts_full_hi).append(gt)
+
+    def stack(gts):
+        return jax.tree.map(
+            lambda *a: jnp.asarray(np.stack(a).astype(np_dtype)), *gts)
+
+    GT = [stack(gts_ext), stack(gts_lo), stack(gts_hi)]
+    if not dirichlet:
+        GT += [stack(gts_full_lo), stack(gts_full_hi)]
+
+    # ---- operators (traced once; geometry arrives as arguments) ----
+    op_ext = elasticity_operator(shard_ebases[0], mu=mu, lam=lam,
+                                 penalty=penalty, dirichlet=dirichlet,
+                                 plan=eplan, dtype=dtype,
+                                 penalty_scaling=penalty_scaling)
+    corr_ops = {}
+    for side in (0, 1):
+        lmesh0 = replace(ltmpl, corners=C[0] if side == 0 else C[-1])
+        lb0 = DGBasis(lmesh0, degs_lay)
+        corr_ops[side] = elasticity_operator(
+            lb0, mu=mu, lam=lam, penalty=penalty, dirichlet=True,
+            plan=lplans[side], dtype=dtype, include_bulk=False,
+            penalty_scaling=penalty_scaling)
+
+    right_perm = [(i, i + 1) for i in range(ndev - 1)]
+    left_perm = [(i + 1, i) for i in range(ndev - 1)]
+
+    def local_apply(x, *gt):
+        gt = [jax.tree.map(lambda a: a[0], g) for g in gt]
+        idx = jax.lax.axis_index(axis_name)
+        nsh = jax.lax.axis_size(axis_name)
+        has_left = (idx > 0).astype(x.dtype)
+        has_right = (idx < nsh - 1).astype(x.dtype)
+        xl = jax.lax.ppermute(x[-layer:], axis_name, right_perm)
+        xr = jax.lax.ppermute(x[:layer], axis_name, left_perm)
+        xe = jnp.concatenate([xl, x, xr], axis=0)
+        y = op_ext({p: xe}, gt[0])[p][layer:-layer]
+        clo = corr_ops[0]({p: x[:layer]}, gt[1])[p]
+        chi = corr_ops[1]({p: x[-layer:]}, gt[2])[p]
+        if dirichlet:
+            add_lo, add_hi = 0.5 * clo, 0.5 * chi
+        else:
+            add_lo = 0.5 * clo - corr_ops[0]({p: x[:layer]}, gt[3])[p]
+            add_hi = 0.5 * chi - corr_ops[1]({p: x[-layer:]}, gt[4])[p]
+        y = y.at[:layer].add((1 - has_left) * add_lo)
+        y = y.at[-layer:].add((1 - has_right) * add_hi)
+        return y
+
+    device_mesh = Mesh(np.array(devices), (axis_name,))
+    sharding = NamedSharding(device_mesh, P(axis_name, None))
+    raw = jax.jit(jax.shard_map(
+        local_apply, mesh=device_mesh,
+        in_specs=(P(axis_name, None),) + (P(axis_name),) * len(GT),
+        out_specs=P(axis_name, None)))
+    GT = jax.device_put(GT, NamedSharding(device_mesh, P(axis_name)))
+    apply_sharded = lambda x: raw(x, *GT)  # noqa: E731
+
+    return ShardedElasticity(cells=cells, p=p, ndev=ndev,
+                             axis_name=axis_name, device_mesh=device_mesh,
+                             layer=layer, n_local=n_local, bs=bs,
+                             apply=apply_sharded, sharding=sharding,
+                             shard_ebases=shard_ebases)
+
+
 def elasticity_pcg_solve(prob: ShardedElasticity, b, iters: int = 200,
                          mu: float = 1.0, lam: float = 1.0,
                          penalty: float = 8.0, dirichlet: bool = True,
@@ -169,21 +396,39 @@ def elasticity_pcg_solve(prob: ShardedElasticity, b, iters: int = 200,
     p = prob.p
     dim = len(prob.cells)
     loc0 = prob.n_local // prob.layer
-    ecells = (loc0 + 2,) + prob.cells[1:]
-    h = 1.0 / np.asarray(prob.cells)
-    emesh = hmesh.structured(ecells, upper=(float((loc0 + 2) * h[0]),)
-                             + tuple(1.0 for _ in prob.cells[1:]))
-    ebasis = DGBasis(emesh, np.full(emesh.n_elements, p))
-    D = elasticity_diagonal_blocks(ebasis, mu=mu, lam=lam, penalty=penalty,
-                                   dirichlet=dirichlet, dtype=dtype)
-    Dmid = np.asarray(D[p])[prob.layer:-prob.layer]
-    Dinv = jnp.asarray(np.linalg.inv(Dmid), dtype)
+    if prob.shard_ebases is not None:
+        # general geometry: per-shard blocks from each shard's extended
+        # basis (interface flavor at the shard edges, as in the box path)
+        Dsh = []
+        for eb in prob.shard_ebases:
+            D = elasticity_diagonal_blocks(eb, mu=mu, lam=lam,
+                                           penalty=penalty,
+                                           dirichlet=dirichlet, dtype=dtype)
+            Dsh.append(np.asarray(D[p])[prob.layer:-prob.layer])
+        Dinv = jnp.asarray(np.linalg.inv(np.stack(Dsh)), dtype)
 
-    def dinv_mul(r):
-        loc = r.reshape(prob.ndev, prob.n_local, prob.bs)
-        out = jnp.einsum("nij,dnj->dni", Dinv.astype(r.dtype), loc,
-                         preferred_element_type=r.dtype)
-        return out.reshape(r.shape)
+        def dinv_mul(r):
+            loc = r.reshape(prob.ndev, prob.n_local, prob.bs)
+            out = jnp.einsum("dnij,dnj->dni", Dinv.astype(r.dtype), loc,
+                             preferred_element_type=r.dtype)
+            return out.reshape(r.shape)
+    else:
+        ecells = (loc0 + 2,) + prob.cells[1:]
+        h = 1.0 / np.asarray(prob.cells)
+        emesh = hmesh.structured(ecells, upper=(float((loc0 + 2) * h[0]),)
+                                 + tuple(1.0 for _ in prob.cells[1:]))
+        ebasis = DGBasis(emesh, np.full(emesh.n_elements, p))
+        D = elasticity_diagonal_blocks(ebasis, mu=mu, lam=lam,
+                                       penalty=penalty,
+                                       dirichlet=dirichlet, dtype=dtype)
+        Dmid = np.asarray(D[p])[prob.layer:-prob.layer]
+        Dinv = jnp.asarray(np.linalg.inv(Dmid), dtype)
+
+        def dinv_mul(r):
+            loc = r.reshape(prob.ndev, prob.n_local, prob.bs)
+            out = jnp.einsum("nij,dnj->dni", Dinv.astype(r.dtype), loc,
+                             preferred_element_type=r.dtype)
+            return out.reshape(r.shape)
 
     def safe_div(a, d):
         return jnp.where(jnp.abs(d) > 0, a / jnp.where(d == 0, 1.0, d), 0.0)
