@@ -16,8 +16,9 @@ over all lines at once is one `lax.scan` over line position with dense
 [n_lines, B, B] matmuls per step — MXU-shaped and parallel over lines.
 
 Mixed degrees (hp) are handled by padding every block to the max bucket
-size B = (p_max+1)^dim with identity diagonals / zero couplings, so one
-static-shape scan serves the whole mesh.
+size B = ncomp * (p_max+1)^dim with identity diagonals / zero couplings
+(ncomp = the matrix block components: 1 for scalar problems, dim for
+elasticity systems), so one static-shape scan serves the whole mesh.
 
 Memory: the factorization stores three [n_elements, B, B] arrays
 (S^{-1}, L S^{-1}, U) — 3x the element-diagonal-block storage.  Line
@@ -89,14 +90,15 @@ def line_tridiag_factor(A: bm.BlockSparseMatrix, basis: DGBasis,
       U     — upper coupling blocks (0 at k=K-1),
     plus the line table and per-bucket scatter maps.
     """
-    if A.block_shape != (1, 1):
-        raise NotImplementedError("line smoother: scalar blocks only")
+    if A.block_shape[0] != A.block_shape[1]:
+        raise ValueError(f"non-square block shape {A.block_shape}")
+    ncomp = A.block_shape[0]  # 1 for scalar, dim for elasticity systems
     mesh = basis.mesh
     if lines is None:
         lines = build_lines(mesh, axis)
     n_lines, K = lines.shape
     pmax = basis.max_degree()
-    B = (pmax + 1) ** mesh.dim
+    B = ncomp * (pmax + 1) ** mesh.dim
 
     D = np.zeros((n_lines, K, B, B))
     U = np.zeros((n_lines, K, B, B))
@@ -109,7 +111,7 @@ def line_tridiag_factor(A: bm.BlockSparseMatrix, basis: DGBasis,
                 D[li, k] = eyeB
                 continue
             blk = _gather_block(A, basis, int(e), int(e), B)
-            bs = basis.block_sizes[e]
+            bs = ncomp * basis.block_sizes[e]
             blk[bs:, bs:] = np.eye(B - bs)  # identity on the hp padding
             D[li, k] = blk
             if k + 1 < K and lines[li, k + 1] >= 0:
