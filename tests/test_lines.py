@@ -240,3 +240,26 @@ def test_line_jacobi_vector_blocks_converges_anisotropic():
         x = step(x, b)
     r1 = float(bv.norm(bv.sub(b, bm.matvec(A, x))))
     assert r1 < 1e-3 * r0, (r0, r1)
+
+
+def test_elasticity_multigrid_line_smoother_anisotropy():
+    """End-to-end: hp-multigrid with smoother="line" solves STRETCHED
+    -cell elasticity (vector blocks through the line factorization) —
+    the system analog of the scalar anisotropy tests above."""
+    from hpdg_tpu.assemble.elasticity import (assemble_elasticity,
+                                              l2_functional_vec)
+    from hpdg_tpu.blocks import api
+
+    mesh = hmesh.structured((8, 4), upper=(1.0, 0.0625))  # 2:1 stretch
+    basis = DGBasis(mesh, np.full(mesh.n_elements, 2))
+    kw = dict(mu=1.0, lam=1.5, penalty=8.0, dirichlet=True,
+              penalty_scaling="normal")
+    A = assemble_elasticity(basis, dtype=jnp.float64, **kw)
+    b = l2_functional_vec(basis, lambda x: jnp.stack(
+        [jnp.sin(jnp.pi * x[..., 0]), jnp.cos(jnp.pi * x[..., 1])], -1))
+    factory = lambda bas: assemble_elasticity(  # noqa: E731
+        bas, dtype=jnp.float64, **kw)
+    x, info = api.solve_linear(basis, A, b, tol=1e-9, maxiter=60,
+                               operator_factory=factory, smoother="line")
+    r = bv.sub(b, bm.matvec(A, x))
+    assert float(bv.norm(r)) < 1e-8 * max(float(bv.norm(b)), 1.0)
