@@ -392,9 +392,19 @@ def elasticity_pcg_solve(prob: ShardedElasticity, b, iters: int = 200,
     blocks use the interface flavor instead of the Dirichlet one (an
     O(1)-quality approximation that only perturbs the preconditioner,
     never the operator).  Returns (x, ||r||)."""
+    dinv_mul = elasticity_dinv_mul(prob, mu=mu, lam=lam, penalty=penalty,
+                                   dirichlet=dirichlet, dtype=dtype)
+    run = jax.jit(_elasticity_pcg_runner(prob, dinv_mul, iters))
+    return run(b)
+
+
+def elasticity_dinv_mul(prob: ShardedElasticity, mu: float = 1.0,
+                        lam: float = 1.0, penalty: float = 8.0,
+                        dirichlet: bool = True, dtype=jnp.float64):
+    """Block-Jacobi preconditioner r -> D^{-1} r on the sharded layout
+    (see ``elasticity_pcg_solve`` for the block flavor)."""
     from hpdg_tpu.matrixfree.elasticity import elasticity_diagonal_blocks
     p = prob.p
-    dim = len(prob.cells)
     loc0 = prob.n_local // prob.layer
     if prob.shard_ebases is not None:
         # general geometry: per-shard blocks from each shard's extended
@@ -429,11 +439,15 @@ def elasticity_pcg_solve(prob: ShardedElasticity, b, iters: int = 200,
             out = jnp.einsum("nij,dnj->dni", Dinv.astype(r.dtype), loc,
                              preferred_element_type=r.dtype)
             return out.reshape(r.shape)
+    return dinv_mul
 
+
+def _elasticity_pcg_runner(prob: ShardedElasticity, dinv_mul,
+                           iters: int):
+    """Traceable block-Jacobi PCG: b -> (x, ||r||), one fori_loop."""
     def safe_div(a, d):
         return jnp.where(jnp.abs(d) > 0, a / jnp.where(d == 0, 1.0, d), 0.0)
 
-    @jax.jit
     def run(b):
         x = jnp.zeros_like(b)
         r = b
@@ -454,4 +468,183 @@ def elasticity_pcg_solve(prob: ShardedElasticity, b, iters: int = 200,
         st = jax.lax.fori_loop(0, iters, body, (x, r, z, z, rz))
         return st[0], jnp.linalg.norm(st[1])
 
-    return run(b)
+    return run
+
+
+@dataclass
+class ShardedElasticityPMG:
+    levels: list          # coarsest..finest ShardedElasticity problems
+    transfers: list       # per gap: [nl_f, nl_c] scalar interpolation
+    step: callable        # jit-safe V-cycle (x, b) -> x (sharded arrays)
+
+
+def build_sharded_elasticity_pmg(cells, p: int, mu: float = 1.0,
+                                 lam: float = 1.0, devices=None,
+                                 penalty: float = 8.0,
+                                 dirichlet: bool = True,
+                                 dtype=jnp.float64,
+                                 penalty_scaling: str = "measure",
+                                 gmesh=None, pre_steps: int = 3,
+                                 post_steps: int = 3,
+                                 coarse_cg_iters: int = 60
+                                 ) -> ShardedElasticityPMG:
+    """Sharded p-multigrid V-cycle for VECTOR-VALUED elasticity
+    (BASELINE config 4's h+p V-cycle on the device mesh; the scalar
+    analog is parallel.multigrid.build_sharded_pmg).  p-transfers act
+    per displacement component — element-local GEMMs, no communication;
+    smoothing is Chebyshev(pre/post_steps) on block-Jacobi with
+    per-shard (d (p+1)^dim)^2 blocks; the p=1 coarse level runs sharded
+    block-Jacobi PCG (psum reductions).  Works on box AND curved (``gmesh``) meshes — every
+    level reuses ``build_sharded_elasticity`` at its degree.
+
+    Coarse levels are re-discretized with a PENALTY-MATCHED coefficient
+    ``penalty * (p/q)^2`` so every level carries the FINE level's face
+    coefficient sigma*p^2.  Measured (dense two-grid spectral radii,
+    8x3 p=2 mu=1 lam=1.5 "normal"): naive re-discretization DIVERGES for
+    elasticity (rho 1.23 with 3+3 block-GS; the under-penalized coarse
+    overshoots the penalty modes), while penalty matching reproduces the
+    GALERKIN coarse rate exactly (0.6608 both) — the matrix-free analog
+    of the serial hierarchy's Galerkin products (solversetup.hh:151-157;
+    scalar SIPG tolerates naive re-discretization, elasticity does not).
+    """
+    from hpdg_tpu.basis import tensor
+    dim = len(cells)
+    orders = [p]
+    while orders[-1] > 1:
+        orders.append(max(1, orders[-1] // 2))
+    orders = orders[::-1]  # coarsest..finest
+
+    kw = dict(mu=mu, lam=lam, devices=devices,
+              dirichlet=dirichlet, dtype=dtype,
+              penalty_scaling=penalty_scaling, gmesh=gmesh)
+    pens = [penalty * (p / q) ** 2 for q in orders]
+    probs = [build_sharded_elasticity(cells, q, penalty=pq, **kw)
+             for q, pq in zip(orders, pens)]
+    dinvs = [elasticity_dinv_mul(pr, mu=mu, lam=lam, penalty=pq,
+                                 dirichlet=dirichlet, dtype=dtype)
+             for pr, pq in zip(probs, pens)]
+    Ts = [jnp.asarray(tensor.interpolation_matrix(orders[l], orders[l + 1],
+                                                  dim), dtype)
+          for l in range(len(orders) - 1)]
+
+    # per-level rho(D^-1 A) by power iteration (fixed-seed RANDOM start
+    # — the ones vector is A-smooth and nearly orthogonal to the top
+    # eigenvector, ROADMAP r3 item 13)
+    rng = np.random.default_rng(1887)
+    lmaxs = []
+    for prob, dinv in zip(probs, dinvs):
+        v0 = jax.device_put(
+            jnp.asarray(rng.standard_normal((prob.n_global, prob.bs)),
+                        dtype), prob.sharding)
+
+        @jax.jit
+        def rho_est(v0, prob=prob, dinv=dinv):
+            def body(i, v):
+                w = dinv(prob.apply(v))
+                return w / jnp.linalg.norm(w)
+            v = jax.lax.fori_loop(0, 30, body, v0 / jnp.linalg.norm(v0))
+            return jnp.linalg.norm(dinv(prob.apply(v)))
+        lmaxs.append(1.05 * float(rho_est(v0)))
+
+    def cheb(prob, dinv, lmax, x, b, degree, lmin_frac=0.15):
+        # Chebyshev on the block-Jacobi-preconditioned operator — the
+        # TPU-native smoother (no sequential sweeps; see
+        # solvers.smoothers.chebyshev_smoother for the window rationale)
+        theta = 0.5 * (lmax * lmin_frac + lmax)
+        delta = 0.5 * (lmax - lmax * lmin_frac)
+        r = dinv(b - prob.apply(x))
+        d = r / theta
+        sigma = theta / delta
+        rho_old = 1.0 / sigma
+        x = x + d
+        for _ in range(degree - 1):
+            r = dinv(b - prob.apply(x))
+            rho_new = 1.0 / (2.0 * sigma - rho_old)
+            d = (rho_new * rho_old) * d + (2.0 * rho_new / delta) * r
+            rho_old = rho_new
+            x = x + d
+        return x
+
+    coarse = _elasticity_pcg_runner(probs[0], dinvs[0], coarse_cg_iters)
+
+    def restrict(r, T, nl_f, nl_c):
+        r3 = r.reshape(-1, dim, nl_f)
+        return jnp.einsum("ndi,ic->ndc", r3, T,
+                          preferred_element_type=r.dtype
+                          ).reshape(-1, dim * nl_c)
+
+    def prolong(c, T, nl_f, nl_c):
+        c3 = c.reshape(-1, dim, nl_c)
+        return jnp.einsum("ndc,ic->ndi", c3, T,
+                          preferred_element_type=c.dtype
+                          ).reshape(-1, dim * nl_f)
+
+    def run(l, x, b):
+        if l == 0:
+            return coarse(b)[0]
+        prob = probs[l]
+        nl_f = (orders[l] + 1) ** dim
+        nl_c = (orders[l - 1] + 1) ** dim
+        x = cheb(prob, dinvs[l], lmaxs[l], x, b, pre_steps)
+        r = b - prob.apply(x)
+        rc = restrict(r, Ts[l - 1], nl_f, nl_c)
+        xc = run(l - 1, jnp.zeros_like(rc), rc)
+        x = x + prolong(xc, Ts[l - 1], nl_f, nl_c)
+        x = cheb(prob, dinvs[l], lmaxs[l], x, b, post_steps)
+        return x
+
+    nlev = len(orders)
+
+    def step(x, b):
+        return run(nlev - 1, x, b)
+
+    return ShardedElasticityPMG(levels=probs, transfers=Ts, step=step)
+
+
+def solve_sharded_elasticity_pmg(pmg: ShardedElasticityPMG, b,
+                                 cycles: int = 20):
+    """Run ``cycles`` V-cycles as one compiled program -> (x, ||r||)."""
+    fine = pmg.levels[-1]
+
+    @jax.jit
+    def runit(b):
+        x = jnp.zeros_like(b)
+        x = jax.lax.fori_loop(0, cycles, lambda i, xx: pmg.step(xx, b), x)
+        return x, jnp.linalg.norm(b - fine.apply(x))
+
+    return runit(b)
+
+
+def elasticity_pmg_pcg_solve(pmg: ShardedElasticityPMG, b,
+                             iters: int = 30):
+    """V-cycle-preconditioned CG (the production solve, like the scalar
+    path's hp_pmg_pcg_solve): one compiled program -> (x, ||r||/||b||).
+    The symmetric pre/post-Chebyshev V-cycle from zero is an SPD
+    preconditioner, so plain CG applies."""
+    fine = pmg.levels[-1]
+
+    def safe_div(a, d):
+        return jnp.where(jnp.abs(d) > 0, a / jnp.where(d == 0, 1.0, d), 0.0)
+
+    @jax.jit
+    def runit(b):
+        x = jnp.zeros_like(b)
+        r = b
+        z = pmg.step(jnp.zeros_like(r), r)
+        rz = jnp.vdot(r, z)
+
+        def body(i, st):
+            x, r, z, pv, rz = st
+            Ap = fine.apply(pv)
+            alpha = safe_div(rz, jnp.vdot(pv, Ap))
+            x = x + alpha * pv
+            r = r - alpha * Ap
+            z = pmg.step(jnp.zeros_like(r), r)
+            rz_new = jnp.vdot(r, z)
+            pv = z + safe_div(rz_new, rz) * pv
+            return x, r, z, pv, rz_new
+
+        st = jax.lax.fori_loop(0, iters, body, (x, r, z, z, rz))
+        return st[0], jnp.linalg.norm(st[1]) / jnp.linalg.norm(b)
+
+    return runit(b)

@@ -1107,3 +1107,44 @@ def test_sharded_elasticity_curved_pcg_solves():
     op = elasticity_operator(gbasis, **kw)
     r = np.asarray(op({p: jnp.asarray(np.asarray(x_sh))})[p]) - np.asarray(b)
     assert np.abs(r).max() < 1e-8 * max(np.abs(np.asarray(b)).max(), 1.0)
+
+
+@pytest.mark.parametrize("curved", [False, True])
+def test_sharded_elasticity_pmg_converges(curved):
+    """Sharded p-multigrid V-cycle for vector-valued elasticity
+    (BASELINE config 4's V-cycle on the device mesh): component-wise
+    element-local p-transfers, per-shard block-Jacobi smoothing, sharded
+    PCG coarse solve.  Converges on box AND curved meshes; the final
+    residual is verified against the SERIAL operator."""
+    from hpdg_tpu.mesh import geometry as geo
+    from hpdg_tpu.parallel.elasticity import (build_sharded_elasticity_pmg,
+                                              solve_sharded_elasticity_pmg)
+    from hpdg_tpu.matrixfree.elasticity import elasticity_operator
+
+    cells, p = (8, 3), 2
+    n = int(np.prod(cells))
+    gmesh = (geo.isoparametric(hmesh.structured(cells), _wavy_tri)
+             if curved else None)
+    kw = dict(mu=1.0, lam=1.5, penalty=8.0, dirichlet=True,
+              penalty_scaling="normal")
+    pmg = build_sharded_elasticity_pmg(cells, p, devices=jax.devices()[:8],
+                                       gmesh=gmesh, coarse_cg_iters=80,
+                                       **kw)
+    rng = np.random.default_rng(3)
+    bs = 2 * (p + 1) ** 2
+    fine = pmg.levels[-1]
+    b = jax.device_put(jnp.asarray(rng.standard_normal((n, bs))),
+                       fine.sharding)
+    # plain V-cycles contract (the preconditioner quality bar) ...
+    _, rn10 = solve_sharded_elasticity_pmg(pmg, b, cycles=10)
+    nb = float(jnp.linalg.norm(b))
+    assert float(rn10) < 0.05 * nb, float(rn10) / nb
+    # ... and V-cycle-preconditioned CG is the production solve
+    from hpdg_tpu.parallel.elasticity import elasticity_pmg_pcg_solve
+    x, rel = elasticity_pmg_pcg_solve(pmg, b, iters=30)
+    assert float(rel) < 1e-9, float(rel)
+    # cross-check against the serial operator
+    smesh = gmesh if curved else hmesh.structured(cells)
+    op = elasticity_operator(DGBasis(smesh, np.full(n, p)), **kw)
+    r = np.asarray(op({p: jnp.asarray(np.asarray(x))})[p]) - np.asarray(b)
+    assert np.linalg.norm(r) < 1e-7 * nb
