@@ -486,7 +486,8 @@ def build_sharded_elasticity_pmg(cells, p: int, mu: float = 1.0,
                                  penalty_scaling: str = "measure",
                                  gmesh=None, pre_steps: int = 3,
                                  post_steps: int = 3,
-                                 coarse_cg_iters: int = 60
+                                 coarse_cg_iters: int = 60,
+                                 h_levels: int = 0
                                  ) -> ShardedElasticityPMG:
     """Sharded p-multigrid V-cycle for VECTOR-VALUED elasticity
     (BASELINE config 4's h+p V-cycle on the device mesh; the scalar
@@ -507,25 +508,90 @@ def build_sharded_elasticity_pmg(cells, p: int, mu: float = 1.0,
     of the serial hierarchy's Galerkin products (solversetup.hh:151-157;
     scalar SIPG tolerates naive re-discretization, elasticity does not).
     """
-    from hpdg_tpu.basis import tensor
+    from hpdg_tpu.basis import tensor, lagrange
+    from hpdg_tpu.mesh import geometry as geo
     dim = len(cells)
+    cells = tuple(int(c) for c in cells)
     orders = [p]
     while orders[-1] > 1:
         orders.append(max(1, orders[-1] // 2))
     orders = orders[::-1]  # coarsest..finest
 
+    # level plan, coarsest..finest: ``h_levels`` geometric levels at the
+    # coarsest degree BELOW the p-chain (solversetup.hh:71-108 order:
+    # p-levels on the fine grid, gridTransfer below)
+    def coarsen_cells(c, k):
+        cc = tuple(x // (2 ** k) for x in c)
+        if any(x * 2 ** k != y for x, y in zip(cc, cells)) or 0 in cc:
+            raise ValueError(f"cells {c} not {k}x 2-coarsenable")
+        return cc
+
+    def coarse_gmesh(gm_f, cells_f, children):
+        """Q1 coarse geometry: coarse corner k = fine child-k's corner k
+        (exact when the fine mesh refines a Q1 mesh; otherwise the Q1
+        fit — a preconditioner-level approximation)."""
+        if gm_f is None:
+            return None
+        Cf = _global_corners(gm_f)
+        cc = Cf[children, np.arange(2 ** dim)[None, :], :]
+        base = hmesh.structured(tuple(x // 2 for x in cells_f))
+        return replace(base, corners=cc)
+
+    def children_map(cells_c):
+        """[N_c, 2^d] fine element ids of each coarse element's children
+        (bit convention of geometry._bits: axis 0 = highest bit)."""
+        cells_f = tuple(2 * x for x in cells_c)
+        B = geo._bits(dim).astype(np.int64)
+        idx = np.indices(cells_c).reshape(dim, -1).T  # C order (ax0 slow)
+        strides = np.array([int(np.prod(cells_f[a + 1:]))
+                            for a in range(dim)], np.int64)
+        ch = np.empty((len(idx), 2 ** dim), np.int64)
+        for cp in range(2 ** dim):
+            ch[:, cp] = (2 * idx + B[cp]) @ strides
+        return ch
+
+    levels = []   # (cells_l, q_l, gmesh_l)
+    gaps = []     # per gap (coarse side of level l): ("p", T) | ("h", ...)
+    q0 = orders[0]
+    hl = []
+    gm_l, cells_l = gmesh, cells
+    for k in range(h_levels):
+        ch = children_map(coarsen_cells(cells, k + 1))
+        gm_c = coarse_gmesh(gm_l, cells_l, ch)
+        cells_l = coarsen_cells(cells, k + 1)
+        hl.append((cells_l, q0, gm_c, ch))
+        gm_l = gm_c
+    for cells_c, qc, gmc, ch in reversed(hl):
+        levels.append((cells_c, qc, gmc))
+        # DG-Q1-style embedding per child position: per-axis basis values
+        # at (side + nodes)/2, tensorized in C order (axis 0 first)
+        nodes = lagrange.nodes_1d(q0)
+        Ms = [lagrange.lagrange_values(nodes, (s + nodes) / 2.0).T
+              for s in (0, 1)]
+        B = geo._bits(dim).astype(int)
+        Tcps = []
+        for cp in range(2 ** dim):
+            out = Ms[B[cp, 0]]
+            for a in range(1, dim):
+                out = np.kron(out, Ms[B[cp, a]])
+            Tcps.append(out)
+        gaps.append(("h", jnp.asarray(ch),
+                     jnp.asarray(np.stack(Tcps), dtype)))
+    for li, q in enumerate(orders):
+        levels.append((cells, q, gmesh))
+        if li > 0:
+            gaps.append(("p", jnp.asarray(tensor.interpolation_matrix(
+                orders[li - 1], q, dim), dtype)))
+
     kw = dict(mu=mu, lam=lam, devices=devices,
               dirichlet=dirichlet, dtype=dtype,
-              penalty_scaling=penalty_scaling, gmesh=gmesh)
-    pens = [penalty * (p / q) ** 2 for q in orders]
-    probs = [build_sharded_elasticity(cells, q, penalty=pq, **kw)
-             for q, pq in zip(orders, pens)]
+              penalty_scaling=penalty_scaling)
+    pens = [penalty * (p / q) ** 2 for (_, q, _) in levels]
+    probs = [build_sharded_elasticity(cl, q, penalty=pq, gmesh=gl, **kw)
+             for (cl, q, gl), pq in zip(levels, pens)]
     dinvs = [elasticity_dinv_mul(pr, mu=mu, lam=lam, penalty=pq,
                                  dirichlet=dirichlet, dtype=dtype)
              for pr, pq in zip(probs, pens)]
-    Ts = [jnp.asarray(tensor.interpolation_matrix(orders[l], orders[l + 1],
-                                                  dim), dtype)
-          for l in range(len(orders) - 1)]
 
     # per-level rho(D^-1 A) by power iteration (fixed-seed RANDOM start
     # — the ones vector is A-smooth and nearly orthogonal to the top
@@ -567,38 +633,55 @@ def build_sharded_elasticity_pmg(cells, p: int, mu: float = 1.0,
 
     coarse = _elasticity_pcg_runner(probs[0], dinvs[0], coarse_cg_iters)
 
-    def restrict(r, T, nl_f, nl_c):
-        r3 = r.reshape(-1, dim, nl_f)
-        return jnp.einsum("ndi,ic->ndc", r3, T,
+    def restrict(l, r):
+        gap = gaps[l - 1]
+        nl_f = (levels[l][1] + 1) ** dim
+        if gap[0] == "p":
+            nl_c = (levels[l - 1][1] + 1) ** dim
+            r3 = r.reshape(-1, dim, nl_f)
+            return jnp.einsum("ndi,ic->ndc", r3, gap[1],
+                              preferred_element_type=r.dtype
+                              ).reshape(-1, dim * nl_c)
+        _, ch, Tcps = gap
+        rch = r.reshape(-1, dim, nl_f)[ch]  # [N_c, 2^d, d, nl]
+        return jnp.einsum("ncdi,cij->ndj", rch, Tcps,
                           preferred_element_type=r.dtype
-                          ).reshape(-1, dim * nl_c)
-
-    def prolong(c, T, nl_f, nl_c):
-        c3 = c.reshape(-1, dim, nl_c)
-        return jnp.einsum("ndc,ic->ndi", c3, T,
-                          preferred_element_type=c.dtype
                           ).reshape(-1, dim * nl_f)
+
+    def prolong(l, c):
+        gap = gaps[l - 1]
+        nl_f = (levels[l][1] + 1) ** dim
+        if gap[0] == "p":
+            nl_c = (levels[l - 1][1] + 1) ** dim
+            c3 = c.reshape(-1, dim, nl_c)
+            return jnp.einsum("ndc,ic->ndi", c3, gap[1],
+                              preferred_element_type=c.dtype
+                              ).reshape(-1, dim * nl_f)
+        _, ch, Tcps = gap
+        c3 = c.reshape(-1, dim, nl_f)
+        xf_ch = jnp.einsum("ndj,cij->ncdi", c3, Tcps,
+                           preferred_element_type=c.dtype)
+        out = jnp.zeros((probs[l].n_global, dim, nl_f), c.dtype)
+        return out.at[ch].set(xf_ch).reshape(-1, dim * nl_f)
 
     def run(l, x, b):
         if l == 0:
             return coarse(b)[0]
         prob = probs[l]
-        nl_f = (orders[l] + 1) ** dim
-        nl_c = (orders[l - 1] + 1) ** dim
         x = cheb(prob, dinvs[l], lmaxs[l], x, b, pre_steps)
         r = b - prob.apply(x)
-        rc = restrict(r, Ts[l - 1], nl_f, nl_c)
+        rc = restrict(l, r)
         xc = run(l - 1, jnp.zeros_like(rc), rc)
-        x = x + prolong(xc, Ts[l - 1], nl_f, nl_c)
+        x = x + prolong(l, xc)
         x = cheb(prob, dinvs[l], lmaxs[l], x, b, post_steps)
         return x
 
-    nlev = len(orders)
+    nlev = len(levels)
 
     def step(x, b):
         return run(nlev - 1, x, b)
 
-    return ShardedElasticityPMG(levels=probs, transfers=Ts, step=step)
+    return ShardedElasticityPMG(levels=probs, transfers=gaps, step=step)
 
 
 def solve_sharded_elasticity_pmg(pmg: ShardedElasticityPMG, b,

@@ -1148,3 +1148,42 @@ def test_sharded_elasticity_pmg_converges(curved):
     op = elasticity_operator(DGBasis(smesh, np.full(n, p)), **kw)
     r = np.asarray(op({p: jnp.asarray(np.asarray(x))})[p]) - np.asarray(b)
     assert np.linalg.norm(r) < 1e-7 * nb
+
+
+@pytest.mark.parametrize("curved", [False, True])
+def test_sharded_elasticity_hp_mg_converges(curved):
+    """h+p multigrid V-cycle for sharded elasticity (BASELINE config 4
+    verbatim): geometric level below the p-chain via the DG-Q1-style
+    child embedding (slab-aligned, comm-free transfers), then V-cycle
+    -preconditioned CG to 1e-9; residual verified against the serial
+    operator."""
+    from hpdg_tpu.mesh import geometry as geo
+    from hpdg_tpu.parallel.elasticity import (build_sharded_elasticity_pmg,
+                                              elasticity_pmg_pcg_solve)
+    from hpdg_tpu.matrixfree.elasticity import elasticity_operator
+
+    cells, p = (16, 4), 2
+    n = int(np.prod(cells))
+    gmesh = (geo.isoparametric(hmesh.structured(cells), _wavy_tri)
+             if curved else None)
+    kw = dict(mu=1.0, lam=1.5, penalty=8.0, dirichlet=True,
+              penalty_scaling="normal")
+    pmg = build_sharded_elasticity_pmg(cells, p, devices=jax.devices()[:8],
+                                       gmesh=gmesh, coarse_cg_iters=80,
+                                       h_levels=1, **kw)
+    assert len(pmg.levels) == 3  # (8,2) p=1 | (16,4) p=1 | (16,4) p=2
+    rng = np.random.default_rng(11)
+    bs = 2 * (p + 1) ** 2
+    fine = pmg.levels[-1]
+    b = jax.device_put(jnp.asarray(rng.standard_normal((n, bs))),
+                       fine.sharding)
+    # the h-pair for DG-Q1 elasticity runs at rho ~0.75 with
+    # element-block smoothing for EVERY coarse flavor (measured dense:
+    # rediscretized-penalty-matched 0.748, Galerkin 0.798), so the
+    # V-cycle is a modest preconditioner here — 60 CG iterations
+    x, rel = elasticity_pmg_pcg_solve(pmg, b, iters=70)
+    assert float(rel) < 1e-9, float(rel)
+    smesh = gmesh if curved else hmesh.structured(cells)
+    op = elasticity_operator(DGBasis(smesh, np.full(n, p)), **kw)
+    r = np.asarray(op({p: jnp.asarray(np.asarray(x))})[p]) - np.asarray(b)
+    assert np.linalg.norm(r) < 1e-7 * float(jnp.linalg.norm(b))
