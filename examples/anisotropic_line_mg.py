@@ -27,7 +27,9 @@ import os
 import numpy as np
 import jax
 
-if os.environ.get("JAX_PLATFORMS"):
+# only an explicit cpu request overrides the configured platform (an
+# ambient JAX_PLATFORMS=axon must not undo the conftest's cpu pin)
+if "cpu" in os.environ.get("JAX_PLATFORMS", "").split(","):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 

@@ -9,6 +9,15 @@ _sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np
 import jax
+
+# honor an explicit JAX_PLATFORMS=cpu invocation even where a
+# sitecustomize hook pre-selects a TPU tunnel backend; an ambient
+# (harness-wide) JAX_PLATFORMS=axon must NOT undo a host's deliberate
+# platform choice (e.g. the test conftest pinning cpu)
+import os as _os
+_plat = _os.environ.get("JAX_PLATFORMS", "")
+if "cpu" in _plat.split(","):
+    jax.config.update("jax_platforms", _plat)
 import jax.numpy as jnp
 
 from hpdg_tpu import mesh
@@ -41,6 +50,34 @@ def main():
     r = float(bv.norm(bv.sub(b, bm.matvec(prob.A, x))))
     print(f"elasticity: {3 * basis.ndof} dofs, {info['iterations']} V-cycles, "
           f"residual {r:.2e}")
+
+    if cfg.get_path("sharded", 0):
+        # multi-chip: curved-domain elasticity, p-MG V-cycle-PCG over all
+        # devices (per-shard geometry tables through one SPMD program)
+        from hpdg_tpu.mesh import geometry as geo
+        from hpdg_tpu.parallel.elasticity import (
+            build_sharded_elasticity_pmg, elasticity_pmg_pcg_solve)
+        ndev = len(jax.devices())
+        cells = (2 * ndev, 4)
+
+        def wavy(xx):
+            xx = np.asarray(xx, np.float64)
+            return np.stack(
+                [xx[..., 0] + 0.06 * np.sin(np.pi * xx[..., 1]),
+                 xx[..., 1] + 0.05 * np.sin(np.pi * xx[..., 0] / 2)], -1)
+
+        gm = geo.isoparametric(mesh.structured(cells), wavy)
+        pmg = build_sharded_elasticity_pmg(
+            cells, 2, mu=1.0, lam=1.5, penalty=8.0, dirichlet=True,
+            penalty_scaling="normal", gmesh=gm)
+        fine = pmg.levels[-1]
+        rng = np.random.default_rng(0)
+        bsh = jax.device_put(
+            jnp.asarray(rng.standard_normal((fine.n_global, fine.bs))),
+            fine.sharding)
+        xs, rel = elasticity_pmg_pcg_solve(pmg, bsh, iters=25)
+        print(f"sharded curved elasticity: {ndev} devices, "
+              f"{fine.n_global * fine.bs} dofs, rel residual {float(rel):.2e}")
 
 
 if __name__ == "__main__":

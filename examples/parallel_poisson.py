@@ -20,9 +20,11 @@ import os
 import numpy as np
 import jax
 
-# honor the documented JAX_PLATFORMS=cpu invocation even where a
-# sitecustomize hook force-selects a TPU backend at interpreter start
-if os.environ.get("JAX_PLATFORMS"):
+# honor an explicit JAX_PLATFORMS=cpu invocation even where a
+# sitecustomize hook force-selects a TPU backend at interpreter start;
+# an ambient (harness-wide) JAX_PLATFORMS=axon must NOT undo a host's
+# deliberate platform choice (e.g. the test conftest pinning cpu)
+if "cpu" in os.environ.get("JAX_PLATFORMS", "").split(","):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 import jax.numpy as jnp
 

@@ -10,6 +10,15 @@ _sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np
 import jax
+
+# honor an explicit JAX_PLATFORMS=cpu invocation even where a
+# sitecustomize hook pre-selects a TPU tunnel backend; an ambient
+# (harness-wide) JAX_PLATFORMS=axon must NOT undo a host's deliberate
+# platform choice (e.g. the test conftest pinning cpu)
+import os as _os
+_plat = _os.environ.get("JAX_PLATFORMS", "")
+if "cpu" in _plat.split(","):
+    jax.config.update("jax_platforms", _plat)
 import jax.numpy as jnp
 
 from hpdg_tpu import mesh
