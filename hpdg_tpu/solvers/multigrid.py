@@ -264,6 +264,34 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
             # forward pre / backward post — for residual-history parity
             pre = sm.lexicographic_block_gs_step(M, bas)
             post = sm.lexicographic_block_gs_step(M, bas, reverse=True)
+        elif smoother == "patch":
+            # colored overlapping vertex-patch Schwarz (solvers.patches):
+            # the penalty-dominated-level fix — 2^dim batched dense patch
+            # solves per sweep, ~4x the contraction of element-block GS
+            # on DG-Q1 h-levels.  Levels where patches don't apply
+            # (mixed degrees, non-lattice meshes, or patch blocks past
+            # ``patch_max_block`` dofs at high p) fall back to colored
+            # element-block GS.
+            from hpdg_tpu.solvers import patches as pat
+            patch_max_block = 1024
+            usable = len(bas.bucket_degrees) == 1
+            if usable:
+                (pd,) = bas.bucket_degrees
+                usable = (2 ** bas.mesh.dim * A.block_shape[0]
+                          * (pd + 1) ** bas.mesh.dim) <= patch_max_block
+            if usable:
+                try:
+                    cols_ = pat.build_vertex_patches(bas.mesh)
+                    invs_ = pat.patch_inverses(M, bas, cols_, dtype=dtype)
+                    pre = pat.patch_smoother_step(M, bas, cols_, invs_,
+                                                  dtype=dtype)
+                    post = pat.patch_smoother_step(M, bas, cols_, invs_,
+                                                   reverse=True, dtype=dtype)
+                except ValueError:
+                    usable = False
+            if not usable:
+                pre = sm.colored_block_gs_step(M, bas)
+                post = sm.colored_block_gs_step(M, bas, reverse=True)
         elif smoother == "line":
             # anisotropy-robust damped line-Jacobi: exact block-Thomas
             # solves along the strong (short-extent) axes (solvers.lines).

@@ -1,0 +1,182 @@
+"""Colored overlapping vertex-patch (Schwarz) smoothers.
+
+A *patch* is the set of (up to) 2^dim elements sharing an interior
+lattice vertex; the patch solve inverts the SIPG operator restricted to
+the union of their dofs, so the penalty coupling across all faces
+meeting at the vertex is handled *exactly*.  Patches are colored by
+vertex parity: same-color patches are element-disjoint, so one color is
+ONE batched dense solve (MXU-shaped ``[n_patches, K, K] @ [n_patches,
+K]``) plus a collision-free scatter — a multiplicative Schwarz sweep
+becomes 2^dim data-parallel steps.
+
+Why it exists: element-block smoothers plateau on penalty-dominated
+DG-Q1 h-levels.  Measured two-grid contraction (8-cell -> 64-cell
+uniform refinement, penalty 24):
+
+    3D DG-Q1 elasticity   element-GS 3+3: 0.918   patch 1+1: 0.235
+    3D DG-Q1 Poisson      element-GS 3+3: 0.379   patch 1+1: 0.074
+    2D DG-Q1 elasticity   element-GS 3+3: 0.725   patch 1+1: 0.281
+
+The reference has no overlapping smoother; its closest analog is the
+sequential ``DynamicBlockGS`` (iterationsteps/dynamicblockgs.hh:87-126)
+whose TPU port (colored element-block GS, solvers/smoothers.py) is the
+baseline the patch smoother beats.  Patch solves generalize the
+reference's per-element ``LocalSolver`` idea to overlapping element
+groups.
+
+Patch inverses are precomputed on the host at setup time (f64 LU does
+not compile on all TPU generations — same convention as
+``smoothers.inverse_diagonal_blocks``) and shipped as device constants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from hpdg_tpu.linalg import blockvector as bv
+from hpdg_tpu.linalg.blockmatrix import BlockSparseMatrix, matvec
+
+
+def lattice_coords(mesh) -> tuple[np.ndarray, tuple]:
+    """Integer lattice coordinates of each element (host).
+
+    Requires a uniform lattice: every element the same extent (the
+    geometric h-levels built by ``mesh.structured``/``refine`` qualify;
+    ``jac``/``corners`` geometry is irrelevant — patches are a topology
+    construct).  Raises ValueError otherwise.
+    """
+    ext = mesh.extent
+    if not np.allclose(ext, ext[0], rtol=1e-12, atol=0.0):
+        raise ValueError("vertex patches need a uniform element lattice")
+    lo = mesh.lower.min(axis=0)
+    coords = (mesh.lower - lo) / ext[0]
+    icoords = np.rint(coords).astype(np.int64)
+    if not np.allclose(coords, icoords, atol=1e-9):
+        raise ValueError("elements do not sit on a uniform lattice")
+    return icoords.astype(np.int32), tuple(icoords.max(axis=0) + 1)
+
+
+def build_vertex_patches(mesh) -> list[np.ndarray]:
+    """Vertex patches grouped by parity color.
+
+    Returns a list of 2^dim int32 arrays ``[n_patches_c, 2^dim]`` of
+    element ids, entry -1 where the lattice cell is absent (masked
+    domains like the L-shape).  Every element is covered by at least
+    one patch; colors are ordered by parity tuple (C order).
+    """
+    dim = mesh.dim
+    coords, cells = lattice_coords(mesh)
+    if any(c < 2 for c in cells):
+        raise ValueError("vertex patches need >= 2 cells per axis")
+    eid = {tuple(c): i for i, c in enumerate(coords)}
+    k = 1 << dim
+    # corner offsets in the same C-order convention as refine()'s
+    # child_pos: bit (dim-1-a) of c gives the high/low side along axis a
+    offs = np.array([[(c >> (dim - 1 - a)) & 1 for a in range(dim)]
+                     for c in range(k)], dtype=np.int64)
+    by_color: dict[tuple, list] = {}
+    covered = np.zeros(mesh.n_elements, dtype=bool)
+    for v in np.ndindex(*[c - 1 for c in cells]):
+        els = np.full(k, -1, dtype=np.int32)
+        for ci in range(k):
+            cell = tuple(np.asarray(v) + offs[ci])
+            if cell in eid:
+                els[ci] = eid[cell]
+        if (els >= 0).sum() == 0:
+            continue
+        covered[els[els >= 0]] = True
+        color = tuple(int(x) % 2 for x in v)
+        by_color.setdefault(color, []).append(els)
+    if not covered.all():
+        # masked domains can strand elements whose every surrounding
+        # vertex is outside the interior vertex range; give each its
+        # own singleton patch in color 0
+        key = tuple([0] * dim)
+        for e in np.nonzero(~covered)[0]:
+            els = np.full(k, -1, dtype=np.int32)
+            els[0] = e
+            by_color.setdefault(key, []).append(els)
+    return [np.stack(by_color[c]) for c in sorted(by_color)]
+
+
+def patch_inverses(A: BlockSparseMatrix, basis, colors: list[np.ndarray],
+                   dtype=jnp.float64) -> list:
+    """Per color: the dense inverse of every patch operator.
+
+    Patch operator = A restricted to the patch's element dofs: diagonal
+    blocks on the (slot a, slot a) positions, face-coupling blocks where
+    the pattern has them (vertex-diagonal element pairs share no face,
+    so their coupling is structurally zero in SIPG).  Absent elements
+    (-1) get an identity lane, making the solve a no-op there.
+
+    Returns [n_patches_c, K, K] jnp arrays, K = 2^dim * block size.
+    """
+    (p,) = basis.bucket_degrees  # uniform degree only
+    vals = np.asarray(A.values[(p, p)])
+    bs = vals.shape[1]
+    slot_ix = A.pattern._slot_index((p, p))
+    pos = basis.elem_bucket_pos
+    out = []
+    for els in colors:
+        npat, k = els.shape
+        K = k * bs
+        M = np.zeros((npat, K, K), dtype=vals.dtype)
+        for a in range(k):
+            for b in range(k):
+                ea, eb = els[:, a], els[:, b]
+                valid = (ea >= 0) & (eb >= 0)
+                slots = np.full(npat, -1, dtype=np.int64)
+                for i in np.nonzero(valid)[0]:
+                    s = slot_ix.get((int(pos[ea[i]]), int(pos[eb[i]])))
+                    if s is not None:
+                        slots[i] = s
+                got = slots >= 0
+                if got.any():
+                    M[got, a * bs:(a + 1) * bs, b * bs:(b + 1) * bs] = \
+                        vals[slots[got]]
+            missing = els[:, a] < 0
+            if missing.any():
+                rng = np.arange(a * bs, (a + 1) * bs)
+                M[np.ix_(np.nonzero(missing)[0], rng, rng)] = np.eye(bs)
+        out.append(jnp.asarray(np.linalg.inv(M), dtype))
+    return out
+
+
+def patch_smoother_step(A: BlockSparseMatrix, basis,
+                        colors: list[np.ndarray] | None = None,
+                        invs: list | None = None,
+                        damping: float = 1.0, reverse: bool = False,
+                        dtype=jnp.float64):
+    """Multiplicative colored vertex-patch sweep: ``step(x, b) -> x``.
+
+    Per color: fresh residual, batched patch solve, collision-free
+    scatter-add (same-color patches are element-disjoint).  ``reverse``
+    runs the colors backward (the symmetric post-smooth companion).
+    """
+    if colors is None:
+        colors = build_vertex_patches(basis.mesh)
+    if invs is None:
+        invs = patch_inverses(A, basis, colors, dtype=dtype)
+    (p,) = basis.bucket_degrees
+    pos = basis.elem_bucket_pos
+    prepared = []
+    for els, inv in zip(colors, invs):
+        bpos = np.where(els >= 0, pos[np.maximum(els, 0)], 0)
+        prepared.append((jnp.asarray(bpos), jnp.asarray(els >= 0), inv))
+    if reverse:
+        prepared = prepared[::-1]
+
+    def step(x: dict, b: dict) -> dict:
+        for bpos, valid, inv in prepared:
+            r = bv.sub(b, matvec(A, x))
+            npat, k = bpos.shape
+            bs = r[p].shape[1]
+            rg = r[p][bpos] * valid[..., None]          # [npat, k, bs]
+            y = jnp.einsum("nij,nj->ni", inv, rg.reshape(npat, k * bs),
+                           preferred_element_type=rg.dtype)
+            y = y.reshape(npat, k, bs) * valid[..., None]
+            x = {p: x[p].at[bpos].add(damping * y)}
+        return x
+
+    return step

@@ -1,0 +1,118 @@
+"""Colored overlapping vertex-patch Schwarz smoothers (solvers/patches.py).
+
+The fix for the penalty-dominated DG-Q1 h-level plateau: element-block
+smoothers stall at two-grid rho ~0.9 (3D elasticity) while one colored
+vertex-patch sweep contracts at ~0.24.  Reference baseline being beaten:
+sequential DynamicBlockGS (iterationsteps/dynamicblockgs.hh:87-126)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hpdg_tpu import mesh as hmesh
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.assemble.sipg import assemble_laplace
+from hpdg_tpu.assemble.elasticity import assemble_elasticity
+from hpdg_tpu.assemble import l2_functional
+from hpdg_tpu.linalg import blockmatrix as bm, blockvector as bv
+from hpdg_tpu.solvers import patches as pat
+from hpdg_tpu.solvers.multigrid import multigrid_solver
+
+
+def test_patch_operator_matches_dense_restriction():
+    """Each patch inverse times the dense restriction of A is identity
+    (2D elasticity: vector blocks + face couplings + zero vertex-diagonal
+    couplings all extracted correctly)."""
+    m = hmesh.structured((3, 3))
+    basis = DGBasis(m, np.ones(9, dtype=np.int32))
+    A = assemble_elasticity(basis, mu=1.0, lam=1.0, penalty=8.0,
+                            dirichlet=True, dtype=jnp.float64)
+    Ad = np.asarray(bm.to_dense(A, basis))
+    colors = pat.build_vertex_patches(m)
+    invs = pat.patch_inverses(A, basis, colors)
+    ncomp, bs = 2, 2 * basis.n_local(1)
+    for els, inv in zip(colors, invs):
+        inv = np.asarray(inv)
+        for i in range(els.shape[0]):
+            idx = np.concatenate([
+                np.arange(ncomp * basis.offsets[e],
+                          ncomp * basis.offsets[e] + bs)
+                for e in els[i] if e >= 0])
+            lanes = np.concatenate([
+                np.arange(a * bs, (a + 1) * bs)
+                for a in range(els.shape[1]) if els[i, a] >= 0])
+            got = inv[i][np.ix_(lanes, lanes)]
+            res = got @ Ad[np.ix_(idx, idx)]
+            assert np.allclose(res, np.eye(len(idx)), atol=1e-9)
+
+
+def test_patch_smoother_standalone_converges():
+    """The sweep alone is a convergent iteration on SIPG Poisson."""
+    m = hmesh.structured((4, 4))
+    basis = DGBasis(m, np.ones(16, dtype=np.int32))
+    A = assemble_laplace(basis, penalty=4.0, dirichlet=True,
+                         dtype=jnp.float64)
+    b = l2_functional(basis, lambda x: jnp.ones(x.shape[:-1]))
+    step = jax.jit(pat.patch_smoother_step(A, basis))
+    x = bv.zeros_like(b)
+    nb = float(bv.norm(b))
+    res = [1.0]
+    for _ in range(16):
+        x = step(x, b)
+        res.append(float(bv.norm(bv.sub(b, bm.matvec(A, x)))) / nb)
+    assert res[-1] < 1e-6, res
+    assert all(r1 <= r0 * 1.0001 for r0, r1 in zip(res, res[1:]))
+
+
+def _mg_rate(basis, A, b, iters=8, **mg_kw):
+    step, _ = multigrid_solver(basis, A, **mg_kw)
+    js = jax.jit(step)
+    x = bv.zeros_like(b)
+    nb = float(bv.norm(b))
+    res = [1.0]
+    for _ in range(iters):
+        x = js(x, b)
+        res.append(float(bv.norm(bv.sub(b, bm.matvec(A, x)))) / nb)
+    return (res[-1] / max(res[1], 1e-300)) ** (1.0 / (iters - 1))
+
+
+def test_elasticity_hpair_patch_breaks_plateau():
+    """3D DG-Q1 elasticity h-pair: element-GS 3+3 plateaus (rho ~0.9,
+    ROADMAP item 22); vertex-patch 1+1 contracts at ~0.24."""
+    mesh_c = hmesh.structured((2, 2, 2))
+    mesh_f = hmesh.refine(mesh_c)
+    basis = DGBasis(mesh_f, np.ones(mesh_f.n_elements, dtype=np.int32))
+    kw = dict(mu=1.0, lam=1.0, penalty=24.0, dirichlet=True,
+              dtype=jnp.float64)
+    A = assemble_elasticity(basis, **kw)
+    b = bv.random(basis, seed=1887, ncomp=3)
+    r_patch = _mg_rate(basis, A, b, meshes=[mesh_c, mesh_f],
+                       smoother="patch", pre_steps=1, post_steps=1)
+    r_gs = _mg_rate(basis, A, b, meshes=[mesh_c, mesh_f], smoother="gs")
+    assert r_patch < 0.35, (r_patch, r_gs)
+    assert r_patch < r_gs - 0.3, (r_patch, r_gs)
+
+
+def test_patch_smoother_masked_lattice_lshape():
+    """Masked lattices (absent cells -> -1 patch lanes) work: L-shape
+    Poisson V-cycle with patch smoothing converges."""
+    mc = hmesh.lshape(2)
+    m = hmesh.refine(mc)
+    basis = DGBasis(m, np.ones(m.n_elements, dtype=np.int32))
+    A = assemble_laplace(basis, penalty=4.0, dirichlet=True,
+                         dtype=jnp.float64)
+    b = l2_functional(basis, lambda x: jnp.ones(x.shape[:-1]))
+    r = _mg_rate(basis, A, b, meshes=[mc, m], smoother="patch",
+                 pre_steps=1, post_steps=1)
+    assert r < 0.35, r
+
+
+def test_patch_fallback_mixed_degrees():
+    """Mixed-degree levels fall back to colored GS instead of failing."""
+    m = hmesh.structured((2, 2))
+    basis = DGBasis(m, np.array([1, 2, 2, 1]))
+    A = assemble_laplace(basis, penalty=4.0, dirichlet=True,
+                         dtype=jnp.float64)
+    b = l2_functional(basis, lambda x: jnp.ones(x.shape[:-1]))
+    r = _mg_rate(basis, A, b, smoother="patch")
+    assert r < 0.6, r
