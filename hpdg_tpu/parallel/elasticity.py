@@ -487,7 +487,8 @@ def build_sharded_elasticity_pmg(cells, p: int, mu: float = 1.0,
                                  gmesh=None, pre_steps: int = 3,
                                  post_steps: int = 3,
                                  coarse_cg_iters: int = 60,
-                                 h_levels: int = 0
+                                 h_levels: int = 0,
+                                 smoother: str = "cheb"
                                  ) -> ShardedElasticityPMG:
     """Sharded p-multigrid V-cycle for VECTOR-VALUED elasticity
     (BASELINE config 4's h+p V-cycle on the device mesh; the scalar
@@ -631,6 +632,27 @@ def build_sharded_elasticity_pmg(cells, p: int, mu: float = 1.0,
             x = x + d
         return x
 
+    # optional vertex-patch smoothing (parallel.patches): the fix for
+    # the penalty-dominated DG-Q1 h-level plateau (~0.75/cycle with
+    # element-block smoothing).  Applies on BOX levels whose patch
+    # blocks stay under 1024 dofs (q <= 2 in 3D elasticity); bigger /
+    # curved levels keep Chebyshev.
+    patch_sweeps = [None] * len(levels)
+    if smoother == "patch":
+        from hpdg_tpu.assemble.elasticity import assemble_elasticity
+        from hpdg_tpu.parallel.patches import sharded_patch_sweeps
+        for li, ((cl, q, gl), pq, prob) in enumerate(
+                zip(levels, pens, probs)):
+            if gl is not None or 2 ** dim * dim * (q + 1) ** dim > 1024:
+                continue
+            basg = DGBasis(hmesh.structured(cl),
+                           np.full(int(np.prod(cl)), q, dtype=np.int32))
+            Ag = assemble_elasticity(basg, mu=mu, lam=lam, penalty=pq,
+                                     dirichlet=dirichlet, dtype=dtype,
+                                     penalty_scaling=penalty_scaling)
+            patch_sweeps[li] = sharded_patch_sweeps(prob, Ag, basg,
+                                                    dtype=dtype)
+
     coarse = _elasticity_pcg_runner(probs[0], dinvs[0], coarse_cg_iters)
 
     def restrict(l, r):
@@ -668,12 +690,19 @@ def build_sharded_elasticity_pmg(cells, p: int, mu: float = 1.0,
         if l == 0:
             return coarse(b)[0]
         prob = probs[l]
-        x = cheb(prob, dinvs[l], lmaxs[l], x, b, pre_steps)
+        if patch_sweeps[l] is not None:
+            fwd, bwd = patch_sweeps[l]
+            x = fwd(x, b)
+        else:
+            x = cheb(prob, dinvs[l], lmaxs[l], x, b, pre_steps)
         r = b - prob.apply(x)
         rc = restrict(l, r)
         xc = run(l - 1, jnp.zeros_like(rc), rc)
         x = x + prolong(l, xc)
-        x = cheb(prob, dinvs[l], lmaxs[l], x, b, post_steps)
+        if patch_sweeps[l] is not None:
+            x = bwd(x, b)
+        else:
+            x = cheb(prob, dinvs[l], lmaxs[l], x, b, post_steps)
         return x
 
     nlev = len(levels)

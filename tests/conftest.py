@@ -28,7 +28,7 @@ jax.config.update("jax_enable_x64", True)
 # auto-marked `slow`; `pytest -m "not slow"` is the <5 min quick tier
 # covering the differential core (oracle/golden/solver tests).
 _SLOW_MODULES = ("test_parallel", "test_parallel_hp", "test_parallel_heat",
-                 "test_parity_cpp", "test_examples")
+                 "test_parallel_patches", "test_parity_cpp", "test_examples")
 # individually slow tests (> ~8 s on one idle core, measured with
 # --durations); each has a faster sibling keeping its feature covered in
 # the quick tier
