@@ -98,9 +98,11 @@ def build_sharded_pmg(cells, p: int, devices=None, penalty: float = 2.0,
     """Build a fully sharded p-multigrid V-cycle for uniform-degree SIPG
     Poisson on a structured mesh.
 
-    ``smoother``: "jacobi" (damped block Jacobi, comm-free) or "line"
+    ``smoother``: "jacobi" (damped block Jacobi, comm-free), "line"
     (x-line block-tridiagonal solves — robust on anisotropic elements
-    where Jacobi-smoothed MG degrades to ~0.86/cycle)."""
+    where Jacobi-smoothed MG degrades to ~0.86/cycle), or "patch"
+    (colored vertex-patch Schwarz, parallel.patches — the strongest on
+    isotropic lattices; ~0.02/cycle at p=4 where Jacobi sits at ~0.93)."""
     dim = len(cells)
     orders = [p]
     while orders[-1] > 1:
@@ -140,6 +142,27 @@ def build_sharded_pmg(cells, p: int, devices=None, penalty: float = 2.0,
                                         dtype=dtype)
                         for q in orders]
 
+    # vertex-patch Schwarz sweeps (parallel.patches): the strongest
+    # smoother on isotropic lattices — one 1+1 sweep pair contracts the
+    # p=4 chain at ~0.02/cycle where block-Jacobi sits at ~0.93.  Falls
+    # back to Jacobi on levels whose patch blocks exceed 1024 dofs.
+    patch_sweeps = [None] * len(orders)
+    if smoother == "patch":
+        from hpdg_tpu import mesh as _hmesh
+        from hpdg_tpu.basis.dgbasis import DGBasis as _DGBasis
+        from hpdg_tpu.assemble import assemble_laplace as _asm
+        from hpdg_tpu.parallel.patches import sharded_patch_sweeps
+        for li, (q, prob) in enumerate(zip(orders, probs)):
+            if 2 ** dim * (q + 1) ** dim > 1024:
+                continue
+            gmesh = _hmesh.structured(cells)
+            gb = _DGBasis(gmesh, np.full(gmesh.n_elements, q,
+                                         dtype=np.int32))
+            Ag = _asm(gb, penalty=penalty, dirichlet=dirichlet,
+                      dtype=jnp.float64)
+            patch_sweeps[li] = sharded_patch_sweeps(prob, Ag, gb,
+                                                    dtype=dtype)
+
     def jacobi(prob, om, x, b, steps, lvl=None):
         if smoother == "line":
             ls = line_smooths[lvl]
@@ -164,12 +187,18 @@ def build_sharded_pmg(cells, p: int, devices=None, penalty: float = 2.0,
         if l == 0:
             return coarse_solve(b)
         prob = probs[l]
-        x = jacobi(prob, omegas[l], x, b, pre_steps, lvl=l)
+        if patch_sweeps[l] is not None:
+            x = patch_sweeps[l][0](x, b)
+        else:
+            x = jacobi(prob, omegas[l], x, b, pre_steps, lvl=l)
         r = b - prob.apply(x)
         rc = r @ Ts[l - 1]  # restriction = T^T per element (element-local)
         xc = run(l - 1, jnp.zeros_like(rc), rc)
         x = x + xc @ Ts[l - 1].T  # prolongation (element-local)
-        x = jacobi(prob, omegas[l], x, b, post_steps, lvl=l)
+        if patch_sweeps[l] is not None:
+            x = patch_sweeps[l][1](x, b)
+        else:
+            x = jacobi(prob, omegas[l], x, b, post_steps, lvl=l)
         return x
 
     nlev = len(orders)

@@ -76,12 +76,15 @@ def sharded_patch_sweeps(prob, A, basis, dtype=jnp.float64):
     cells = tuple(int(c) for c in prob.cells)
     dim = len(cells)
     k = 1 << dim
-    bs = prob.bs
+    (p,) = basis.bucket_degrees
+    # duck-typed layout: ShardedElasticity carries bs/device_mesh,
+    # the scalar ShardedPoisson carries p/mesh
+    bs = getattr(prob, "bs", (p + 1) ** dim)
+    dmesh = getattr(prob, "device_mesh", None) or prob.mesh
     K = k * bs
     ndev, layer, n_local = prob.ndev, prob.layer, prob.n_local
     loc0 = cells[0] // ndev
     axis_name = prob.axis_name
-    (p,) = basis.bucket_degrees
 
     # one dense inverse per boundary class, from the assembled operator
     inv_cache = {}
@@ -141,7 +144,7 @@ def sharded_patch_sweeps(prob, A, basis, dtype=jnp.float64):
                  for s in (P(axis_name, None, None),
                            P(axis_name, None, None), P(None, None))]
         fn = jax.jit(jax.shard_map(
-            local_correction, mesh=prob.device_mesh,
+            local_correction, mesh=dmesh,
             in_specs=(P(axis_name, None), *specs),
             out_specs=P(axis_name, None)))
         color_fns.append((fn, flat_tabs))

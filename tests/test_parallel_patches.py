@@ -78,3 +78,26 @@ def test_sharded_elasticity_pmg_patch_rate():
 
     r_patch = rate("patch")
     assert r_patch < 0.4, r_patch
+
+
+def test_scalar_sharded_pmg_patch_rate():
+    """Scalar sharded p-multigrid with patch smoothing: the p=4 chain
+    contracts at ~0.02/cycle serially; on the 8-device mesh with 1:2
+    stretched cells assert a conservative < 0.2 (Jacobi sits ~0.9)."""
+    from hpdg_tpu.parallel.multigrid import build_sharded_pmg
+    pmg = build_sharded_pmg((16, 8, 8), 2, penalty=2.0, dirichlet=True,
+                            dtype=jnp.float64, smoother="patch")
+    fine = pmg.levels[-1]
+    rng = np.random.default_rng(7)
+    b = jax.device_put(
+        jnp.asarray(rng.standard_normal(
+            (fine.n_global, (fine.p + 1) ** 3))), fine.sharding)
+    x = jnp.zeros_like(b)
+    nb = float(jnp.linalg.norm(b))
+    res = [1.0]
+    step = jax.jit(pmg.step)
+    for _ in range(6):
+        x = step(x, b)
+        res.append(float(jnp.linalg.norm(b - fine.apply(x))) / nb)
+    r = (res[-1] / max(res[1], 1e-300)) ** (1.0 / 5)
+    assert r < 0.2, r
