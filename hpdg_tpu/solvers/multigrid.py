@@ -469,6 +469,7 @@ def matrixfree_multigrid_solver(basis: DGBasis, penalty: float = 2.0,
                                 use_pallas: bool = False,
                                 meshes: list | None = None,
                                 penalty_scaling: str = "measure",
+                                smoother: str = "cheb",
                                 dtype=jnp.float64):
     """Fully matrix-free hp-multigrid for the SIPG Laplacian: every level
     applies the sum-factorized operator (no assembled matrices except the
@@ -532,16 +533,39 @@ def matrixfree_multigrid_solver(basis: DGBasis, penalty: float = 2.0,
                                     dtype=dtype)
         Dinv = {p: jnp.asarray(np.linalg.inv(np.asarray(d)), dtype)
                 for p, d in D.items()}
-        pc = (lambda DD: lambda r: sm.apply_blockdiag(DD, r))(Dinv)
-        rho = sm.estimate_rho(op, pc, bv.zeros(bas, dtype=dtype))
-        smooth = sm.chebyshev_smoother(op, pc, lmax=1.05 * rho,
-                                       degree=cheby_degree)
+        pre_sm = post_sm = None
+        if smoother == "patch":
+            # matrix-free vertex-patch sweeps with probe-lattice class
+            # inverses (solvers.patches.uniform_patch_smoother): on the
+            # p=4 chain one 1+1 sweep pair contracts at ~0.02/cycle
+            # where Chebyshev-4 sits at ~0.39.  Levels whose patch
+            # blocks exceed 1024 dofs keep Chebyshev.
+            (pd,) = bas.bucket_degrees
+            if 2 ** bas.mesh.dim * (pd + 1) ** bas.mesh.dim <= 1024:
+                try:
+                    from hpdg_tpu.solvers.patches import \
+                        uniform_patch_smoother
+                    pre_sm = uniform_patch_smoother(
+                        op, bas, penalty, dirichlet=dirichlet,
+                        penalty_scaling=penalty_scaling, dtype=dtype)
+                    post_sm = uniform_patch_smoother(
+                        op, bas, penalty, dirichlet=dirichlet,
+                        penalty_scaling=penalty_scaling, reverse=True,
+                        dtype=dtype)
+                except ValueError:
+                    pre_sm = post_sm = None
+        if pre_sm is None:
+            pc = (lambda DD: lambda r: sm.apply_blockdiag(DD, r))(Dinv)
+            rho = sm.estimate_rho(op, pc, bv.zeros(bas, dtype=dtype))
+            pre_sm = post_sm = sm.chebyshev_smoother(op, pc,
+                                                     lmax=1.05 * rho,
+                                                     degree=cheby_degree)
         restrict = prolong = None
         if l > 0:
             T = transfers[l - 1]
             restrict = (lambda TT: lambda r: TT.restrict(r, dtype=dtype))(T)
             prolong = (lambda TT: lambda c: TT.prolong(c, dtype=dtype))(T)
-        levels.append(Level(apply=op, pre_smooth=smooth, post_smooth=smooth,
+        levels.append(Level(apply=op, pre_smooth=pre_sm, post_smooth=post_sm,
                             restrict=restrict, prolong=prolong,
                             pre_steps=1, post_steps=1))
 

@@ -143,6 +143,106 @@ def patch_inverses(A: BlockSparseMatrix, basis, colors: list[np.ndarray],
     return out
 
 
+def uniform_patch_smoother(op, basis, penalty: float,
+                           dirichlet: bool = True,
+                           penalty_scaling: str = "measure",
+                           reverse: bool = False, dtype=jnp.float64):
+    """Vertex-patch sweep for MATRIX-FREE operators on uniform box
+    lattices: ``step(x, b) -> x`` with ``op`` any dict->dict apply.
+
+    The level operator is never assembled.  Patch operators on a
+    uniform lattice with constant coefficients depend only on which
+    patch faces touch the domain boundary, so the (at most 3^dim)
+    distinct inverses are extracted from a tiny PROBE lattice (<= 4
+    cells per axis at the same h, serially assembled) — memory is one
+    [K, K] inverse per class no matter how large the level is.  This is
+    what makes patch smoothing usable inside the production
+    ``matrixfree_multigrid_solver`` at headline sizes.
+    """
+    from hpdg_tpu import mesh as hmesh
+    from hpdg_tpu.assemble.sipg import assemble_laplace
+    from hpdg_tpu.basis.dgbasis import DGBasis
+
+    mesh = basis.mesh
+    dim = mesh.dim
+    (p,) = basis.bucket_degrees
+    coords, cells = lattice_coords(mesh)
+    if mesh.n_elements != int(np.prod(cells)):
+        raise ValueError("uniform patch smoother needs a full box lattice")
+    if any(c < 2 for c in cells):
+        raise ValueError("vertex patches need >= 2 cells per axis")
+    h = mesh.extent[0]
+
+    # probe lattice: smallest box exhibiting every boundary class of the
+    # real lattice along each axis (4 cells give low/interior/high; 3
+    # give low/high-only; 2 gives the degenerate low==high vertex)
+    pcells = tuple(min(int(c), 4) for c in cells)
+    pmesh = hmesh.structured(pcells, upper=tuple(c * hh
+                                                 for c, hh in zip(pcells, h)))
+    pbasis = DGBasis(pmesh, np.full(pmesh.n_elements, p, dtype=np.int32))
+    Ap = assemble_laplace(pbasis, penalty=penalty, dirichlet=dirichlet,
+                          penalty_scaling=penalty_scaling,
+                          dtype=jnp.float64)
+
+    k = 1 << dim
+    offs = np.array([[(c >> (dim - 1 - a)) & 1 for a in range(dim)]
+                     for c in range(k)], dtype=np.int64)
+    strides = np.array([int(np.prod(cells[a + 1:])) for a in range(dim)],
+                       dtype=np.int64)
+    pstrides = np.array([int(np.prod(pcells[a + 1:])) for a in range(dim)],
+                        dtype=np.int64)
+
+    def class_of(v, cc):
+        return tuple((int(v[a]) == 0, int(v[a]) == cc[a] - 2)
+                     for a in range(dim))
+
+    # representative probe vertex for a class: low -> 0, high ->
+    # pcells-2, interior -> 1 (exists iff the real axis has one)
+    inv_cache = {}
+
+    def class_inv(key):
+        if key not in inv_cache:
+            pv = np.array([0 if lo else (pcells[a] - 2 if hi else 1)
+                           for a, (lo, hi) in enumerate(key)])
+            els = ((pv[None, :] + offs) @ pstrides).astype(np.int32)
+            inv = patch_inverses(Ap, pbasis, [els[None, :]],
+                                 dtype=dtype)[0]
+            inv_cache[key] = inv[0]
+        return inv_cache[key]
+
+    verts = np.stack(np.meshgrid(*[np.arange(c - 1) for c in cells],
+                                 indexing="ij"), axis=-1).reshape(-1, dim)
+    par = verts % 2
+    color_groups = []  # per color: list of (els [n,k], inv [K,K])
+    for ckey in sorted({tuple(r) for r in par}):
+        sel = verts[np.all(par == np.asarray(ckey), axis=1)]
+        by_class = {}
+        for v in sel:
+            by_class.setdefault(class_of(v, cells), []).append(
+                (v[None, :] + offs) @ strides)
+        color_groups.append([
+            (jnp.asarray(np.stack(e).astype(np.int32)), class_inv(key))
+            for key, e in sorted(by_class.items())])
+    if reverse:
+        color_groups = color_groups[::-1]
+    bs = basis.n_local(p)
+    K = k * bs
+
+    def step(x: dict, b: dict) -> dict:
+        for groups in color_groups:
+            r = bv.sub(b, op(x))
+            xp = x[p]
+            for els, inv in groups:
+                n = els.shape[0]
+                rg = r[p][els].reshape(n, K)
+                y = (rg @ inv.T).reshape(n, k, bs)
+                xp = xp.at[els].add(y)
+            x = {p: xp}
+        return x
+
+    return step
+
+
 def patch_smoother_step(A: BlockSparseMatrix, basis,
                         colors: list[np.ndarray] | None = None,
                         invs: list | None = None,

@@ -124,6 +124,51 @@ def test_patch_smoother_masked_lattice_lshape():
     assert r < 0.35, r
 
 
+def test_matrixfree_patch_smoother_probe_classes():
+    """uniform_patch_smoother (probe-lattice class inverses, never
+    assembling the level) equals the assembled-matrix patch sweep."""
+    from hpdg_tpu.matrixfree.sumfact import sipg_operator
+    m = hmesh.structured((4, 3, 2))
+    basis = DGBasis(m, np.full(m.n_elements, 2, dtype=np.int32))
+    kw = dict(penalty=3.0, dirichlet=True, penalty_scaling="normal")
+    op = sipg_operator(basis, dtype=jnp.float64, **kw)
+    A = assemble_laplace(basis, dtype=jnp.float64, **kw)
+    mf_step = pat.uniform_patch_smoother(op, basis, 3.0, dirichlet=True,
+                                         penalty_scaling="normal")
+    asm_step = pat.patch_smoother_step(A, basis)
+    x = bv.random(basis, seed=3)
+    b = bv.random(basis, seed=4)
+    got = np.asarray(mf_step(x, b)[2])
+    want = np.asarray(asm_step(x, b)[2])
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 1e-11, err
+
+
+def test_matrixfree_mg_patch_rate():
+    """Production matrix-free MG with smoother="patch": p-chain at p=4
+    contracts at ~0.02/cycle (Chebyshev-4: ~0.32)."""
+    from hpdg_tpu.matrixfree.sumfact import sipg_operator
+    from hpdg_tpu.solvers.multigrid import matrixfree_multigrid_solver
+    m = hmesh.structured((4, 4, 4))
+    basis = DGBasis(m, np.full(64, 4, dtype=np.int32))
+    op = sipg_operator(basis, penalty=4.0, dirichlet=True,
+                       penalty_scaling="normal", dtype=jnp.float64)
+    step, _ = matrixfree_multigrid_solver(basis, penalty=4.0,
+                                          dirichlet=True,
+                                          penalty_scaling="normal",
+                                          smoother="patch")
+    js = jax.jit(step)
+    b = bv.random(basis, seed=1887)
+    nb = float(bv.norm(b))
+    x = bv.zeros_like(b)
+    res = [1.0]
+    for _ in range(5):
+        x = js(x, b)
+        res.append(float(bv.norm(bv.sub(b, op(x)))) / nb)
+    r = (res[-1] / max(res[1], 1e-300)) ** (1.0 / 4)
+    assert r < 0.08, r
+
+
 def test_patch_fallback_mixed_degrees():
     """Mixed-degree levels fall back to colored GS instead of failing."""
     m = hmesh.structured((2, 2))
