@@ -274,6 +274,7 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
             # element-block GS.
             from hpdg_tpu.solvers import patches as pat
             patch_max_block = 1024
+            pre = post = None
             usable = len(bas.bucket_degrees) == 1
             if usable:
                 (pd,) = bas.bucket_degrees
@@ -288,8 +289,23 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
                     post = pat.patch_smoother_step(M, bas, cols_, invs_,
                                                    reverse=True, dtype=dtype)
                 except ValueError:
-                    usable = False
-            if not usable:
+                    pre = post = None
+            if pre is None:
+                # general path: hanging nodes and/or mixed degrees
+                try:
+                    gcols = pat.general_vertex_patches(bas.mesh)
+                    ncmp = A.block_shape[0]
+                    maxK = max(sum(ncmp * (int(bas.degrees[e]) + 1)
+                                   ** bas.mesh.dim for e in pa)
+                               for color in gcols for pa in color)
+                    if maxK <= patch_max_block:
+                        pre = pat.general_patch_smoother_step(
+                            M, bas, gcols, dtype=dtype)
+                        post = pat.general_patch_smoother_step(
+                            M, bas, gcols, reverse=True, dtype=dtype)
+                except ValueError:
+                    pre = post = None
+            if pre is None:
                 pre = sm.colored_block_gs_step(M, bas)
                 post = sm.colored_block_gs_step(M, bas, reverse=True)
         elif smoother == "line":

@@ -143,6 +143,186 @@ def patch_inverses(A: BlockSparseMatrix, basis, colors: list[np.ndarray],
     return out
 
 
+def general_vertex_patches(mesh) -> list[list[np.ndarray]]:
+    """Vertex patches on ARBITRARY box meshes: hanging nodes and mixed
+    element sizes included (the lattice constructor above only serves
+    uniform lattices).
+
+    Anchors are all distinct element corners.  A patch contains (a) the
+    elements sharing the corner and (b) every face-neighbor of those
+    elements whose shared face contains the corner — at a hanging
+    vertex this pulls in the COARSE element the fine corners sit on, so
+    the penalty coupling across the non-conforming face is solved
+    exactly.  Patches covering < 2 elements are dropped (corners of the
+    domain boundary), then stranded elements get singleton patches.
+
+    Colors come from a greedy coloring of the patch-overlap graph
+    (same-color patches share no element), so each color remains one
+    batched solve.  Returns colors as lists of variable-length element
+    arrays; batching by size/degree signature happens in
+    ``general_patch_smoother_step``.
+    """
+    n = mesh.n_elements
+    dim = mesh.dim
+    lo, ext = mesh.lower, mesh.extent
+    scale = ext.min()
+    eps = 1e-6 * scale
+    # per-axis quantum = half the smallest extent along that axis: under
+    # 2:1 refinement every corner coordinate is an integer multiple of
+    # the axis minimum, so quantized keys are exact (never half-integer)
+    quant = 0.5 * ext.min(axis=0)
+
+    def qkey(pt):
+        return tuple(np.rint(pt / quant).astype(np.int64))
+
+    # corner -> elements sharing it
+    corners_of = {}
+    k = 1 << dim
+    offs = np.array([[(c >> (dim - 1 - a)) & 1 for a in range(dim)]
+                     for c in range(k)], dtype=np.float64)
+    pts = lo[:, None, :] + offs[None, :, :] * ext[:, None, :]  # [n, k, dim]
+    anchor_pt = {}
+    for e in range(n):
+        for c in range(k):
+            key = qkey(pts[e, c])
+            corners_of.setdefault(key, set()).add(e)
+            anchor_pt[key] = pts[e, c]
+    # element -> incident interior faces (for hanging-face neighbors)
+    efaces = [[] for _ in range(n)]
+    fi, fo = mesh.faces.inside, mesh.faces.outside
+    for i in range(len(mesh.faces)):
+        efaces[int(fi[i])].append(i)
+        efaces[int(fo[i])].append(i)
+    fax = mesh.faces.axis
+
+    def face_box(i):
+        a, b = int(fi[i]), int(fo[i])
+        blo = np.maximum(lo[a], lo[b])
+        bhi = np.minimum(lo[a] + ext[a], lo[b] + ext[b])
+        return blo, bhi
+
+    patches = []
+    covered = np.zeros(n, dtype=bool)
+    seen_sets = set()
+    for key, els in corners_of.items():
+        v = anchor_pt[key]
+        grow = set(els)
+        for e in list(els):
+            for i in efaces[e]:
+                blo, bhi = face_box(i)
+                if np.all(v >= blo - eps) and np.all(v <= bhi + eps):
+                    grow.add(int(fi[i]))
+                    grow.add(int(fo[i]))
+        if len(grow) < 2:
+            continue
+        sig = tuple(sorted(grow))
+        if sig in seen_sets:
+            continue
+        seen_sets.add(sig)
+        patches.append(np.asarray(sig, dtype=np.int32))
+        covered[patches[-1]] = True
+    for e in np.nonzero(~covered)[0]:
+        patches.append(np.asarray([e], dtype=np.int32))
+    # drop patches strictly contained in another patch (degenerate
+    # duplicates from coincident corners) — cheap n^2 avoided by
+    # keeping all: containment only wastes a solve, never hurts
+    # correctness.  Greedy color the overlap graph:
+    owner = {}
+    colors: list[list[np.ndarray]] = []
+    for pa in patches:
+        used = set()
+        for e in pa:
+            for c in owner.get(int(e), ()):
+                used.add(c)
+        c = 0
+        while c in used:
+            c += 1
+        while c >= len(colors):
+            colors.append([])
+        colors[c].append(pa)
+        for e in pa:
+            owner.setdefault(int(e), []).append(c)
+    return colors
+
+
+def general_patch_smoother_step(A: BlockSparseMatrix, basis,
+                                colors: list[list[np.ndarray]] | None = None,
+                                damping: float = 1.0,
+                                reverse: bool = False, dtype=jnp.float64):
+    """Multiplicative colored vertex-patch sweep on GENERAL meshes
+    (hanging nodes + mixed degrees): ``step(x, b) -> x``.
+
+    Within a color, patches are grouped by their exact (lane-degree)
+    signature so every group is one batched dense solve; lanes gather
+    from / scatter into their own degree buckets.  Patch inverses are
+    per patch (no translation classes on irregular meshes), computed on
+    the host at setup.
+    """
+    if colors is None:
+        colors = general_vertex_patches(basis.mesh)
+    dim = basis.mesh.dim
+    ncomp = A.block_shape[0]
+    pos = basis.elem_bucket_pos
+    degs = basis.degrees
+
+    def bsz(p):
+        return ncomp * (p + 1) ** dim
+
+    prepared = []  # per color: list of groups
+    for color in colors:
+        by_sig = {}
+        for pa in color:
+            sig = tuple(int(degs[e]) for e in pa)
+            by_sig.setdefault(sig, []).append(pa)
+        groups = []
+        for sig, pas in sorted(by_sig.items()):
+            E = np.stack(pas)  # [npat, k]
+            npat, k = E.shape
+            sizes = [bsz(p) for p in sig]
+            offs = np.concatenate([[0], np.cumsum(sizes)])
+            K = int(offs[-1])
+            M = np.zeros((npat, K, K))
+            for a in range(k):
+                pa_deg = sig[a]
+                for b2 in range(k):
+                    pb_deg = sig[b2]
+                    if (pa_deg, pb_deg) not in A.pattern.entries:
+                        continue
+                    six = A.pattern._slot_index((pa_deg, pb_deg))
+                    vals = np.asarray(A.values[(pa_deg, pb_deg)])
+                    for i in range(npat):
+                        s = six.get((int(pos[E[i, a]]), int(pos[E[i, b2]])))
+                        if s is not None:
+                            M[i, offs[a]:offs[a + 1],
+                              offs[b2]:offs[b2 + 1]] = vals[s]
+            inv = jnp.asarray(np.linalg.inv(M), dtype)
+            lanes = [(sig[a], jnp.asarray(pos[E[:, a]]),
+                      int(offs[a]), sizes[a]) for a in range(k)]
+            groups.append((inv, lanes, K))
+        prepared.append(groups)
+    if reverse:
+        prepared = prepared[::-1]
+
+    from hpdg_tpu.linalg.blockmatrix import matvec as _mv
+
+    def step(x: dict, b: dict) -> dict:
+        for groups in prepared:
+            r = bv.sub(b, _mv(A, x))
+            xn = dict(x)
+            for inv, lanes, K in groups:
+                npat = inv.shape[0]
+                rg = jnp.concatenate(
+                    [r[p][idx] for (p, idx, o, s) in lanes], axis=1)
+                y = jnp.einsum("nij,nj->ni", inv, rg,
+                               preferred_element_type=rg.dtype)
+                for (p, idx, o, s) in lanes:
+                    xn[p] = xn[p].at[idx].add(damping * y[:, o:o + s])
+            x = xn
+        return x
+
+    return step
+
+
 def uniform_patch_smoother(op, basis, penalty: float,
                            dirichlet: bool = True,
                            penalty_scaling: str = "measure",

@@ -169,12 +169,78 @@ def test_matrixfree_mg_patch_rate():
     assert r < 0.08, r
 
 
+def test_general_patch_step_matches_dense_oracle():
+    """General vertex patches (hanging nodes + mixed degrees): one
+    sweep equals a dense multiplicative-Schwarz oracle at 1e-11, and at
+    the hanging vertices the patches include the coarse neighbor."""
+    from hpdg_tpu.mesh.adaptive import refine_local, close_marks
+    m0 = hmesh.structured((3, 3))
+    marks = np.zeros(9, dtype=bool)
+    marks[4] = True
+    m = refine_local(m0, close_marks(m0, marks))
+    rng = np.random.default_rng(11)
+    degrees = rng.choice([1, 2], size=m.n_elements).astype(np.int32)
+    basis = DGBasis(m, degrees)
+    A = assemble_laplace(basis, penalty=4.0, dirichlet=True,
+                         dtype=jnp.float64)
+    colors = pat.general_vertex_patches(m)
+    # hanging coupling: some patch mixes element sizes
+    assert any(len(np.unique(np.prod(m.extent[pa], axis=1))) > 1
+               for color in colors for pa in color)
+    step = pat.general_patch_smoother_step(A, basis, colors)
+    x = bv.random(basis, seed=5)
+    b = bv.random(basis, seed=6)
+    got = bv.to_flat(basis, step(x, b))
+
+    Ad = np.asarray(bm.to_dense(A, basis))
+    xd = np.asarray(bv.to_flat(basis, x)).copy()
+    bd = np.asarray(bv.to_flat(basis, b))
+
+    def dofs(e):
+        p = int(degrees[e])
+        off = int(basis.offsets[e])
+        return np.arange(off, off + (p + 1) ** 2)
+
+    for color in colors:
+        r = bd - Ad @ xd
+        for pa in color:
+            idx = np.concatenate([dofs(e) for e in pa])
+            xd[idx] += np.linalg.solve(Ad[np.ix_(idx, idx)], r[idx])
+    err = np.linalg.norm(np.asarray(got) - xd) / np.linalg.norm(xd)
+    assert err < 1e-11, err
+
+
+def test_hanging_node_mg_general_patch_rate():
+    """h-pair multigrid on a hanging-node mesh: smoother="patch" routes
+    to the general patch path and contracts fast."""
+    from hpdg_tpu.mesh.adaptive import refine_local, close_marks
+    m0 = hmesh.structured((4, 4))
+    rng = np.random.default_rng(2)
+    mc = refine_local(m0, close_marks(m0, rng.random(16) < 0.4))
+    mf = hmesh.refine(mc)
+    basis = DGBasis(mf, np.ones(mf.n_elements, dtype=np.int32))
+    A = assemble_laplace(basis, penalty=4.0, dirichlet=True,
+                         dtype=jnp.float64)
+    b = l2_functional(basis, lambda x: jnp.ones(x.shape[:-1]))
+    r = _mg_rate(basis, A, b, meshes=[mc, mf], smoother="patch",
+                 pre_steps=1, post_steps=1)
+    assert r < 0.2, r
+
+
 def test_patch_fallback_mixed_degrees():
-    """Mixed-degree levels fall back to colored GS instead of failing."""
+    """Mixed-degree levels route to the general patch path.  On this
+    2x2 mesh the single vertex patch covers every element, so the
+    "smoother" is an exact solve — assert the solve itself (the rate is
+    a floor artifact at 1e-16)."""
+    from hpdg_tpu.solvers.multigrid import multigrid_solver
     m = hmesh.structured((2, 2))
     basis = DGBasis(m, np.array([1, 2, 2, 1]))
     A = assemble_laplace(basis, penalty=4.0, dirichlet=True,
                          dtype=jnp.float64)
     b = l2_functional(basis, lambda x: jnp.ones(x.shape[:-1]))
-    r = _mg_rate(basis, A, b, smoother="patch")
-    assert r < 0.6, r
+    step, _ = multigrid_solver(basis, A, smoother="patch")
+    x = bv.zeros_like(b)
+    for _ in range(3):
+        x = step(x, b)
+    rel = float(bv.norm(bv.sub(b, bm.matvec(A, x)))) / float(bv.norm(b))
+    assert rel < 1e-12, rel
