@@ -223,10 +223,8 @@ def general_vertex_patches(mesh) -> list[list[np.ndarray]]:
         covered[patches[-1]] = True
     for e in np.nonzero(~covered)[0]:
         patches.append(np.asarray([e], dtype=np.int32))
-    # drop patches strictly contained in another patch (degenerate
-    # duplicates from coincident corners) — cheap n^2 avoided by
-    # keeping all: containment only wastes a solve, never hurts
-    # correctness.  Greedy color the overlap graph:
+    # greedy-color the patch-overlap graph (patches sharing an element
+    # must differ); same-color patches are disjoint = one batched solve
     owner = {}
     colors: list[list[np.ndarray]] = []
     for pa in patches:
@@ -303,14 +301,11 @@ def general_patch_smoother_step(A: BlockSparseMatrix, basis,
     if reverse:
         prepared = prepared[::-1]
 
-    from hpdg_tpu.linalg.blockmatrix import matvec as _mv
-
     def step(x: dict, b: dict) -> dict:
         for groups in prepared:
-            r = bv.sub(b, _mv(A, x))
+            r = bv.sub(b, matvec(A, x))
             xn = dict(x)
             for inv, lanes, K in groups:
-                npat = inv.shape[0]
                 rg = jnp.concatenate(
                     [r[p][idx] for (p, idx, o, s) in lanes], axis=1)
                 y = jnp.einsum("nij,nj->ni", inv, rg,
