@@ -134,7 +134,40 @@ def cpp_baseline_solve_seconds(n: int = 12, p: int = 4,
     return None
 
 
+def wait_for_backend(attempts: int = 4, probe_timeout: int = 180,
+                     sleep_s: int = 45) -> bool:
+    """Insurance against a dead/hung TPU tunnel: `jax.devices()` can
+    BLOCK forever when the axon backend is unreachable, which would
+    stall the whole bench with no JSON line.  Probe the backend in a
+    subprocess (kill-safe) with retries before initializing in-process.
+    """
+    for attempt in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0].platform)"],
+                capture_output=True, text=True, timeout=probe_timeout)
+            if r.returncode == 0:
+                log(f"# backend probe ok: {r.stdout.strip()}")
+                return True
+            log(f"# backend probe attempt {attempt + 1} failed: "
+                f"{r.stderr.strip()[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"# backend probe attempt {attempt + 1} timed out "
+                f"({probe_timeout}s)")
+        time.sleep(sleep_s)
+    return False
+
+
 def main():
+    if not wait_for_backend():
+        print(json.dumps({
+            "metric": "3d_sipg_p4_assembled_dofs_per_s", "value": None,
+            "unit": "DOF/s", "vs_baseline": None,
+            "error": "TPU backend unreachable (tunnel down) after retries",
+        }), flush=True)
+        return
+
     from hpdg_tpu import mesh as hmesh
     from hpdg_tpu.basis.dgbasis import DGBasis
     from hpdg_tpu.assemble import assemble_laplace, build_plan
