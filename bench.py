@@ -284,9 +284,14 @@ def main():
         from hpdg_tpu.solvers.cg import hoist_constants
         cpu = jax.devices("cpu")[0]
         tpu = jax.devices()[0]
-        levels = int(round(np.log2(n / 3)))
-        assert 3 * 2 ** levels == n, n
-        meshes_mg = hmesh.hierarchy(hmesh.structured((3, 3, 3)), levels)
+        # geometric base: halve n while even, stopping at base >= 3
+        # (12 -> 3 x 2^2, 24 -> 3 x 2^3, 32 -> 4 x 2^3, 48 -> 3 x 2^4)
+        base, levels = n, 0
+        while base % 2 == 0 and base // 2 >= 3:
+            base //= 2
+            levels += 1
+        assert base * 2 ** levels == n, n
+        meshes_mg = hmesh.hierarchy(hmesh.structured((base,) * 3), levels)
         mesh_mg = meshes_mg[-1]
         basis_mg = DGBasis(mesh_mg, np.full(mesh_mg.n_elements, p))
         ndof = basis_mg.ndof
@@ -471,9 +476,14 @@ def main():
     # relative (k=10 reproduces k=8's history exactly), so two chains
     # top out at 1.1e-8 and a third refinement step is required; k=8
     # keeps the chains at the floor without wasted cycles.
-    mg_configs = [(12, 1200, 8), (24, 2400, 8)]
-    # optional 48^3 p=4 = 13.8M-DOF config (minutes of host f64 residual
+    # headline = 32^3 p=4 = 4.1M dofs (the r2 verdict's ">=4M" ask; the
+    # C++ denominator at 32^3 needs ~38 GB assembled — 48^3 would need
+    # ~118 GB and is unsafe on this 125 GB host), 12^3 for continuity.
+    mg_configs = [(12, 1200, 8), (32, 2800, 8)]
+    # optional larger TPU-side configs (minutes of host f64 residual
     # work per refinement step on this 1-core host; opt-in)
+    if os.environ.get("HPDG_BENCH_N24"):
+        mg_configs.insert(1, (24, 2400, 8))
     if os.environ.get("HPDG_BENCH_N48"):
         mg_configs.append((48, 3600, 8))
     for n_mg, alarm_s, k_mg in mg_configs:

@@ -38,8 +38,20 @@ def _round_up(x, m):
 def pallas_uniform_sipg_operator(basis: DGBasis, penalty: float = 2.0,
                                  dirichlet: bool = True,
                                  interpret: bool = False,
-                                 penalty_scaling: str = "measure"):
-    """Returns apply: {p: [n, bs] f32} -> {p: [n, bs] f32}."""
+                                 penalty_scaling: str = "measure",
+                                 variant: str = "sum"):
+    """Returns apply: {p: [n, bs] f32} -> {p: [n, bs] f32}.
+
+    variant="sum": one GEMM per stencil entry (1 + 4*dim of them),
+    masked contributions accumulated on the fly.
+    variant="concat": the stencil entries are fused into a SINGLE MXU
+    GEMM per tile — the masked neighbor/boundary operand slices are
+    concatenated along the contraction axis ([T, nmats*BS] x
+    [nmats*BS, BS]), so the MXU sees one deep-K matmul instead of
+    nmats shallow ones (each [T,128]x[128,128] GEMM is only K=128
+    deep; the schedule overhead of launching 13 of them dominates at
+    p=4 — measured on-chip before switching the default).
+    """
     mesh = basis.mesh
     dim = mesh.dim
     if dim not in (2, 3):
@@ -147,10 +159,30 @@ def pallas_uniform_sipg_operator(basis: DGBasis, penalty: float = 2.0,
 
     ntiles = n0
 
+    if variant not in ("sum", "concat"):
+        raise ValueError(f"unknown pallas kernel variant {variant!r}")
+
     def kernel(mats_ref, um_ref, uc_ref, up_ref, mk_ref, y_ref):
         z = jnp.concatenate([um_ref[:], uc_ref[:], up_ref[:]], axis=0)
         u = uc_ref[:]
         mk = mk_ref[:]
+        if variant == "concat":
+            # masked operand slices along the contraction axis -> ONE
+            # [T, nmats*BS] x [nmats*BS, BS] GEMM on the MXU
+            parts = [u]  # ordered as MATS: Tdiag, Mplus*, Mminus*, C*
+            parts += [mk[:, a:a + 1] * z[T + strides[a]:2 * T + strides[a], :]
+                      for a in range(dim)]
+            parts += [mk[:, dim + a:dim + a + 1]
+                      * z[T - strides[a]:2 * T - strides[a], :]
+                      for a in range(dim)]
+            parts += [(1.0 - mk[:, a:a + 1]) * u for a in range(dim)]
+            parts += [(1.0 - mk[:, dim + a:dim + a + 1]) * u
+                      for a in range(dim)]
+            lhs = jnp.concatenate(parts, axis=1)
+            rhs = mats_ref[:].reshape(nmats * BS, BS)
+            y_ref[:] = jnp.dot(lhs, rhs,
+                               preferred_element_type=jnp.float32)
+            return
         acc = jnp.dot(u, mats_ref[0], preferred_element_type=jnp.float32)
         for a in range(dim):
             s = strides[a]

@@ -231,12 +231,16 @@ def test_pallas_uniform_kernel_interpret():
       for dirichlet in (True, False):
         ref = uniform_sipg_operator(basis, penalty=2.0, dirichlet=dirichlet,
                                     dtype=jnp.float32)
-        pal = pallas_uniform_sipg_operator(basis, penalty=2.0,
-                                           dirichlet=dirichlet,
-                                           interpret=True)
-        y1, y2 = ref(x)[p], pal(x)[p]
+        y1 = ref(x)[p]
         scale = float(jnp.abs(y1).max())
-        assert float(jnp.abs(y1 - y2).max()) < 1e-5 * scale, cells
+        for variant in ("sum", "concat"):
+            pal = pallas_uniform_sipg_operator(basis, penalty=2.0,
+                                               dirichlet=dirichlet,
+                                               interpret=True,
+                                               variant=variant)
+            y2 = pal(x)[p]
+            assert float(jnp.abs(y1 - y2).max()) < 1e-5 * scale, \
+                (cells, variant)
 
 
 def test_uniform_and_pallas_normal_penalty_scaling():
