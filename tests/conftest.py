@@ -33,6 +33,15 @@ _SLOW_MODULES = ("test_parallel", "test_parallel_hp", "test_parallel_heat",
 # --durations); each has a faster sibling keeping its feature covered in
 # the quick tier
 _SLOW_TESTS = (
+    "test_native_refinement_loop_reaches_1e8",
+    "test_elasticity_full_hp_hierarchy_patch_rate",
+    "test_h_multigrid_on_curved_mesh_converges",
+    "test_matrixfree_mg_patch_rate",
+    "test_neumann_rhs_curved_surface_measure",
+    "test_line_jacobi_step_converges",
+    "test_line_jacobi_vector_blocks_converges_anisotropic",
+    "test_sheared_assembly_matches_oracle",
+    "test_matrixfree_elasticity_general_geometry",
     "test_matrixfree_elasticity_matches_assembled",
     "test_elasticity_diagonal_blocks_smooth",
     "test_hp_multigrid_mixed_degrees",
