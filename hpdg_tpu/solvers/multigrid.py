@@ -543,12 +543,6 @@ def matrixfree_multigrid_solver(basis: DGBasis, penalty: float = 2.0,
             op = mf.sipg_operator(bas, penalty=penalty, dirichlet=dirichlet,
                                   plan=planl, dtype=dtype,
                                   penalty_scaling=penalty_scaling)
-        D = mf.sipg_diagonal_blocks(bas, penalty=penalty,
-                                    dirichlet=dirichlet, plan=planl,
-                                    penalty_scaling=penalty_scaling,
-                                    dtype=dtype)
-        Dinv = {p: jnp.asarray(np.linalg.inv(np.asarray(d)), dtype)
-                for p, d in D.items()}
         pre_sm = post_sm = None
         if smoother == "patch":
             # matrix-free vertex-patch sweeps with probe-lattice class
@@ -571,6 +565,16 @@ def matrixfree_multigrid_solver(basis: DGBasis, penalty: float = 2.0,
                 except ValueError:
                     pre_sm = post_sm = None
         if pre_sm is None:
+            # block-Jacobi-preconditioned Chebyshev: invert the diagonal
+            # blocks only on levels that actually smooth with them (at
+            # 32^3 p=4 the [32768, 125, 125] host inversion alone costs
+            # minutes on a small host — skipped entirely under "patch")
+            D = mf.sipg_diagonal_blocks(bas, penalty=penalty,
+                                        dirichlet=dirichlet, plan=planl,
+                                        penalty_scaling=penalty_scaling,
+                                        dtype=dtype)
+            Dinv = {p: jnp.asarray(np.linalg.inv(np.asarray(d)), dtype)
+                    for p, d in D.items()}
             pc = (lambda DD: lambda r: sm.apply_blockdiag(DD, r))(Dinv)
             rho = sm.estimate_rho(op, pc, bv.zeros(bas, dtype=dtype))
             pre_sm = post_sm = sm.chebyshev_smoother(op, pc,
