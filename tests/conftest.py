@@ -58,6 +58,12 @@ _SLOW_TESTS = (
     "test_semicoarsened_anisotropic_multigrid",
     "test_pallas_uniform_kernel_interpret",
     "test_tnnmg_truncated_hierarchy_option",
+    # refine-driver option paths (each compiles its own chain; the
+    # classic default stays in the quick tier)
+    "test_tight_tolerance_keeps_anchoring",
+    "test_quantized_download_correct_but_slower",
+    "test_unanchored_steps_correct_with_final_anchor",
+    "test_no_anchor_single_shot_estimate",
     "test_tnnmg_elasticity_contact",
     "test_heat_problem_preset",
     "test_elasticity_2d_mixed_degrees",
