@@ -25,8 +25,9 @@ jax.config.update("jax_enable_x64", True)
 
 # Two test tiers (README "Testing"): the sharded 8-device shard_map tests
 # and C++-toolchain parity tests dominate the suite wall time, so they are
-# auto-marked `slow`; `pytest -m "not slow"` is the <5 min quick tier
-# covering the differential core (oracle/golden/solver tests).
+# auto-marked `slow`; `pytest -m "not slow"` is the quick tier covering
+# the differential core (oracle/golden/solver tests) — ~10 min measured
+# on the 1-core bench host, minutes on a normal multi-core machine.
 _SLOW_MODULES = ("test_parallel", "test_parallel_hp", "test_parallel_heat",
                  "test_parallel_patches", "test_parity_cpp", "test_examples")
 # individually slow tests (> ~8 s on one idle core, measured with
