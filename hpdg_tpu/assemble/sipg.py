@@ -38,6 +38,16 @@ def _sym(M):
     return M + M.T
 
 
+def dg_theta(dg_form) -> float:
+    """DG-form name -> symmetry factor theta of the consistency terms:
+    SIPG -1, IIPG 0, NIPG +1 — the reference's DGType enum
+    (variableipdg.hh:33); floats pass through (dgType_ is a double
+    there too)."""
+    if isinstance(dg_form, str):
+        return {"sipg": -1.0, "iipg": 0.0, "nipg": 1.0}[dg_form.lower()]
+    return float(dg_form)
+
+
 class _DictBuilder:
     """Constant-coefficient assembly as ONE GEMM per (p_row, p_col) key.
 
@@ -173,8 +183,18 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                      dirichlet: bool = False, diffusion=None,
                      dtype=jnp.float64, plan: AssemblyPlan | None = None,
                      geom_scale=None,
-                     penalty_scaling: str = "measure") -> BlockSparseMatrix:
-    """Assemble the (optionally variable-coefficient) SIPG stiffness matrix.
+                     penalty_scaling: str = "measure",
+                     dg_form="sipg",
+                     sigma1: float = 0.0) -> BlockSparseMatrix:
+    """Assemble the (optionally variable-coefficient) IPDG stiffness matrix.
+
+    ``dg_form``: "sipg" (default, symmetric) | "iipg" | "nipg", or the
+    theta float itself — the symmetry factor of the consistency terms
+    (the reference's DGType switch, variableipdg.hh:33,177,328-351).
+    ``sigma1``: gradient-jump stabilization
+    sigma1/|f| (grad phi_i . n)(grad phi_j . n) on interior faces
+    (variableipdg.hh:330-351; boundary faces are unaffected there too).
+    Supported on axis-aligned box meshes with scalar media.
 
     ``diffusion``: optional vectorized coefficient ``K(x)`` taking an
     array ``(..., dim)`` of physical points and returning values of
@@ -215,6 +235,14 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
     if diffusion is not None:
         probe = np.asarray(diffusion(jnp.full((1, dim), 0.5, dtype)))
         kmat = kmat or probe.ndim >= 3
+    theta = dg_theta(dg_form)
+    if sigma1 != 0.0 and kmat:
+        raise NotImplementedError(
+            "sigma1 gradient-jump stabilization: box meshes with scalar "
+            "media only (matches the reference's own usage scope)")
+    # under a uniform rescale s the sigma1 term scales as s^-2:
+    # |f| ~ s^(d-1) cancels 1/|f|, each (grad . n) contributes 1/s
+    s1pow = gs ** (-2)
     vb = _DictBuilder(plan, dim, dtype) if fast else _ValueBuilder(plan, dim,
                                                                    dtype)
 
@@ -282,17 +310,31 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             X1 = np.einsum("iq,q,jq->ij", Vi, w, Do)
             X2 = np.einsum("iq,q,jq->ij", Di, w, Vo)
             X3 = np.einsum("iq,q,jq->ij", Vi, w, Vo)
-            # M11 = c_in sym(AVDi) + pen BVVi (etc.): dictionary entries
-            vb.add((pi, pi), fg.in_pos, _sym(AVDi), c_in)
+            # M11 = c_in (AVDi - theta AVDi^T) + pen BVVi (etc.); theta is
+            # static, so it folds into the dictionary matrices (SIPG
+            # theta=-1 reproduces the symmetric sym() entries)
+            vb.add((pi, pi), fg.in_pos, AVDi - theta * AVDi.T, c_in)
             vb.add((pi, pi), fg.in_pos, BVVi, pen1)
-            vb.add((po, po), fg.out_pos, _sym(AVDo), -1.0 * c_out)
+            vb.add((po, po), fg.out_pos, AVDo - theta * AVDo.T,
+                   -1.0 * c_out)
             vb.add((po, po), fg.out_pos, BVVo, pen1)
             vb.add((pi, po), fg.slot12, X1, c_out)
-            vb.add((pi, po), fg.slot12, X2, -1.0 * c_in)
+            vb.add((pi, po), fg.slot12, X2, theta * c_in)
             vb.add((pi, po), fg.slot12, X3, -pen1)
-            vb.add((po, pi), fg.slot21, X1.T, c_out)
+            vb.add((po, pi), fg.slot21, X1.T, -theta * c_out)
             vb.add((po, pi), fg.slot21, X2.T, -1.0 * c_in)
             vb.add((po, pi), fg.slot21, X3.T, -pen1)
+            if sigma1 != 0.0:
+                GDDi = np.einsum("iq,q,jq->ij", Di, w, Di)
+                GDDo = np.einsum("iq,q,jq->ij", Do, w, Do)
+                GDio = np.einsum("iq,q,jq->ij", Di, w, Do)
+                ihi = jnp.asarray(fg.inv_h_in, dtype)
+                iho = jnp.asarray(fg.inv_h_out, dtype)
+                s1 = s1pow * sigma1
+                vb.add((pi, pi), fg.in_pos, GDDi, s1 * ihi * ihi)
+                vb.add((po, po), fg.out_pos, GDDo, s1 * iho * iho)
+                vb.add((pi, po), fg.slot12, GDio, -s1 * ihi * iho)
+                vb.add((po, pi), fg.slot21, GDio.T, -s1 * ihi * iho)
             continue
         else:
             # face quad points (on the intersection; xp parametric, x
@@ -323,33 +365,54 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                                  J(fout["Dall"]),
                                  J(1.0 / mesh.extent[eout]))
                 half = gpow * (-0.5) * J(fg.fmeas)[:, None] * wj[None, :]
+                # symmetry terms carry theta: coefficient 0.5 theta z =
+                # (-theta) * half (variableipdg.hh:328-351)
                 M11 = (jnp.einsum("fq,iq,fjq->fij", half, J(Vi), KDi)
-                       + jnp.einsum("fq,fiq,jq->fij", half, KDi, J(Vi))
+                       - theta * jnp.einsum("fq,fiq,jq->fij", half, KDi,
+                                            J(Vi))
                        + pen * BVVi[None])
                 M22 = (-jnp.einsum("fq,iq,fjq->fij", half, J(Vo), KDo)
-                       - jnp.einsum("fq,fiq,jq->fij", half, KDo, J(Vo))
+                       + theta * jnp.einsum("fq,fiq,jq->fij", half, KDo,
+                                            J(Vo))
                        + pen * BVVo[None])
                 M12 = (jnp.einsum("fq,iq,fjq->fij", half, J(Vi), KDo)
-                       - jnp.einsum("fq,fiq,jq->fij", half, KDi, J(Vo))
+                       + theta * jnp.einsum("fq,fiq,jq->fij", half, KDi,
+                                            J(Vo))
                        - pen * BVio[None])
                 M21 = (-jnp.einsum("fq,iq,fjq->fij", half, J(Vo), KDi)
-                       + jnp.einsum("fq,fiq,jq->fij", half, KDo, J(Vi))
+                       - theta * jnp.einsum("fq,fiq,jq->fij", half, KDo,
+                                            J(Vi))
                        - pen * BVio.T[None])
             else:
                 kzi = k * wj[None, :] * c_in[:, None]  # -0.5 |f|/h_in K w
                 kzo = k * wj[None, :] * c_out[:, None]
                 M11 = (jnp.einsum("fq,iq,jq->fij", kzi, J(Vi), J(Di))
-                       + jnp.einsum("fq,iq,jq->fij", kzi, J(Di), J(Vi))
+                       - theta * jnp.einsum("fq,iq,jq->fij", kzi, J(Di),
+                                            J(Vi))
                        + pen * BVVi[None])
                 M22 = (-jnp.einsum("fq,iq,jq->fij", kzo, J(Vo), J(Do))
-                       - jnp.einsum("fq,iq,jq->fij", kzo, J(Do), J(Vo))
+                       + theta * jnp.einsum("fq,iq,jq->fij", kzo, J(Do),
+                                            J(Vo))
                        + pen * BVVo[None])
                 M12 = (jnp.einsum("fq,iq,jq->fij", kzo, J(Vi), J(Do))
-                       - jnp.einsum("fq,iq,jq->fij", kzi, J(Di), J(Vo))
+                       + theta * jnp.einsum("fq,iq,jq->fij", kzi, J(Di),
+                                            J(Vo))
                        - pen * BVio[None])
-                M21 = (jnp.einsum("fq,iq,jq->fij", kzo, J(Do), J(Vi))
+                M21 = (-theta * jnp.einsum("fq,iq,jq->fij", kzo, J(Do),
+                                           J(Vi))
                        - jnp.einsum("fq,iq,jq->fij", kzi, J(Vo), J(Di))
                        - pen * BVio.T[None])
+                if sigma1 != 0.0:
+                    s1 = s1pow * sigma1
+                    GDDi = J(np.einsum("iq,q,jq->ij", Di, w, Di))
+                    GDDo = J(np.einsum("iq,q,jq->ij", Do, w, Do))
+                    GDio = J(np.einsum("iq,q,jq->ij", Di, w, Do))
+                    ihi = J(fg.inv_h_in)[:, None, None]
+                    iho = J(fg.inv_h_out)[:, None, None]
+                    M11 = M11 + s1 * ihi * ihi * GDDi[None]
+                    M22 = M22 + s1 * iho * iho * GDDo[None]
+                    M12 = M12 - s1 * ihi * iho * GDio[None]
+                    M21 = M21 - s1 * ihi * iho * GDio.T[None]
 
         nf = len(fg.face_ids)
         vb.add_diag(pi, fg.in_pos, M11)
@@ -374,7 +437,7 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             if fast:
                 AVD = np.einsum("iq,q,jq->ij", V, w, D)
                 BVV = np.einsum("iq,q,jq->ij", V, w, V)
-                vb.add((p, p), bg.pos, _sym(AVD), c)
+                vb.add((p, p), bg.pos, AVD - theta * AVD.T, c)
                 vb.add((p, p), bg.pos, BVV, pen1)
                 continue
             else:
@@ -400,12 +463,14 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                         J(1.0 / mesh.extent[elems]))
                     cf = gpow * (-1.0) * J(bg.fmeas)[:, None] * J(w)[None, :]
                     M = (jnp.einsum("fq,iq,fjq->fij", cf, J(V), KD)
-                         + jnp.einsum("fq,fiq,jq->fij", cf, KD, J(V))
+                         - theta * jnp.einsum("fq,fiq,jq->fij", cf, KD,
+                                              J(V))
                          + pen * BVV[None])
                 else:
                     kz = k * J(w)[None, :] * c[:, None]
                     M = (jnp.einsum("fq,iq,jq->fij", kz, J(V), J(D))
-                         + jnp.einsum("fq,iq,jq->fij", kz, J(D), J(V))
+                         - theta * jnp.einsum("fq,iq,jq->fij", kz, J(D),
+                                              J(V))
                          + pen * BVV[None])
             vb.add_diag(p, bg.pos, M)
 

@@ -208,18 +208,30 @@ def _face_prep(basis: DGBasis, plan: AssemblyPlan, dtype):
 def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                   dirichlet: bool = False, diffusion=None,
                   dtype=jnp.float64, plan: AssemblyPlan | None = None,
-                  penalty_scaling: str = "measure"):
-    """Full matrix-free SIPG apply (bulk + skeleton + Dirichlet terms).
+                  penalty_scaling: str = "measure", dg_form="sipg",
+                  sigma1: float = 0.0):
+    """Full matrix-free IPDG apply (bulk + skeleton + Dirichlet terms).
 
     Semantically identical to ``assemble_laplace(...)`` matvec; tested
     against it at 1e-12 (mirroring testsumfactor.cc:36-96).
     Returns a jit-safe closure dict -> dict.
+
+    ``dg_form``: "sipg" | "iipg" | "nipg" (or theta float) — symmetry
+    factor of the consistency terms (variableipdg.hh:33,177,328-351).
+    ``sigma1``: gradient-jump stabilization on interior faces
+    (variableipdg.hh:330-351); box meshes with scalar media.
     """
+    from hpdg_tpu.assemble.sipg import dg_theta
     plan = plan or build_plan(basis)
     dim = basis.dim
     mesh = basis.mesh
     affine = geo.has_affine(mesh)
     kmat = _is_tensor_coefficient(diffusion, dim, dtype) or affine
+    theta = dg_theta(dg_form)
+    if sigma1 != 0.0 and kmat:
+        raise NotImplementedError(
+            "sigma1 gradient-jump stabilization: box meshes with scalar "
+            "media only")
     bulk = laplace_bulk_operator(basis, diffusion=diffusion, dtype=dtype)
     groups = _face_prep(basis, plan, dtype)
 
@@ -327,7 +339,7 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                 avg = 0.5 * (dninq + dnoutq)
                 t1_in = zw * (-avg) + penw * jump
                 t1_out = zw * avg - penw * jump
-                t2b = zw * (-0.5 * jump)
+                t2b = zw * (0.5 * theta * jump)
                 contribs[fg.p_in].append(
                     t1_in @ Vi.T
                     + jnp.einsum("fq,fqb,fb,biq->fi", t2b, Kai, ihi, Dalli))
@@ -344,9 +356,16 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
             if diffusion is not None:
                 k = diffusion(jnp.asarray(g["xq"], dtype))
             t1_in = zw * (-(k * avg)) + penw * jump
-            t2_in = zw * (-0.5 * k * jump) * J(fg.inv_h_in)[:, None]
+            t2_in = zw * (0.5 * theta * k * jump) * J(fg.inv_h_in)[:, None]
             t1_out = zw * (k * avg) - penw * jump
-            t2_out = zw * (-0.5 * k * jump) * J(fg.inv_h_out)[:, None]
+            t2_out = zw * (0.5 * theta * k * jump) * J(fg.inv_h_out)[:, None]
+            if sigma1 != 0.0:
+                # gradient-jump stabilization: rows are the plain (no K)
+                # normal-derivative traces; |f_param| = |f_phys| on box
+                # meshes so the weight is sigma1 * w_q
+                gj = (dninq - dnoutq) * J(g["w"])[None, :]
+                t2_in = t2_in + sigma1 * gj * J(fg.inv_h_in)[:, None]
+                t2_out = t2_out - sigma1 * gj * J(fg.inv_h_out)[:, None]
             contribs[fg.p_in].append(t1_in @ Vi.T + t2_in @ Di.T)
             targets[fg.p_in].append(fg.in_pos)
             contribs[fg.p_out].append(t1_out @ Vo.T + t2_out @ Do.T)
@@ -373,7 +392,7 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                 du = jnp.einsum("fi,biq->fbq", u, Dall)
                 dnKq = g["sign"] * jnp.einsum("fqb,fb,fbq->fq", Ka, ih, du)
                 t1 = zw * (-dnKq) + penw * uq
-                t2b = zw * (-uq)
+                t2b = zw * (theta * uq)
                 contribs[bg.p].append(
                     t1 @ V.T + g["sign"] * jnp.einsum(
                         "fq,fqb,fb,biq->fi", t2b, Ka, ih, Dall))
@@ -384,7 +403,7 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
             if diffusion is not None:
                 k = diffusion(jnp.asarray(g["xq"], dtype))
             t1 = zw * (-(k * dnq)) + penw * uq
-            t2 = zw * (-(k * uq)) * (g["sign"] * J(bg.inv_h))[:, None]
+            t2 = zw * (theta * k * uq) * (g["sign"] * J(bg.inv_h))[:, None]
             contribs[bg.p].append(t1 @ V.T + t2 @ D.T)
             targets[bg.p].append(bg.pos)
         import jax as _jax
@@ -402,13 +421,15 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
 
 def naive_sipg_operator(basis: DGBasis, penalty: float = 2.0,
                         dirichlet: bool = False, dtype=jnp.float64,
-                        plan: AssemblyPlan | None = None):
-    """Naive matrix-free SIPG: assemble per-bucket *local* blocks once and
+                        plan: AssemblyPlan | None = None, dg_form="sipg",
+                        sigma1: float = 0.0):
+    """Naive matrix-free IPDG: assemble per-bucket *local* blocks once and
     matvec them (the reference's IPDGOperator, ipdgoperator.hh:22-406 —
     kept as the differential-testing partner for the sum-factorized path).
     """
     from hpdg_tpu.assemble.sipg import assemble_laplace
     from hpdg_tpu.linalg.blockmatrix import matvec as bsm_matvec
     A = assemble_laplace(basis, penalty=penalty, dirichlet=dirichlet,
-                         dtype=dtype, plan=plan)
+                         dtype=dtype, plan=plan, dg_form=dg_form,
+                         sigma1=sigma1)
     return lambda x: bsm_matvec(A, x)

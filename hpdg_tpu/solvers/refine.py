@@ -76,8 +76,12 @@ def tunnel_refinement_solve(step, op, b64: dict, *, chain_k: int = 3,
         fastest run that met ``tol``, ``info["runs"]`` records all.
 
     Returns ``(x64, info)``: x64 a host f64 bucket dict; info has the
-    f64-anchored history, step count, wall seconds (excluding jit
-    compilation) and the verified residual.
+    f64-anchored history (``info["history"]`` holds ONLY exact anchored
+    values; on-chip f32 estimates, when ``anchor_every > 1``, go to the
+    separate ``info["history_est"]``), step count, wall seconds
+    (excluding jit compilation) and the verified residual
+    (``info["rel_residual"]`` is NaN when no f64 anchor ever ran —
+    never a stale or estimated value).
     """
     device = device or jax.devices()[0]
     keys = sorted(b64.keys())
@@ -112,7 +116,8 @@ def tunnel_refinement_solve(step, op, b64: dict, *, chain_k: int = 3,
         for k in keys:
             if quantize_download:
                 qh, sh = (np.asarray(out[k][0]), np.asarray(out[k][1]))
-                ck = qt.decode_np(qh, sh, sizes[k]).reshape(shapes[k])
+                ck = qt.decode_np(qh, sh, sizes[k]).reshape(
+                    shapes[k]).astype(np.float64)
             else:
                 ck = np.asarray(out[k], np.float64)
             x64[k] += scale * ck
@@ -122,7 +127,8 @@ def tunnel_refinement_solve(step, op, b64: dict, *, chain_k: int = 3,
         x64 = {k: np.zeros_like(b64np[k]) for k in keys}
         r64 = b64np
         nr = nb
-        hist = [1.0]
+        hist = [1.0]       # f64-anchored entries ONLY (as documented)
+        hist_est = []      # on-chip f32 estimates (anchor_every > 1)
         steps = 0
         verified = False
         while steps < max_steps and nr / nb > tol:
@@ -136,13 +142,13 @@ def tunnel_refinement_solve(step, op, b64: dict, *, chain_k: int = 3,
                 steps += 1
                 if anchor_every > 1:
                     scale = scale * float(est)
-                    hist.append(scale / nb)  # estimate; re-anchored below
+                    hist_est.append(scale / nb)  # estimate, NOT anchored
                     if scale / nb <= 0.3 * tol or steps >= max_steps:
                         break
             if host_residual is None:
-                # without an anchor there is no trustworthy residual to
-                # restart from: report the estimate and stop
-                nr = scale if anchor_every > 1 else float("nan")
+                # without an anchor there is no trustworthy residual:
+                # rel_residual is NaN (never a stale/estimated value)
+                nr = float("nan")
                 verified = False
                 break
             r64 = {k: np.asarray(v, np.float64)
@@ -152,9 +158,12 @@ def tunnel_refinement_solve(step, op, b64: dict, *, chain_k: int = 3,
             hist.append(nr / nb)
             verified = True
         t_solve = time.perf_counter() - t0
-        rel = (nr / nb) if np.isfinite(nr) else hist[-1]
-        return x64, {"history": hist, "steps": steps, "seconds": t_solve,
-                     "verified": verified, "rel_residual": rel}
+        rel = (nr / nb) if np.isfinite(nr) else float("nan")
+        info = {"history": hist, "steps": steps, "seconds": t_solve,
+                "verified": verified, "rel_residual": rel}
+        if hist_est:
+            info["history_est"] = hist_est
+        return x64, info
 
     best_x64, best = one_solve()
     runs = [{"seconds": round(best["seconds"], 3),

@@ -110,9 +110,20 @@ def _face_center_factors(mesh, e, ax):
     return g, det
 
 
+def dg_theta(dg_form) -> float:
+    """Map a DG-form name to its symmetry factor theta:
+    SIPG -1 (symmetric), IIPG 0 (incomplete), NIPG +1 (nonsymmetric) —
+    the reference's DGType enum (variableipdg.hh:33).  Floats pass
+    through unchanged (the reference stores dgType_ as a double too)."""
+    if isinstance(dg_form, str):
+        return {"sipg": -1.0, "iipg": 0.0, "nipg": 1.0}[dg_form.lower()]
+    return float(dg_form)
+
+
 def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
-                diffusion=None, penalty_scaling: str = "measure") -> np.ndarray:
-    """Dense SIPG stiffness matrix in the flat element-ordered layout.
+                diffusion=None, penalty_scaling: str = "measure",
+                dg_form="sipg", sigma1: float = 0.0) -> np.ndarray:
+    """Dense IPDG stiffness matrix in the flat element-ordered layout.
 
     Matches the reference's conventions exactly
     (gausslobattoipdgassembler.hh): bulk/face Gauss-Lobatto rules of DUNE
@@ -124,10 +135,24 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
     (affine/curvilinear) element geometries, where the reference reads
     jacobianInverseTransposed per quad point
     (gausslobattoipdgassembler.hh:320-364).
+    ``dg_form``: "sipg" | "iipg" | "nipg" (or the theta float itself) —
+    the symmetry factor of the consistency terms, the reference's
+    dgType_ (variableipdg.hh:33,177,328-351).
+    ``sigma1``: gradient-jump stabilization
+    sigma1/|f| * (grad phi_i . n)(grad phi_j . n) on interior faces
+    (variableipdg.hh:330-351; it does not affect boundary faces).
+    Supported on axis-aligned box meshes (the curved-geometry
+    generalization is out of the reference's scope as well: its fast
+    Gauss-Lobatto assembler carries no sigma1 at all).
     """
     mesh = basis.mesh
     dim = mesh.dim
     K = diffusion or (lambda x: 1.0)
+    theta = dg_theta(dg_form)
+    if sigma1 != 0.0 and (getattr(mesh, "jac", None) is not None
+                          or getattr(mesh, "corners", None) is not None):
+        raise NotImplementedError(
+            "sigma1 gradient-jump stabilization: box meshes only")
     A = np.zeros((basis.ndof, basis.ndof))
 
     # ---- bulk ----
@@ -204,18 +229,37 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
             # physical co-normal derivative (K grad phi).n per point
             kq = K(xpi)
             Km = kq if np.ndim(kq) == 2 else kq * np.eye(dim)
-            dni = (_grad_phi(nodes_i, xi, hi) @ Jii) @ (Km @ nrm_i)
-            dno = (_grad_phi(nodes_o, xo, ho) @ Jio) @ (Km @ nrm_i)
+            Gi = _grad_phi(nodes_i, xi, hi) @ Jii
+            Go = _grad_phi(nodes_o, xo, ho) @ Jio
+            dni = Gi @ (Km @ nrm_i)
+            dno = Go @ (Km @ nrm_i)
             z = tw[q] * fmeas * 0.5 * (gi + go)  # physical surface elem
             zp = tw[q] * pen_f                   # penalty (parametric w)
-            M11 = -0.5 * z * (np.outer(vi, dni) + np.outer(dni, vi)) \
+            # consistency -0.5 z v_i (grad v_j . n); symmetry term carries
+            # theta: +0.5 theta z v_j (grad v_i . n) (variableipdg.hh:330+)
+            M11 = z * (-0.5 * np.outer(vi, dni)
+                       + 0.5 * theta * np.outer(dni, vi)) \
                 + zp * np.outer(vi, vi)
-            M12 = z * (-0.5 * np.outer(vi, dno) + 0.5 * np.outer(dni, vo)) \
+            M12 = z * (-0.5 * np.outer(vi, dno)
+                       - 0.5 * theta * np.outer(dni, vo)) \
                 - zp * np.outer(vi, vo)
-            M21 = z * (+0.5 * np.outer(vo, dni) - 0.5 * np.outer(dno, vi)) \
+            M21 = z * (+0.5 * np.outer(vo, dni)
+                       + 0.5 * theta * np.outer(dno, vi)) \
                 - zp * np.outer(vo, vi)
-            M22 = 0.5 * z * (np.outer(vo, dno) + np.outer(dno, vo)) \
+            M22 = z * (+0.5 * np.outer(vo, dno)
+                       - 0.5 * theta * np.outer(dno, vo)) \
                 + zp * np.outer(vo, vo)
+            if sigma1 != 0.0:
+                # sigma1 z / |f| (grad v_i . n)(grad v_j . n), jump-jump
+                # sign pattern [+,-;-,+] (variableipdg.hh:330-351); plain
+                # gradients, no K (reference multiplies none in)
+                pgi = Gi @ nrm_i
+                pgo = Go @ nrm_i
+                zs = sigma1 * tw[q] * fmeas / fmeas  # box: |f_param|=|f|
+                M11 += zs * np.outer(pgi, pgi)
+                M12 -= zs * np.outer(pgi, pgo)
+                M21 -= zs * np.outer(pgo, pgi)
+                M22 += zs * np.outer(pgo, pgo)
             A[oi:oi + no, oi:oi + no] += M11
             A[oi:oi + no, oo:oo + mo] += M12
             A[oo:oo + mo, oi:oi + no] += M21
@@ -254,8 +298,10 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
                 Km = kq if np.ndim(kq) == 2 else kq * np.eye(dim)
                 dn = sign * ((_grad_phi(nodes, x, h) @ Ji) @ (Km @ nrm))
                 z = tw[q] * fmeas * g
+                # boundary: full (unhalved) weights; theta on the
+                # symmetry term (variableipdg.hh:174-180); no sigma1
                 A[o:o + n, o:o + n] += (
-                    -z * (np.outer(v, dn) + np.outer(dn, v))
+                    z * (-np.outer(v, dn) + theta * np.outer(dn, v))
                     + tw[q] * pen_f * np.outer(v, v)
                 )
     return A
