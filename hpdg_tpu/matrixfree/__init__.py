@@ -11,4 +11,6 @@ dimension.
 from hpdg_tpu.matrixfree.sumfact import (  # noqa: F401
     sipg_operator, laplace_bulk_operator, mass_operator, naive_sipg_operator)
 from hpdg_tpu.matrixfree.diagonal import sipg_diagonal_blocks  # noqa: F401
+from hpdg_tpu.matrixfree.exact import (  # noqa: F401
+    uniform_sipg_exact_apply, uniform_sipg_exact_residual)
 from hpdg_tpu.matrixfree.norms import ipdg_local_norm  # noqa: F401

@@ -51,6 +51,7 @@ import numpy as np
 from hpdg_tpu.linalg import blockvector as bv
 from hpdg_tpu.solvers.cg import hoist_constants
 from hpdg_tpu.utils import qtransfer as qt
+from hpdg_tpu.utils.df32 import df_add, df_to_f64
 
 
 def tunnel_refinement_solve(step, op, b64: dict, *, chain_k: int = 3,
@@ -164,6 +165,116 @@ def tunnel_refinement_solve(step, op, b64: dict, *, chain_k: int = 3,
         if hist_est:
             info["history_est"] = hist_est
         return x64, info
+
+    best_x64, best = one_solve()
+    runs = [{"seconds": round(best["seconds"], 3),
+             "rel_residual": float(f"{best['rel_residual']:.3e}")}]
+    for _ in range(n_runs - 1):
+        x64, info = one_solve()
+        runs.append({"seconds": round(info["seconds"], 3),
+                     "rel_residual": float(f"{info['rel_residual']:.3e}")})
+        met_new = info["rel_residual"] <= tol
+        met_old = best["rel_residual"] <= tol
+        if (met_new and not met_old) or (met_new == met_old
+                                         and info["seconds"]
+                                         < best["seconds"]):
+            best_x64, best = x64, info
+    best["runs"] = runs
+    return best_x64, best
+
+
+def onchip_refinement_solve(step, residual_pair, b64: dict, *,
+                            chain_k: int = 8, tol: float = 1e-8,
+                            max_steps: int = 10, host_residual=None,
+                            device=None, n_runs: int = 1):
+    """Iterative refinement with ON-CHIP exact-split anchors: the whole
+    refinement loop stays on the device.
+
+    Where :func:`tunnel_refinement_solve` downloads every correction and
+    re-anchors with a host f64 residual (~0.2-0.55 s of wire + host work
+    per step at 4.1M dofs), this driver keeps the solution as a
+    double-f32 pair on the chip and anchors each step with the
+    exact-split residual (matrixfree.exact: bit-exact f32 MXU GEMMs,
+    accurate to ~2^-48 of |A||x| — measured 1e-14 differential vs the
+    f64 host operator).  Per step: ``r = b - A x`` on-chip, normalize,
+    run ``chain_k`` V-cycles from zero, accumulate ``x += |r| c`` in
+    pair arithmetic.  Only one f32 scalar (the anchored residual norm)
+    crosses the wire per step; the full solution crosses ONCE at the
+    end, where a single f64 host residual verifies the result.
+
+    step:          one V-cycle ``step(x, b) -> x`` (f32 bucket dicts)
+    residual_pair: ``(x_hi, x_lo) -> (r_hi, r_lo)`` exact-split residual
+                   (matrixfree.exact.uniform_sipg_exact_residual)
+    b64:           host f64 rhs bucket dict (single bucket)
+    host_residual: optional ``x64 -> r64`` host f64 residual map for the
+                   final verification; without it info["rel_residual"]
+                   is the final ON-CHIP anchored value and
+                   info["verified"] stays False.
+
+    Returns ``(x64, info)`` like tunnel_refinement_solve: history
+    entries are the on-chip anchored residuals (exact to ~1e-12 — these
+    are measurements, not the f32-chain estimates that tunnel mode
+    refuses to trust), ``rel_residual`` the host-verified final value
+    when ``host_residual`` is given.  ``info["seconds"]`` covers the
+    device loop + final download + verification; ``seconds_loop`` the
+    device loop alone.
+    """
+    device = device or jax.devices()[0]
+    keys = sorted(b64.keys())
+    if len(keys) != 1:
+        raise ValueError("onchip refinement: single-bucket systems only")
+    (p,) = keys
+    b64np = np.asarray(b64[p], np.float64)
+    nb = float(np.linalg.norm(b64np))
+    tol_cut = jnp.float32(tol * nb)
+
+    def refstep(xh, xl):
+        rh, rl = residual_pair(xh, xl)
+        nr = jnp.sqrt(jnp.vdot(rh, rh))
+        rhs = {p: rh * (jnp.float32(1.0) / nr)}
+
+        def chain(_):
+            x = {p: jnp.zeros_like(rh)}
+            for _ in range(chain_k):
+                x = step(x, rhs)
+            return x[p]
+
+        c = jax.lax.cond(nr <= tol_cut,
+                         lambda _: jnp.zeros_like(rh), chain, None)
+        xh2, xl2 = df_add(xh, xl, nr * c)
+        return xh2, xl2, nr
+
+    zero = jnp.zeros(b64np.shape, jnp.float32)
+    xh0 = jax.device_put(zero, device)
+    g, consts = hoist_constants(refstep, xh0, xh0)
+    jg = jax.jit(g)
+    jax.block_until_ready(jg(consts, xh0, xh0)[2])  # compile
+
+    def one_solve():
+        t0 = time.perf_counter()
+        xh, xl = xh0, xh0
+        hist = []
+        steps = 0
+        while steps < max_steps:
+            xh, xl, nr = jg(consts, xh, xl)
+            nr = float(nr)  # scalar fetch = the step barrier
+            hist.append(nr / nb)
+            steps += 1
+            if nr / nb <= tol:
+                break
+        t_loop = time.perf_counter() - t0
+        x64 = {p: df_to_f64(np.asarray(xh), np.asarray(xl))}
+        rel = hist[-1] if hist else float("nan")
+        verified = False
+        if host_residual is not None:
+            r64 = host_residual(x64)
+            rel = float(np.linalg.norm(
+                np.asarray(r64[p], np.float64))) / nb
+            verified = rel <= tol
+        t_solve = time.perf_counter() - t0
+        return x64, {"history": hist, "steps": steps,
+                     "seconds": t_solve, "seconds_loop": t_loop,
+                     "verified": verified, "rel_residual": rel}
 
     best_x64, best = one_solve()
     runs = [{"seconds": round(best["seconds"], 3),

@@ -73,6 +73,10 @@ _SLOW_TESTS = (
     "test_mg_with_hanging_node_h_level",
     "test_unconstrained_tnnmg_equals_linear_solve",
     "test_elasticity_problem_preset",
+    # onchip-refinement MG-chain drivers (whole-chain compiles; the
+    # block-Jacobi quick driver test keeps the contract in the quick tier)
+    "test_onchip_refinement_solve_verified",
+    "test_onchip_refinement_unverified_flag",
 )
 
 

@@ -1,0 +1,254 @@
+"""Differential tests for the exact-split on-chip residual path.
+
+VERDICT r3 item 1: the split-f32 (Ozaki-style) GEMM scheme must match
+the f64 host operator at <= 1e-12, and the on-chip refinement driver
+must reach a VERIFIED 1e-8 without per-step host anchors.  The same
+f32-only code runs here on CPU (IEEE f32 semantics are identical) and
+on the TPU, where the chunk exactness argument additionally survives
+the MXU's bf16 passes (chunk values <= 2^t <= 256 are exact bf16);
+exactness on the real chip is re-checked by the bench path.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from hpdg_tpu import mesh as hmesh
+from hpdg_tpu.basis.dgbasis import DGBasis
+from hpdg_tpu.matrixfree.uniform import uniform_sipg_operator
+from hpdg_tpu.matrixfree.exact import (uniform_sipg_exact_apply,
+                                       uniform_sipg_exact_residual,
+                                       _pick_t)
+from hpdg_tpu.utils import df32
+
+
+# ---------------- df32 primitives ----------------
+
+def test_two_sum_exact():
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal(1000), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(1000) * 1e-5, jnp.float32)
+    s, e = df32.two_sum(a, b)
+    exact = (np.asarray(a, np.float64) + np.asarray(b, np.float64))
+    got = np.asarray(s, np.float64) + np.asarray(e, np.float64)
+    assert np.array_equal(got, exact)  # bit-exact by construction
+
+
+def test_df_roundtrip_and_add():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(500) * np.exp(3 * rng.standard_normal(500))
+    hi, lo = df32.df_from_f64(x)
+    assert np.max(np.abs(df32.df_to_f64(hi, lo) - x)
+                  / np.abs(x)) < 3e-15
+    # accumulating 100 small values keeps ~2^-48 accuracy
+    h = jnp.asarray(hi)
+    lw = jnp.asarray(lo)
+    vs = rng.standard_normal((100, 500)) * 1e-4
+    for v in vs:
+        h, lw = df32.df_add(h, lw, jnp.asarray(v, jnp.float32))
+    exact = x + vs.sum(axis=0)
+    got = df32.df_to_f64(np.asarray(h), np.asarray(lw))
+    assert np.max(np.abs(got - exact)) < 1e-11 * np.max(np.abs(exact))
+
+
+def test_split_chunks_reconstructs_pair():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((64, 32)) * np.exp(2 * rng.standard_normal(
+        (64, 1)))
+    hi, lo = df32.df_from_f64(x)
+    xh, xl = jnp.asarray(hi), jnp.asarray(lo)
+    sigma = df32.pow2_rowscale(xh)
+    t, n = 7, 7
+    chunks = df32.split_chunks(xh, xl, sigma, t, n)
+    rec = np.zeros_like(x)
+    s64 = np.asarray(sigma, np.float64)
+    for j, c in enumerate(chunks):
+        assert float(jnp.max(jnp.abs(c))) <= 2.0 ** t
+        assert np.array_equal(np.asarray(c), np.rint(np.asarray(c)))
+        rec += s64 * np.asarray(c, np.float64) * 2.0 ** (-t * (j + 1))
+    err = np.abs(rec - x)
+    assert np.max(err / np.asarray(sigma, np.float64)) < 2.0 ** (-t * n)
+
+
+def test_split_matrix_chunks_reconstructs():
+    rng = np.random.default_rng(3)
+    W = rng.standard_normal((125, 125)) * np.exp(2 * rng.standard_normal(
+        (1, 125)))
+    tau, chunks = df32.split_matrix_chunks(W, 7, 7)
+    rec = np.zeros_like(W)
+    for i, c in enumerate(chunks):
+        rec += np.asarray(tau, np.float64) * np.asarray(c, np.float64) \
+            * 2.0 ** (-7 * (i + 1))
+    assert np.max(np.abs(rec - W) / np.asarray(tau, np.float64)) \
+        < 2.0 ** (-49)
+
+
+def test_pick_t_exactness_budget():
+    for bs in (16, 27, 125, 216, 343):
+        t, n = _pick_t(bs, 48)
+        assert n * bs * 4 ** t <= 2 ** 24   # level sums exact in f32
+        assert t * n >= 48                  # full pair precision kept
+
+
+# ---------------- exact apply vs f64 operator ----------------
+
+@pytest.mark.parametrize("dim,n,p,dirichlet,scaling", [
+    (2, 5, 3, True, "measure"),
+    (2, 4, 1, False, "normal"),
+    (3, 4, 4, True, "normal"),
+    (3, 3, 2, False, "measure"),
+    (3, 2, 4, True, "normal"),      # all-boundary elements
+])
+def test_exact_apply_matches_f64(dim, n, p, dirichlet, scaling):
+    m = hmesh.structured((n,) * dim)
+    basis = DGBasis(m, np.full(m.n_elements, p))
+    bs = (p + 1) ** dim
+    rng = np.random.default_rng(4)
+    # rows spanning ~6 decades of magnitude stress the row scaling
+    x64 = rng.standard_normal((m.n_elements, bs)) * np.exp(
+        7 * rng.standard_normal((m.n_elements, 1)))
+    op64 = uniform_sipg_operator(basis, penalty=2.0, dirichlet=dirichlet,
+                                 dtype=jnp.float64,
+                                 penalty_scaling=scaling)
+    y64 = np.asarray(op64({p: jnp.asarray(x64)})[p])
+    app = uniform_sipg_exact_apply(basis, penalty=2.0,
+                                   dirichlet=dirichlet,
+                                   penalty_scaling=scaling)
+    hi, lo = df32.df_from_f64(x64)
+    yh, yl = jax.jit(app)(jnp.asarray(hi), jnp.asarray(lo))
+    y = df32.df_to_f64(np.asarray(yh), np.asarray(yl))
+    rel = np.linalg.norm(y - y64) / np.linalg.norm(y64)
+    assert rel < 1e-12, rel
+
+
+def test_exact_residual_cancellation():
+    """r = b - A x near the solution: the split residual must resolve a
+    1e-9-relative residual (pure f32 would floor at ~1e-4)."""
+    m = hmesh.structured((3, 3, 3))
+    p = 2
+    basis = DGBasis(m, np.full(m.n_elements, p))
+    bs = (p + 1) ** 3
+    rng = np.random.default_rng(5)
+    xs = rng.standard_normal((m.n_elements, bs))
+    op64 = uniform_sipg_operator(basis, penalty=2.0, dirichlet=True,
+                                 dtype=jnp.float64)
+    b64 = np.asarray(op64({p: jnp.asarray(xs)})[p])
+    # x = exact solution + 1e-9 perturbation
+    x64 = xs * (1.0 + 1e-9) + 1e-9 * rng.standard_normal(xs.shape)
+    r_true = b64 - np.asarray(op64({p: jnp.asarray(x64)})[p])
+    res = uniform_sipg_exact_residual(basis, {p: b64}, penalty=2.0,
+                                      dirichlet=True)
+    hi, lo = df32.df_from_f64(x64)
+    rh, rl = jax.jit(res)(jnp.asarray(hi), jnp.asarray(lo))
+    r = df32.df_to_f64(np.asarray(rh), np.asarray(rl))
+    # relative to the RHS scale (the quantity refinement anchors on)
+    err = np.linalg.norm(r - r_true) / np.linalg.norm(b64)
+    assert err < 1e-12, err
+    assert np.linalg.norm(r_true) / np.linalg.norm(b64) < 1e-7
+
+
+# ---------------- on-chip refinement driver ----------------
+
+def test_onchip_refinement_block_jacobi_quick():
+    """Quick-tier driver contract test: block-Jacobi Richardson chains
+    (cheap to compile) around the exact-split anchor reach a VERIFIED
+    1e-8 on a tiny lattice."""
+    from hpdg_tpu.solvers.refine import onchip_refinement_solve
+    from hpdg_tpu.matrixfree import sipg_diagonal_blocks, sipg_operator
+    p = 1
+    mesh = hmesh.structured((3, 3))
+    basis = DGBasis(mesh, np.full(mesh.n_elements, p))
+    rng = np.random.default_rng(6)
+    b64 = {p: rng.standard_normal((mesh.n_elements, (p + 1) ** 2))}
+    op32 = sipg_operator(basis, penalty=2.0, dirichlet=True,
+                         dtype=jnp.float32, penalty_scaling="normal")
+    D = sipg_diagonal_blocks(basis, penalty=2.0, dirichlet=True,
+                             penalty_scaling="normal", dtype=jnp.float32)
+    Dinv = {p: jnp.asarray(np.linalg.inv(np.asarray(D[p], np.float64)),
+                           jnp.float32)}
+
+    def step(x, b):  # damped block-Jacobi Richardson
+        r = {p: b[p] - op32(x)[p]}
+        return {p: x[p] + 0.7 * jnp.einsum("nij,nj->ni", Dinv[p], r[p])}
+
+    res = uniform_sipg_exact_residual(basis, b64, penalty=2.0,
+                                      dirichlet=True,
+                                      penalty_scaling="normal")
+    op64 = uniform_sipg_operator(basis, penalty=2.0, dirichlet=True,
+                                 dtype=jnp.float64,
+                                 penalty_scaling="normal")
+    host_res = lambda x64: {p: b64[p] - np.asarray(  # noqa: E731
+        op64({p: jnp.asarray(x64[p])})[p])}
+    x64, info = onchip_refinement_solve(
+        step, res, b64, chain_k=60, tol=1e-8, max_steps=8,
+        host_residual=host_res)
+    assert info["verified"], info
+    assert info["rel_residual"] <= 1e-8
+    assert info["history"][-1] <= 1.1e-8
+    assert info["steps"] == len(info["history"])
+
+
+def test_onchip_refinement_solve_verified():
+    from hpdg_tpu.solvers.multigrid import matrixfree_multigrid_solver
+    from hpdg_tpu.solvers.refine import onchip_refinement_solve
+    from hpdg_tpu.assemble import l2_functional
+    n, p = 4, 3
+    meshes = hmesh.hierarchy(hmesh.structured((2, 2, 2)), 1)
+    mesh = meshes[-1]
+    basis = DGBasis(mesh, np.full(mesh.n_elements, p))
+    f = lambda x: jnp.sin(jnp.pi * x[..., 0]) * x[..., 1]  # noqa: E731
+    b64 = {p: np.asarray(l2_functional(basis, f, dtype=jnp.float64)[p])}
+    step, _ = matrixfree_multigrid_solver(
+        basis, penalty=2.0, dirichlet=True, meshes=meshes,
+        penalty_scaling="normal", cheby_degree=4, dtype=jnp.float32)
+    res = uniform_sipg_exact_residual(basis, b64, penalty=2.0,
+                                      dirichlet=True,
+                                      penalty_scaling="normal")
+    op64 = uniform_sipg_operator(basis, penalty=2.0, dirichlet=True,
+                                 dtype=jnp.float64,
+                                 penalty_scaling="normal")
+    host_res = lambda x64: {p: b64[p] - np.asarray(  # noqa: E731
+        op64({p: jnp.asarray(x64[p])})[p])}
+    x64, info = onchip_refinement_solve(
+        step, res, b64, chain_k=8, tol=1e-8, max_steps=8,
+        host_residual=host_res)
+    assert info["verified"], info
+    assert info["rel_residual"] <= 1e-8
+    # the on-chip history must agree with truth: recompute each entry's
+    # order of magnitude is impossible without storing iterates, but the
+    # FINAL on-chip anchor must match the host verification closely
+    assert info["history"][-1] <= 1.1e-8
+    assert abs(info["history"][-1] - info["rel_residual"]) \
+        <= 1e-3 * max(info["rel_residual"], 1e-12) + 1e-13
+    assert info["steps"] == len(info["history"])
+    assert info["seconds"] >= info["seconds_loop"]
+
+
+def test_onchip_refinement_unverified_flag():
+    """Without host_residual the driver reports the on-chip anchor and
+    verified=False (contract parity with tunnel_refinement_solve)."""
+    from hpdg_tpu.solvers.multigrid import matrixfree_multigrid_solver
+    from hpdg_tpu.solvers.refine import onchip_refinement_solve
+    from hpdg_tpu.assemble import l2_functional
+    p = 2
+    meshes = hmesh.hierarchy(hmesh.structured((2, 2)), 1)
+    basis = DGBasis(meshes[-1], np.full(meshes[-1].n_elements, p))
+    f = lambda x: x[..., 0]  # noqa: E731
+    b64 = {p: np.asarray(l2_functional(basis, f, dtype=jnp.float64)[p])}
+    step, _ = matrixfree_multigrid_solver(
+        basis, penalty=2.0, dirichlet=True, meshes=meshes,
+        penalty_scaling="normal", cheby_degree=4, dtype=jnp.float32)
+    res = uniform_sipg_exact_residual(basis, b64, penalty=2.0,
+                                      dirichlet=True,
+                                      penalty_scaling="normal")
+    x64, info = onchip_refinement_solve(step, res, b64, chain_k=6,
+                                        tol=1e-8, max_steps=6)
+    assert not info["verified"]
+    assert info["rel_residual"] == info["history"][-1]
+    # the answer is still good: check against the true operator
+    op64 = uniform_sipg_operator(basis, penalty=2.0, dirichlet=True,
+                                 dtype=jnp.float64,
+                                 penalty_scaling="normal")
+    r = b64[p] - np.asarray(op64({p: jnp.asarray(x64[p])})[p])
+    assert np.linalg.norm(r) / np.linalg.norm(b64[p]) < 1e-7
