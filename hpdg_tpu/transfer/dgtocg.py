@@ -211,12 +211,79 @@ def dg_to_cg_transfer_nc(basis: DGBasis) -> DGtoCGTransferNC:
                             wdof=wdof, wval=wval)
 
 
+def cg_qk_galerkin_dense(cgb, basis: DGBasis,
+                         A: BlockSparseMatrix) -> np.ndarray:
+    """``A_cg = R^T A R`` for the continuous Q_k space ``cgb``
+    (basis.cgbasis.CGQkBasis) under a uniform degree-k DG matrix whose
+    GL nodes coincide with the CG nodes (host dense; coarse problems
+    are small by construction).  Weighted gathers cover hanging-node
+    constraints (wval widths > 1)."""
+    (k,) = basis.bucket_degrees
+    assert k == cgb.degree
+    nd = cgb.n_dofs
+    Acg = np.zeros((nd, nd))
+    K = cgb.wdof.shape[2]
+    for (pr, pc), (rows, cols) in A.pattern.entries.items():
+        vals = np.asarray(A.values[(pr, pc)])
+        relems = basis.bucket_elems[pr][rows]
+        celems = basis.bucket_elems[pc][cols]
+        bs = vals.shape[1]
+        for ki in range(K):
+            wr = cgb.wval[relems, :, ki]          # (nnz, bs)
+            dr = cgb.wdof[relems, :, ki]
+            for kj in range(K):
+                wc = cgb.wval[celems, :, kj]
+                dc = cgb.wdof[celems, :, kj]
+                wv = (wr[:, :, None] * wc[:, None, :]) * vals
+                nz = wv != 0.0
+                np.add.at(Acg, (np.broadcast_to(dr[:, :, None],
+                                                (len(wv), bs, bs))[nz],
+                                np.broadcast_to(dc[:, None, :],
+                                                (len(wv), bs, bs))[nz]),
+                          wv[nz])
+    return Acg
+
+
+def cg_qk_coarse_solver(basis: DGBasis, A: BlockSparseMatrix,
+                        dtype=jnp.float64):
+    """Coarse solve through the continuous Q_k space at the SAME degree
+    as the (uniform-degree) DG level: restrict through the node-
+    coincidence gather, dense-solve on the CG dofs, prolong.  The k>1
+    generalization of :func:`cg_coarse_solver`
+    (solversetup_dgcg.hh:394-424 uses exactly this pairing of
+    DynamicDGQkGLBasis with QkGLNodalBasis — the nodes coincide, so the
+    transfer is index bookkeeping, not interpolation)."""
+    from hpdg_tpu.basis.cgbasis import cg_basis
+    (k,) = basis.bucket_degrees
+    cgb = cg_basis(basis.mesh, k, family=basis.family)
+    Acg = cg_qk_galerkin_dense(cgb, basis, A)
+    Acg = 0.5 * (Acg + Acg.T)
+    try:
+        fac = jnp.asarray(np.linalg.cholesky(Acg), dtype)
+        solve = lambda f: jax.scipy.linalg.cho_solve((fac, True), f)  # noqa: E731
+    except np.linalg.LinAlgError:
+        inv = jnp.asarray(np.linalg.inv(Acg), dtype)
+        solve = lambda f: inv @ f  # noqa: E731
+    elems = basis.bucket_elems[k]
+    ident = np.array_equal(elems, np.arange(basis.mesh.n_elements))
+
+    def coarse_solve(b: dict) -> dict:
+        r = b[k] if ident else b[k]  # uniform degree: bucket == element
+        x_cg = solve(cgb.scatter(r))
+        return {k: cgb.gather(x_cg, dtype=dtype)}
+
+    return coarse_solve
+
+
 def cg_coarse_solver(basis: DGBasis, A: BlockSparseMatrix,
                      dtype=jnp.float64):
     """Coarse solve through the CG-P1 space: restrict, dense-solve on the
     vertices, prolong (P1MultigridCoarseSolver analog,
     solversetup_dgcg.hh:128-190, with a direct solve instead of a
-    geometric MG on the CG matrix)."""
+    geometric MG on the CG matrix).  Uniform degree-k levels with k > 1
+    route to the CG-Q_k variant (:func:`cg_qk_coarse_solver`)."""
+    if basis.bucket_degrees != (1,) and len(basis.bucket_degrees) == 1:
+        return cg_qk_coarse_solver(basis, A, dtype=dtype)
     T = dg_to_cg_transfer(basis)
     Acg = T.galerkin_dense(A)
     Acg = 0.5 * (Acg + Acg.T)
