@@ -186,7 +186,8 @@ def tunnel_refinement_solve(step, op, b64: dict, *, chain_k: int = 3,
 def onchip_refinement_solve(step, residual_pair, b64: dict, *,
                             chain_k: int = 8, tol: float = 1e-8,
                             max_steps: int = 10, host_residual=None,
-                            device=None, n_runs: int = 1):
+                            device=None, n_runs: int = 1,
+                            quantize_download: bool = False):
     """Iterative refinement with ON-CHIP exact-split anchors: the whole
     refinement loop stays on the device.
 
@@ -249,6 +250,14 @@ def onchip_refinement_solve(step, residual_pair, b64: dict, *,
     g, consts = hoist_constants(refstep, xh0, xh0)
     jg = jax.jit(g)
     jax.block_until_ready(jg(consts, xh0, xh0)[2])  # compile
+    jenc = None
+    if quantize_download:
+        # halve the lo-half's wire bytes: hi downloads raw f32 (it IS
+        # the answer to 24 bits), lo as block-scaled int16 — the codec
+        # error (~2^-15 of lo's block scale ~ 2^-39 of |x|) is far below
+        # the 48-bit pair precision that a 1e-8-verified answer needs.
+        jenc = jax.jit(lambda v: qt.encode_jnp(v.reshape(-1)))
+        jax.block_until_ready(jenc(xh0)[0])
 
     def one_solve():
         t0 = time.perf_counter()
@@ -263,7 +272,12 @@ def onchip_refinement_solve(step, residual_pair, b64: dict, *,
             if nr / nb <= tol:
                 break
         t_loop = time.perf_counter() - t0
-        x64 = {p: df_to_f64(np.asarray(xh), np.asarray(xl))}
+        if jenc is not None:
+            q, s = jax.device_get(jenc(xl))
+            lo = qt.decode_np(q, s, xh.size).reshape(xh.shape)
+            x64 = {p: df_to_f64(np.asarray(xh), lo)}
+        else:
+            x64 = {p: df_to_f64(np.asarray(xh), np.asarray(xl))}
         rel = hist[-1] if hist else float("nan")
         verified = False
         if host_residual is not None:
