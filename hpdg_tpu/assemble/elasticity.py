@@ -243,9 +243,11 @@ def _assemble_elasticity_geom(basis: DGBasis, mu, lam, penalty, dirichlet,
         ein = mesh.faces.inside[fg.face_ids]
         eout = mesh.faces.outside[fg.face_ids]
         xpq = face_phys_points(basis, fg, fin["points"])
+        xpq_o = face_phys_points(basis, fg, fin["points"], side="out")
         sides = {}
-        for sgn, elems, tab in ((1.0, ein, fin), (-1.0, eout, fout)):
-            Ji, dA = geom_at(elems, xpq)
+        for sgn, elems, tab, xq in ((1.0, ein, fin, xpq),
+                                    (-1.0, eout, fout, xpq_o)):
+            Ji, dA = geom_at(elems, xq)
             P = p_table(tab["Dall"], elems, Ji)
             R = dA[..., None] * Ji[:, :, ax, :]    # (n, q, d)
             Q = np.einsum("nqb,nqbj->nqj", R, P)

@@ -179,9 +179,18 @@ def face_group_tables(basis, fg: FaceGroup, nq1: int):
     return fin, fout
 
 
-def face_phys_points(basis, fg: FaceGroup, pts: np.ndarray) -> np.ndarray:
-    """Physical quadrature points of a face group: on the intersection
-    (= the fine face for non-conforming pairs).  (nf, nq, dim)."""
+def face_phys_points(basis, fg: FaceGroup, pts: np.ndarray,
+                     side: str = "in") -> np.ndarray:
+    """Parametric quadrature points of a face group, on the intersection
+    (= the fine face for non-conforming pairs).  (nf, nq, dim).
+
+    Lattice-style meshes share one global parametric chart, so the same
+    point array serves both sides.  Meshes with PER-ELEMENT charts
+    (geometry.from_cell_vertices: disjoint unit boxes, faces paired at
+    identity tangential correspondence) need the point expressed in the
+    requested side's own chart — ``side`` picks "in" or "out" for those
+    faces (conforming only; hanging nodes always live on shared
+    charts)."""
     mesh = basis.mesh
     dim = mesh.dim
     ein = mesh.faces.inside[fg.face_ids]
@@ -194,6 +203,24 @@ def face_phys_points(basis, fg: FaceGroup, pts: np.ndarray) -> np.ndarray:
     tang = [a for a in range(dim) if a != fg.axis]
     for t, a in enumerate(tang):
         x[:, :, a] += pts[None, :, t] * ext[:, a][:, None]
+    # per-element-chart faces: parametrically non-adjacent pairs
+    adj = np.abs(mesh.lower[ein][:, fg.axis]
+                 + mesh.extent[ein][:, fg.axis]
+                 - mesh.lower[eout][:, fg.axis]) \
+        <= 1e-9 * np.maximum(1.0, mesh.extent[ein][:, fg.axis])
+    if not adj.all():
+        if fg.nc_code != 0:
+            raise ValueError("hanging-node faces need a shared "
+                             "parametric chart")
+        e = ein if side == "in" else eout
+        nlo = mesh.lower[e].copy()
+        next_ = mesh.extent[e]
+        xn = np.repeat(nlo[:, None, :], nq, axis=1)
+        xn[:, :, fg.axis] += (next_[:, fg.axis][:, None]
+                              if side == "in" else 0.0)
+        for t, a in enumerate(tang):
+            xn[:, :, a] += pts[None, :, t] * next_[:, a][:, None]
+        x = np.where(adj[:, None, None], x, xn)
     return x
 
 

@@ -351,8 +351,10 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             BVVo = J(np.einsum("iq,q,jq->ij", Vo, w, Vo))
             BVio = J(np.einsum("iq,q,jq->ij", Vi, w, Vo))
             if affine:
+                xpo = face_phys_points(basis, fg, fin["points"],
+                                       side="out")
                 k_in = J(geo.effective_tensor(mesh, ein, k, xp))
-                k_out = J(geo.effective_tensor(mesh, eout, k, xp))
+                k_out = J(geo.effective_tensor(mesh, eout, k, xpo))
             else:
                 k_in = k_out = k
             if kmat:

@@ -126,8 +126,11 @@ def sipg_diagonal_blocks(basis: DGBasis, penalty: float = 2.0,
             x = geo.apply_map(mesh, ein, xp)
             k = K(x) if diffusion is not None else None
             if affine:
+                xpo = face_phys_points(basis, fg, fin["points"],
+                                       side="out")
                 k_in = np.asarray(geo.effective_tensor(mesh, ein, k, xp))
-                k_out = np.asarray(geo.effective_tensor(mesh, eout, k, xp))
+                k_out = np.asarray(geo.effective_tensor(mesh, eout, k,
+                                                        xpo))
             else:
                 k_in = k_out = k
             ihi = 1.0 / mesh.extent[ein]

@@ -67,10 +67,11 @@ def elasticity_geom_tables(basis: DGBasis, plan: AssemblyPlan | None = None,
         pmax = max(fg.p_in, fg.p_out)
         fin, _ = face_group_tables(basis, fg, pmax + 2)
         xpq = face_phys_points(basis, fg, fin["points"])
+        xpq_o = face_phys_points(basis, fg, fin["points"], side="out")
         ein = mesh.faces.inside[fg.face_ids]
         eout = mesh.faces.outside[fg.face_ids]
         Hi, Jii, _ = h_and_det(ein, xpq)
-        Ho, Jio, _ = h_and_det(eout, xpq)
+        Ho, Jio, _ = h_and_det(eout, xpq_o)
         dAi = np.abs(1.0 / np.linalg.det(Jii))
         dAo = np.abs(1.0 / np.linalg.det(Jio))
         pen = geo.penalty_coef_mesh(mesh, fg, penalty, pmax,

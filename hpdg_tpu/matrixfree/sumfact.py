@@ -251,6 +251,8 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
         eout = mesh.faces.outside[fg.face_ids]
         if diffusion is not None or affine:
             g["xpq"] = face_phys_points(basis, fg, g["pts"])  # parametric
+            g["xpq_out"] = face_phys_points(basis, fg, g["pts"],
+                                            side="out")
             g["xq"] = geo.apply_map(mesh, ein, g["xpq"])
         if kmat:
             g["ext_in"] = mesh.extent[ein]
@@ -260,7 +262,7 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
             g["keff_in"] = np.asarray(geo.effective_tensor(
                 mesh, ein, None, g["xpq"]))
             g["keff_out"] = np.asarray(geo.effective_tensor(
-                mesh, eout, None, g["xpq"]))
+                mesh, eout, None, g["xpq_out"]))
 
     bgroups = []
     if dirichlet:
@@ -324,7 +326,7 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                         k_in = geo.effective_tensor(mesh, g["ein"], kq,
                                                     g["xpq"])
                         k_out = geo.effective_tensor(mesh, g["eout"], kq,
-                                                     g["xpq"])
+                                                     g["xpq_out"])
                     else:
                         k_in = k_out = kq
                 Kai = k_in[..., fg.axis, :]       # (nf, q, dim)

@@ -47,7 +47,8 @@ from __future__ import annotations
 
 import numpy as np
 
-from hpdg_tpu.mesh.structured import Mesh, from_boxes
+from hpdg_tpu.mesh.structured import (Mesh, from_boxes, Faces,
+                                      BoundaryFaces)
 from dataclasses import replace
 
 
@@ -553,3 +554,239 @@ def _face_centroid(mesh: Mesh, elems, axis, high: bool) -> np.ndarray:
         * mesh.extent[elems, axis]
     x = (ctr + off)[:, None, :]
     return apply_map(mesh, elems, x)[:, 0]
+
+
+# ---------------------------------------------------------------------
+# general (non-lattice) hex/quad topology import
+# ---------------------------------------------------------------------
+
+def _frame_faces(dim: int):
+    """For the bit corner convention: per (axis, side), the 4 (2 in 2D)
+    corner indices of that cube face, ordered by ascending tangential
+    bits (tangential axes in natural order, last fastest)."""
+    B = _bits(dim).astype(np.int64)
+    out = {}
+    for a in range(dim):
+        tang = [t for t in range(dim) if t != a]
+        for s in (0, 1):
+            ids = np.where(B[:, a] == s)[0]
+            key = [tuple(B[c, t] for t in tang) for c in ids]
+            out[(a, s)] = ids[np.lexsort(tuple(
+                np.array([k[i] for k in key])
+                for i in range(len(tang) - 1, -1, -1)))]
+    return out
+
+
+def from_cell_vertices(points, cells, tol: float = 1e-9) -> Mesh:
+    """Import a GENERAL unstructured hex (3D) or quad (2D) mesh from
+    vertex/cell arrays — no lattice ordering required (the non-lattice
+    generalization of :func:`from_hex_lattice`; the reference reads such
+    meshes into UGGrid and discretizes with
+    functionspacebases/dynamicdgqkglbasis.hh, which works on any cube
+    grid).
+
+    ``points`` (npts, dim) coordinates; ``cells`` (ncells, 2^dim)
+    vertex ids in VTK hexahedron/quad ordering.  Topology is derived by
+    matching shared faces (sorted vertex tuples) and assigning each
+    element a parametric FRAME (one of the 2^dim dim! cube symmetries,
+    encoded as a corner permutation) by BFS over the face graph, so
+    every interior face pairs an inside high-side with an outside
+    low-side at identity tangential correspondence — the repo's Faces
+    contract.  Meshes that admit no such global assignment (faces
+    meeting with an odd twist) raise with the offending cell pair; 2:1
+    refinements should go through mesh.adaptive instead.
+
+    Parametric boxes are unit cubes spread along axis 0 (parametric
+    positions of DIFFERENT elements are meaningless here — consumers
+    must use physical coordinates, which all geometry-aware paths do).
+    Affine cells get jac/shift; genuinely multilinear cells get Q1
+    ``corners`` with per-point Jacobians.
+    """
+    points = np.asarray(points, np.float64)
+    cells = np.asarray(cells)
+    n, nc = cells.shape
+    dim = {4: 2, 8: 3}.get(nc)
+    if dim is None or points.shape[1] != dim:
+        raise ValueError("expected (ncells, 4) quads with (npts, 2) "
+                         "points or (ncells, 8) hexes with (npts, 3)")
+    B = _bits(dim).astype(np.int64)
+    ref = _VTK_CORNER_REF if dim == 3 else _VTK_CORNER_REF_2D
+    vtk_of_bit = np.array([int(np.where((ref == B[c]).all(axis=1))[0][0])
+                           for c in range(nc)])
+    cells_bit = cells[:, vtk_of_bit]  # default frame, bit convention
+    ffaces = _frame_faces(dim)
+    face_keys = sorted(ffaces.keys())
+    nfpc = len(face_keys)  # faces per cell = 2*dim
+    fsize = nc // 2
+
+    # --- match faces by sorted vertex tuple ---
+    quads = np.stack([cells_bit[:, ffaces[k]] for k in face_keys],
+                     axis=1)  # (n, 2*dim, fsize) frame-independent SETS
+    skeys = np.sort(quads.reshape(n * nfpc, fsize), axis=1)
+    uniqk, inv, counts = np.unique(skeys, axis=0, return_inverse=True,
+                                   return_counts=True)
+    if counts.max(initial=1) > 2:
+        raise ValueError("a face is shared by more than two cells")
+    pair_of = {}
+    partner = -np.ones(n * nfpc, dtype=np.int64)
+    for fi, key in enumerate(inv):
+        if key in pair_of:
+            partner[fi] = pair_of[key]
+            partner[pair_of[key]] = fi
+        else:
+            pair_of[key] = fi
+
+    # --- per-element vertex adjacency (edges of the cube) ---
+    edges = [(c1, c2) for c1 in range(nc) for c2 in range(c1 + 1, nc)
+             if int(np.abs(B[c1] - B[c2]).sum()) == 1]
+
+    def neighbor_map(e):
+        adj = {}
+        for c1, c2 in edges:
+            v1, v2 = int(cells_bit[e, c1]), int(cells_bit[e, c2])
+            adj.setdefault(v1, []).append(v2)
+            adj.setdefault(v2, []).append(v1)
+        return adj
+
+    # --- BFS frame assignment ---
+    order = np.full((n, nc), -1, dtype=np.int64)  # corner ids, bit order
+    order[0] = cells_bit[0]
+    seen = np.zeros(n, bool)
+    seen[0] = True
+    from collections import deque
+    queue = deque([0])
+    tang_axes = {a: [t for t in range(dim) if t != a] for a in range(dim)}
+
+    def face_of(order_e, vset):
+        for (a, s), ids in ffaces.items():
+            if {int(order_e[c]) for c in ids} == vset:
+                return a, s
+        return None
+
+    while queue:
+        e = queue.popleft()
+        for lf in range(nfpc):
+            pf = partner[e * nfpc + lf]
+            if pf < 0:
+                continue
+            q = int(pf // nfpc)
+            vset = set(int(v) for v in quads[e, lf])
+            afs = face_of(order[e], vset)
+            assert afs is not None
+            a, s = afs
+            ids_e = ffaces[(a, s)]
+            ids_q = ffaces[(a, 1 - s)]
+            if seen[q]:
+                # consistency: q's frame must present the shared face on
+                # the opposite side with identical tangential coords
+                ok = face_of(order[q], vset) == (a, 1 - s) and all(
+                    int(order[q][cq]) == int(order[e][ce])
+                    for ce, cq in zip(ids_e, ids_q))
+                if not ok:
+                    raise ValueError(
+                        f"hex mesh is not orientation-consistent: cells "
+                        f"{e} and {q} meet with a twisted face (odd "
+                        "rotation/reflection); no identity-aligned "
+                        "parametric frame assignment exists")
+                continue
+            adj = neighbor_map(q)
+            oq = np.full(nc, -1, dtype=np.int64)
+            ids_q_opp = ffaces[(a, s)]
+            qverts = set(int(v) for v in cells_bit[q])
+            if not vset <= qverts:
+                raise ValueError("face matching inconsistency")
+            for ce, cq, cq_opp in zip(ids_e, ids_q, ids_q_opp):
+                v = int(order[e][ce])
+                oq[cq] = v
+                others = [u for u in adj[v] if u not in vset]
+                if len(others) != 1:
+                    raise ValueError(
+                        f"cell {q}: vertex {v} has {len(others)} "
+                        "off-face edges (degenerate hex)")
+                oq[cq_opp] = others[0]
+            if sorted(int(v) for v in oq) != sorted(qverts):
+                raise ValueError(
+                    f"cells {e} and {q} meet with a twisted face; no "
+                    "identity-aligned parametric frame exists")
+            order[q] = oq
+            seen[q] = True
+            queue.append(q)
+    if not seen.all():
+        raise ValueError("hex mesh has disconnected components "
+                         f"({int((~seen).sum())} unreachable cells)")
+
+    # --- faces/bfaces from the assigned frames ---
+    fin, fout, fax = [], [], []
+    bel, bax, bsd = [], [], []
+    done = set()
+    for e in range(n):
+        for a in range(dim):
+            for s in (0, 1):
+                vset = frozenset(int(order[e][c]) for c in ffaces[(a, s)])
+                if vset in done:
+                    continue
+                # find the partner via the original quad matching
+                # (order[e] is a permutation of cells_bit[e], so the
+                # vertex SET identifies the same physical face)
+                lf = None
+                for k, fk in enumerate(face_keys):
+                    if frozenset(int(v) for v in quads[e, k]) == vset:
+                        lf = k
+                        break
+                pf = partner[e * nfpc + lf]
+                if pf < 0:
+                    bel.append(e)
+                    bax.append(a)
+                    bsd.append(s)
+                else:
+                    done.add(vset)
+                    q = int(pf // nfpc)
+                    aq, sq = face_of(order[q], set(vset))
+                    if aq != a or sq != 1 - s:
+                        raise ValueError("internal: frames inconsistent")
+                    if s == 1:
+                        fin.append(e)
+                        fout.append(q)
+                    else:
+                        fin.append(q)
+                        fout.append(e)
+                    fax.append(a)
+    faces = Faces(inside=np.asarray(fin, np.int32),
+                  outside=np.asarray(fout, np.int32),
+                  axis=np.asarray(fax, np.int32))
+    bfaces = BoundaryFaces(elem=np.asarray(bel, np.int32),
+                           axis=np.asarray(bax, np.int32),
+                           side=np.asarray(bsd, np.int32))
+
+    # --- geometry from the framed corners ---
+    corn = points[order]  # (n, 2^dim, dim) bit order
+    v0 = corn[:, 0]
+    cols = [corn[:, 1 << (dim - 1 - a)] - v0 for a in range(dim)]
+    A = np.stack(cols, axis=-1)
+    pred = v0[:, None, :] + np.einsum("eab,cb->eca", A, _bits(dim))
+    scale = np.abs(A).sum(axis=(1, 2))[:, None, None] + 1e-30
+    err = np.abs(pred - corn).max(axis=(1, 2)) / scale.reshape(-1)
+    multilinear = bool((err > tol).any())
+    lower = np.zeros((n, dim))
+    lower[:, 0] = 2.0 * np.arange(n)  # disjoint parametric boxes
+    extent = np.ones_like(lower)
+    if multilinear:
+        m = Mesh(dim=dim, lower=lower, extent=extent, faces=faces,
+                 bfaces=bfaces, corners=corn)
+        _check_q1_orientation(m, "from_cell_vertices")
+    else:
+        if np.linalg.det(A).min() <= 0:
+            raise ValueError("negative-volume cell (check vertex order)")
+        shift = v0 - np.einsum("eab,eb->ea", A, lower)
+        m = Mesh(dim=dim, lower=lower, extent=extent, faces=faces,
+                 bfaces=bfaces, jac=A, shift=shift)
+    # physical conformity: both sides of every face must agree
+    f = m.faces
+    if len(f):
+        ctr_in = _face_centroid(m, f.inside, f.axis, high=True)
+        ctr_out = _face_centroid(m, f.outside, f.axis, high=False)
+        dev = np.abs(ctr_in - ctr_out).max()
+        if dev > 1e-8 * max(1.0, np.abs(points).max()):
+            raise ValueError("imported cells disagree on shared faces "
+                             f"(max deviation {dev:.2e})")
+    return m

@@ -208,21 +208,40 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
         oi, no = basis.offsets[ei], basis.block_sizes[ei]
         oo, mo = basis.offsets[eo], basis.block_sizes[eo]
         tang = [a for a in range(dim) if a != ax]
+        # parametric adjacency: lattice-style meshes share one global
+        # parametric chart (intersection logic covers 2:1 hanging
+        # faces); imports with per-element charts (geometry.
+        # from_cell_vertices) pair faces at IDENTITY tangential
+        # correspondence in each element's own unit coordinates.
+        adjacent = abs((mesh.lower[ei][ax] + hi[ax])
+                       - mesh.lower[eo][ax]) <= 1e-9 * max(1.0, hi[ax])
+        if not adjacent:
+            fmeas = np.prod(np.delete(np.minimum(hi, ho), ax))
         for q in range(len(tw)):
-            xg = np.zeros(dim)
-            xg[ax] = mesh.lower[eo][ax]  # face plane (global parametric)
-            for t, a in enumerate(tang):
-                xg[a] = ilo[a] + tpts[q][t] * iext[a]
-            xi = (xg - mesh.lower[ei]) / hi
-            xi[ax] = 1.0
-            xo = (xg - mesh.lower[eo]) / ho
-            xo[ax] = 0.0
+            if adjacent:
+                xg = np.zeros(dim)
+                xg[ax] = mesh.lower[eo][ax]  # face plane (global param.)
+                for t, a in enumerate(tang):
+                    xg[a] = ilo[a] + tpts[q][t] * iext[a]
+                xi = (xg - mesh.lower[ei]) / hi
+                xi[ax] = 1.0
+                xo = (xg - mesh.lower[eo]) / ho
+                xo[ax] = 0.0
+                xg_i = xg_o = xg
+            else:
+                xi = np.zeros(dim)
+                xo = np.zeros(dim)
+                xi[ax], xo[ax] = 1.0, 0.0
+                for t, a in enumerate(tang):
+                    xi[a] = xo[a] = tpts[q][t]
+                xg_i = mesh.lower[ei] + xi * hi
+                xg_o = mesh.lower[eo] + xo * ho
             vi = _phi(nodes_i, xi)
             vo = _phi(nodes_o, xo)
             # per-point geometry on each side (equal physical surface for
             # conforming maps; per-side Jacobians differ off the face)
-            _, Jii, dAi, xpi = _geo_at(mesh, ei, xg)
-            _, Jio, dAo, _ = _geo_at(mesh, eo, xg)
+            _, Jii, dAi, xpi = _geo_at(mesh, ei, xg_i)
+            _, Jio, dAo, _ = _geo_at(mesh, eo, xg_o)
             gi = dAi * np.linalg.norm(Jii[ax])
             go = dAo * np.linalg.norm(Jio[ax])
             nrm_i = Jii[ax] / np.linalg.norm(Jii[ax])
