@@ -488,7 +488,8 @@ def build_sharded_elasticity_pmg(cells, p: int, mu: float = 1.0,
                                  post_steps: int = 3,
                                  coarse_cg_iters: int = 60,
                                  h_levels: int = 0,
-                                 smoother: str = "cheb"
+                                 smoother: str = "cheb",
+                                 smoother_sweeps: int = 1
                                  ) -> ShardedElasticityPMG:
     """Sharded p-multigrid V-cycle for VECTOR-VALUED elasticity
     (BASELINE config 4's h+p V-cycle on the device mesh; the scalar
@@ -692,7 +693,8 @@ def build_sharded_elasticity_pmg(cells, p: int, mu: float = 1.0,
         prob = probs[l]
         if patch_sweeps[l] is not None:
             fwd, bwd = patch_sweeps[l]
-            x = fwd(x, b)
+            for _ in range(smoother_sweeps):
+                x = fwd(x, b)
         else:
             x = cheb(prob, dinvs[l], lmaxs[l], x, b, pre_steps)
         r = b - prob.apply(x)
@@ -700,7 +702,8 @@ def build_sharded_elasticity_pmg(cells, p: int, mu: float = 1.0,
         xc = run(l - 1, jnp.zeros_like(rc), rc)
         x = x + prolong(l, xc)
         if patch_sweeps[l] is not None:
-            x = bwd(x, b)
+            for _ in range(smoother_sweeps):
+                x = bwd(x, b)
         else:
             x = cheb(prob, dinvs[l], lmaxs[l], x, b, post_steps)
         return x

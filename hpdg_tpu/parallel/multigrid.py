@@ -94,7 +94,8 @@ def build_sharded_pmg(cells, p: int, devices=None, penalty: float = 2.0,
                       dirichlet: bool = True, dtype=jnp.float32,
                       pre_steps: int = 3, post_steps: int = 3,
                       jacobi_omega: float = 0.5, smoother: str = "jacobi",
-                      coarse_cg_iters: int = 60) -> ShardedPMG:
+                      coarse_cg_iters: int = 60,
+                      smoother_sweeps: int = 1) -> ShardedPMG:
     """Build a fully sharded p-multigrid V-cycle for uniform-degree SIPG
     Poisson on a structured mesh.
 
@@ -188,7 +189,8 @@ def build_sharded_pmg(cells, p: int, devices=None, penalty: float = 2.0,
             return coarse_solve(b)
         prob = probs[l]
         if patch_sweeps[l] is not None:
-            x = patch_sweeps[l][0](x, b)
+            for _ in range(smoother_sweeps):
+                x = patch_sweeps[l][0](x, b)
         else:
             x = jacobi(prob, omegas[l], x, b, pre_steps, lvl=l)
         r = b - prob.apply(x)
@@ -196,7 +198,8 @@ def build_sharded_pmg(cells, p: int, devices=None, penalty: float = 2.0,
         xc = run(l - 1, jnp.zeros_like(rc), rc)
         x = x + xc @ Ts[l - 1].T  # prolongation (element-local)
         if patch_sweeps[l] is not None:
-            x = patch_sweeps[l][1](x, b)
+            for _ in range(smoother_sweeps):
+                x = patch_sweeps[l][1](x, b)
         else:
             x = jacobi(prob, omegas[l], x, b, post_steps, lvl=l)
         return x

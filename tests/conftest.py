@@ -77,6 +77,9 @@ _SLOW_TESTS = (
     # block-Jacobi quick driver test keeps the contract in the quick tier)
     "test_onchip_refinement_solve_verified",
     "test_onchip_refinement_unverified_flag",
+    # 2-sweep stretched-cell rate bar (6.5 min of XLA-CPU compiles; the
+    # single-sweep rate test keeps the config in the quick tier)
+    "test_sharded_elasticity_stretched_rate_below_02",
 )
 
 
