@@ -689,8 +689,10 @@ def main():
         solve_tnnmg(A32, b32, basis_o, lo, up, mg_step=step,
                     tol=tol_abs, maxiter=1)
         t0 = time.perf_counter()
+        # stall_window: stop at the f32 correction floor (the quality
+        # bar is the f64 free-dof residual check below, not corr)
         x, info = solve_tnnmg(A32, b32, basis_o, lo, up, mg_step=step,
-                              tol=tol_abs, maxiter=40)
+                              tol=tol_abs, maxiter=40, stall_window=3)
         t_solve = time.perf_counter() - t0
         ndofs_o = basis_o.ndof
         nit = info["iterations"]

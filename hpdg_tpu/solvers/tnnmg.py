@@ -114,7 +114,7 @@ def solve_tnnmg(A: bm.BlockSparseMatrix, b: dict, basis: DGBasis,
                 lo: dict, up: dict, mg_step=None, x0: dict | None = None,
                 tol: float = 1e-9, maxiter: int = 100, pre_sweeps: int = 1,
                 active_eps: float = 1e-13, verbose: bool = False,
-                truncate_hierarchy: bool = False):
+                truncate_hierarchy: bool = False, stall_window: int = 0):
     """Full TNNMG loop (solveObstacle analog, buildingblocks/solve.hh:40-124).
 
     Returns (x, info) with per-iteration correction norms, damping
@@ -142,60 +142,109 @@ def solve_tnnmg(A: bm.BlockSparseMatrix, b: dict, basis: DGBasis,
     elif mg_step is None:
         from hpdg_tpu.solvers.multigrid import multigrid_solver
         mg_step, _ = multigrid_solver(basis, A)
-    if mg_step is not None:
-        mg_step = jax.jit(mg_step)
-    smoother = jax.jit(projected_block_gs_step(A, basis, lo, up))
+    smoother = projected_block_gs_step(A, basis, lo, up)
     x = bv.zeros_like(b) if x0 is None else x0
     # make the start feasible
     x = jax.tree.map(jnp.clip, x, lo, up)
 
     energy = lambda v: 0.5 * bv.dot(v, bm.matvec(A, v)) - bv.dot(b, v)  # noqa: E731
+
+    def masks(xv):
+        free = {}
+        ntrunc = jnp.int32(0)
+        for p in xv:
+            tol_p = active_eps * (1 + jnp.abs(xv[p]))
+            at_lo = jnp.isfinite(lo[p]) & (xv[p] - lo[p] <= tol_p)
+            at_up = jnp.isfinite(up[p]) & (up[p] - xv[p] <= tol_p)
+            free[p] = jnp.logical_not(at_lo | at_up)
+            ntrunc += jnp.sum(~free[p], dtype=jnp.int32)
+        return free, ntrunc
+
+    def finish_iter(x_pre, free, c, x_old):
+        """Stages 4-5 + diagnostics: project the truncated correction,
+        line-search, and return everything the host loop reads — one
+        fused device program, ONE scalar fetch per iteration (the
+        tunnel round trip is the per-iteration cost on remote chips)."""
+        r = bv.sub(b, bm.matvec(A, x_pre))
+        c = {p: jnp.where(free[p], c[p], 0.0) for p in c}
+        c = jax.tree.map(lambda cc, xx, ll, uu:
+                         jnp.clip(xx + cc, ll, uu) - xx, c, x_pre, lo, up)
+        cAc = bv.dot(c, bm.matvec(A, c))
+        rc = bv.dot(r, c)
+        alpha = jnp.where(cAc > 0, rc / cAc, 1.0)
+        alpha = jnp.clip(jnp.nan_to_num(alpha, nan=0.0), 0.0, 1.0)
+        x_new = bv.axpy(alpha, c, x_pre)
+        corr = bv.norm(bv.sub(x_new, x_old))
+        return x_new, corr, alpha, energy(x_new)
+
+    if truncate_hierarchy:
+        jsmooth = jax.jit(smoother)
+        jmasks = jax.jit(masks)
+        jfinish = jax.jit(finish_iter)
+    else:
+        # default path: the WHOLE iteration is one jitted program
+        def one_iter(xv):
+            x_pre = xv
+            for _ in range(pre_sweeps):
+                x_pre = smoother(x_pre, b)
+            free, ntrunc = masks(x_pre)
+            r = bv.sub(b, bm.matvec(A, x_pre))
+            r_masked = {p: jnp.where(free[p], r[p], 0.0) for p in r}
+            c = mg_step(bv.zeros_like(b), r_masked)
+            x_new, corr, alpha, en = finish_iter(x_pre, free, c, xv)
+            return x_new, (corr, alpha, en, ntrunc)
+        from hpdg_tpu.solvers.cg import hoist_constants
+        g1, c1 = hoist_constants(one_iter, x)
+        jg1 = jax.jit(g1)
+
     history = {"correction": [], "damping": [], "truncated": [],
                "energy": []}
     for it in range(maxiter):
-        x_old = x
-        for _ in range(pre_sweeps):
-            x = smoother(x, b)
-        # truncation masks: frozen where at an obstacle
-        free = {}
-        ntrunc = 0
-        for p in x:
-            tol_p = active_eps * (1 + jnp.abs(x[p]))
-            at_lo = jnp.isfinite(lo[p]) & (x[p] - lo[p] <= tol_p)
-            at_up = jnp.isfinite(up[p]) & (up[p] - x[p] <= tol_p)
-            free[p] = jnp.logical_not(at_lo | at_up)
-            ntrunc += int(jnp.sum(~free[p]))
-        r = bv.sub(b, bm.matvec(A, x))
-        r_masked = {p: jnp.where(free[p], r[p], 0.0) for p in r}
         if truncate_hierarchy:
+            x_old = x
+            for _ in range(pre_sweeps):
+                x = jsmooth(x, b)
+            free, ntrunc_d = jmasks(x)
+            ntrunc = int(ntrunc_d)
+            r = bv.sub(b, bm.matvec(A, x))
+            r_masked = {p: jnp.where(free[p], r[p], 0.0) for p in r}
             # reference-faithful: renew the Galerkin hierarchy on the
             # truncated matrix (numeric-only — symbolic plans and the
             # jitted cycle are reused across iterations)
             tr_data.renew(truncated_matrix(A, free),
                           dtype=next(iter(b.values())).dtype)
-            dinvs = [sm.inverse_diagonal_blocks(M) for M in tr_data.matrices]
-            c = tr_cycle(tr_data.matrices, dinvs, bv.zeros_like(b), r_masked)
+            dinvs = [sm.inverse_diagonal_blocks(M)
+                     for M in tr_data.matrices]
+            c = tr_cycle(tr_data.matrices, dinvs, bv.zeros_like(b),
+                         r_masked)
+            x, corr_d, alpha_d, en_d = jfinish(x, free, c, x_old)
+            corr, alpha, en = float(corr_d), float(alpha_d), float(en_d)
         else:
-            c = mg_step(bv.zeros_like(b), r_masked)
-        c = {p: jnp.where(free[p], c[p], 0.0) for p in c}
-        # project the trial point into the constraints
-        c = jax.tree.map(lambda cc, xx, ll, uu: jnp.clip(xx + cc, ll, uu) - xx,
-                         c, x, lo, up)
-        # exact quadratic line search on [0, 1], NaN-guarded
-        cAc = bv.dot(c, bm.matvec(A, c))
-        rc = bv.dot(r, c)
-        alpha = jnp.where(cAc > 0, rc / cAc, 1.0)
-        alpha = jnp.clip(jnp.nan_to_num(alpha, nan=0.0), 0.0, 1.0)
-        x = bv.axpy(alpha, c, x)
-        corr = float(bv.norm(bv.sub(x, x_old)))
+            x, stats = jg1(c1, x)
+            corr, alpha, en, ntr = jax.device_get(stats)
+            corr, alpha, en, ntrunc = (float(corr), float(alpha),
+                                       float(en), int(ntr))
         history["correction"].append(corr)
         history["damping"].append(float(alpha))
         history["truncated"].append(ntrunc)
-        history["energy"].append(float(energy(x)))
+        history["energy"].append(float(en))
         if verbose:
             print(f"tnnmg it={it} corr={corr:.3e} alpha={float(alpha):.3f} "
                   f"trunc={ntrunc}")
         if corr < tol:
             break
+        if stall_window and len(history["correction"]) > stall_window:
+            # correction floored (the f32 arithmetic floor on device
+            # runs): require BOTH that corrections have become small
+            # relative to the first one (the contact set has settled —
+            # early iterations legitimately plateau while it moves) AND
+            # that the window shows no further decrease.  A production
+            # criterion alongside tol — the reference's LoopSolver
+            # supports pluggable criteria (solve.hh:101-119).
+            small = corr < 1e-3 * history["correction"][0]
+            flat = corr > 0.9 * history["correction"][-1 - stall_window]
+            if small and flat:
+                history["stalled"] = True
+                break
     history["iterations"] = len(history["correction"])
     return x, history
