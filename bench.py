@@ -332,7 +332,7 @@ def main():
         x64, info = onchip_refinement_solve(
             step, res, b64, chain_k=chain_k, tol=1e-8, max_steps=8,
             host_residual=host_res, n_runs=n_runs,
-            quantize_download=True)
+            quantize_download=True, fused=True)
         if not info["verified"]:
             log(f"# [n={n}] onchip solve NOT verified "
                 f"(rel {info['rel_residual']:.2e})")

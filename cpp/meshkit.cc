@@ -401,3 +401,211 @@ extern "C" int hpdg_sipg_fact_apply3(
   fact_transpose(s3, y, nb3, n);  // y = result^T back to (n, nb3)
   return 0;
 }
+
+// ---------------------------------------------------------------------
+// Arbitrary (non-lattice) hex/quad connectivity: face matching + BFS
+// parametric frame assignment.  Native twin of the Python reference in
+// hpdg_tpu/mesh/geometry.py::from_cell_vertices (which stays the
+// readable fallback): cells arrive as vertex ids in the BIT corner
+// convention (axis 0 slowest), each cell is assigned a cube-symmetry
+// corner permutation so every shared face pairs inside-high with
+// outside-low at identity tangential correspondence, and the face
+// arrays are emitted directly.  Return codes: 0 ok, 1 face shared by
+// >2 cells, 2 twisted (no identity-aligned assignment), 3 disconnected,
+// 4 degenerate cell, 5 capacity.
+// ---------------------------------------------------------------------
+
+#include <unordered_map>
+#include <array>
+#include <queue>
+#include <algorithm>
+
+namespace {
+
+struct FaceKeyHash {
+  size_t operator()(const std::array<int64_t, 4> &k) const {
+    uint64_t h = 1469598103934665603ull;  // FNV-1a over the 4 ids
+    for (int64_t v : k) {
+      for (int b = 0; b < 8; ++b) {
+        h ^= (uint64_t)((v >> (8 * b)) & 0xff);
+        h *= 1099511628211ull;
+      }
+    }
+    return (size_t)h;
+  }
+};
+
+// corner indices of face (axis, side) in ascending order (bit
+// convention: ascending corner index == ascending tangential bits,
+// last tangential axis fastest — matches geometry._frame_faces)
+static inline void face_corners(int dim, int axis, int side, int *out) {
+  int nc = 1 << dim, j = 0;
+  for (int c = 0; c < nc; ++c)
+    if (((c >> (dim - 1 - axis)) & 1) == side) out[j++] = c;
+}
+
+}  // namespace
+
+extern "C" int hpdg_frame_cells(
+    int64_t n, int32_t dim, const int64_t *cells_bit, int64_t *order,
+    int32_t *f_inside, int32_t *f_outside, int32_t *f_axis, int64_t cap_f,
+    int32_t *b_elem, int32_t *b_axis, int32_t *b_side, int64_t cap_b,
+    int64_t *nf_out, int64_t *nbf_out) {
+  if (dim != 2 && dim != 3) return 4;
+  const int nc = 1 << dim, nfpc = 2 * dim, fsize = nc / 2;
+
+  // face corner index tables for all (axis, side)
+  int fc[6][4] = {};
+  for (int a = 0; a < dim; ++a)
+    for (int s = 0; s < 2; ++s) face_corners(dim, a, s, fc[2 * a + s]);
+
+  auto face_key = [&](const int64_t *corners, int lf) {
+    std::array<int64_t, 4> k{{-1, -1, -1, -1}};
+    for (int i = 0; i < fsize; ++i) k[i] = corners[fc[lf][i]];
+    std::sort(k.begin(), k.begin() + fsize);
+    return k;
+  };
+
+  // match faces of the INPUT (default-frame) cells by sorted key;
+  // vertex SETS are frame-independent, so partners are final
+  std::unordered_map<std::array<int64_t, 4>, int64_t, FaceKeyHash> first;
+  first.reserve(2 * (size_t)n * nfpc);
+  std::vector<int64_t> partner((size_t)n * nfpc, -1);
+  for (int64_t e = 0; e < n; ++e)
+    for (int lf = 0; lf < nfpc; ++lf) {
+      auto k = face_key(cells_bit + e * nc, lf);
+      auto it = first.find(k);
+      int64_t fid = e * nfpc + lf;
+      if (it == first.end()) {
+        first.emplace(k, fid);
+      } else if (it->second >= 0) {
+        partner[fid] = it->second;
+        partner[it->second] = fid;
+        it->second = -2;  // mark consumed
+      } else {
+        return 1;  // third cell on the same face
+      }
+    }
+
+  // BFS frame assignment
+  std::vector<int8_t> seen(n, 0);
+  std::fill(order, order + n * nc, -1);
+  for (int c = 0; c < nc; ++c) order[c] = cells_bit[c];
+  seen[0] = 1;
+  std::queue<int64_t> q;
+  q.push(0);
+  int64_t visited = 1;
+  std::vector<int> ids_q_buf;
+
+  auto face_of = [&](const int64_t *ord, const std::array<int64_t, 4> &k,
+                     int *axis, int *side) {
+    for (int a = 0; a < dim; ++a)
+      for (int s = 0; s < 2; ++s) {
+        std::array<int64_t, 4> kk{{-1, -1, -1, -1}};
+        for (int i = 0; i < fsize; ++i) kk[i] = ord[fc[2 * a + s][i]];
+        std::sort(kk.begin(), kk.begin() + fsize);
+        if (kk == k) { *axis = a; *side = s; return true; }
+      }
+    return false;
+  };
+
+  while (!q.empty()) {
+    int64_t e = q.front();
+    q.pop();
+    for (int lf = 0; lf < nfpc; ++lf) {
+      int64_t pf = partner[e * nfpc + lf];
+      if (pf < 0) continue;
+      int64_t qe = pf / nfpc;
+      auto k = face_key(cells_bit + e * nc, lf);
+      int a, s;
+      if (!face_of(order + e * nc, k, &a, &s)) return 2;
+      const int *ids_e = fc[2 * a + s];
+      const int *ids_q = fc[2 * a + (1 - s)];
+      const int *ids_q_opp = fc[2 * a + s];
+      if (seen[qe]) {
+        int aq, sq;
+        if (!face_of(order + qe * nc, k, &aq, &sq)) return 2;
+        if (aq != a || sq != (1 - s)) return 2;
+        for (int i = 0; i < fsize; ++i)
+          if (order[qe * nc + ids_q[i]] != order[e * nc + ids_e[i]])
+            return 2;
+        continue;
+      }
+      // q's frame: shared vertices at the opposite face, their unique
+      // off-face edge partners (corners differing in one bit) opposite
+      int64_t oq[8];
+      std::fill(oq, oq + nc, -1);
+      const int64_t *cb = cells_bit + qe * nc;
+      for (int i = 0; i < fsize; ++i) {
+        int64_t v = order[e * nc + ids_e[i]];
+        // v's corner position in q's default frame
+        int pos = -1;
+        for (int c = 0; c < nc; ++c)
+          if (cb[c] == v) { pos = c; break; }
+        if (pos < 0) return 2;
+        // unique edge partner of v not on the shared face
+        int64_t other = -1;
+        int found = 0;
+        for (int bit = 0; bit < dim; ++bit) {
+          int64_t u = cb[pos ^ (1 << bit)];
+          bool on_face = false;
+          for (int j = 0; j < fsize; ++j)
+            if (k[j] == u) { on_face = true; break; }
+          if (!on_face) { other = u; ++found; }
+        }
+        if (found != 1) return 4;
+        oq[ids_q[i]] = v;
+        oq[ids_q_opp[i]] = other;
+      }
+      // validate: oq is a permutation of q's vertex list
+      std::array<int64_t, 8> sa{}, sb{};
+      for (int c = 0; c < nc; ++c) { sa[c] = oq[c]; sb[c] = cb[c]; }
+      std::sort(sa.begin(), sa.begin() + nc);
+      std::sort(sb.begin(), sb.begin() + nc);
+      for (int c = 0; c < nc; ++c) if (sa[c] != sb[c]) return 2;
+      for (int c = 0; c < nc; ++c) order[qe * nc + c] = oq[c];
+      seen[qe] = 1;
+      ++visited;
+      q.push(qe);
+    }
+  }
+  if (visited != n) return 3;
+
+  // emit faces/bfaces from the assigned frames
+  int64_t nf = 0, nbf = 0;
+  std::unordered_map<std::array<int64_t, 4>, int8_t, FaceKeyHash> done;
+  done.reserve((size_t)n * nfpc);
+  for (int64_t e = 0; e < n; ++e)
+    for (int a = 0; a < dim; ++a)
+      for (int s = 0; s < 2; ++s) {
+        std::array<int64_t, 4> k{{-1, -1, -1, -1}};
+        for (int i = 0; i < fsize; ++i)
+          k[i] = order[e * nc + fc[2 * a + s][i]];
+        std::sort(k.begin(), k.begin() + fsize);
+        // find this face's slot in the INPUT-frame matching
+        int lf = -1;
+        for (int j = 0; j < nfpc; ++j)
+          if (face_key(cells_bit + e * nc, j) == k) { lf = j; break; }
+        if (lf < 0) return 2;
+        int64_t pf = partner[e * nfpc + lf];
+        if (pf < 0) {
+          if (nbf >= cap_b) return 5;
+          b_elem[nbf] = (int32_t)e;
+          b_axis[nbf] = a;
+          b_side[nbf] = s;
+          ++nbf;
+          continue;
+        }
+        if (done.count(k)) continue;
+        done.emplace(k, 1);
+        if (nf >= cap_f) return 5;
+        int64_t qe = pf / nfpc;
+        f_inside[nf] = (int32_t)(s == 1 ? e : qe);
+        f_outside[nf] = (int32_t)(s == 1 ? qe : e);
+        f_axis[nf] = a;
+        ++nf;
+      }
+  *nf_out = nf;
+  *nbf_out = nbf;
+  return 0;
+}

@@ -614,6 +614,21 @@ def from_cell_vertices(points, cells, tol: float = 1e-9) -> Mesh:
     vtk_of_bit = np.array([int(np.where((ref == B[c]).all(axis=1))[0][0])
                            for c in range(nc)])
     cells_bit = cells[:, vtk_of_bit]  # default frame, bit convention
+
+    # native fast path (cpp/meshkit.cc::hpdg_frame_cells): the same
+    # matching + BFS in C++ — the Python loops below are the readable
+    # fallback and the differential reference for it
+    import os as _os
+    if _os.environ.get("HPDG_NATIVE_TOPOLOGY", "1") != "0":
+        from hpdg_tpu import native
+        nat = native.frame_cells(np.asarray(cells_bit, np.int64), dim)
+        if nat is not None:
+            order_n, (fi, fo, fa), (be, ba, bs) = nat
+            faces_n = Faces(inside=fi, outside=fo, axis=fa)
+            bfaces_n = BoundaryFaces(elem=be, axis=ba, side=bs)
+            return _mesh_from_frames(points, order_n, faces_n, bfaces_n,
+                                     dim, tol)
+
     ffaces = _frame_faces(dim)
     face_keys = sorted(ffaces.keys())
     nfpc = len(face_keys)  # faces per cell = 2*dim
@@ -757,7 +772,14 @@ def from_cell_vertices(points, cells, tol: float = 1e-9) -> Mesh:
     bfaces = BoundaryFaces(elem=np.asarray(bel, np.int32),
                            axis=np.asarray(bax, np.int32),
                            side=np.asarray(bsd, np.int32))
+    return _mesh_from_frames(points, order, faces, bfaces, dim, tol)
 
+
+def _mesh_from_frames(points, order, faces, bfaces, dim, tol) -> Mesh:
+    """Geometry tail of from_cell_vertices: per-element affine fit or Q1
+    corners from the frame-ordered corner coordinates, disjoint unit
+    parametric charts, physical conformity check."""
+    n = order.shape[0]
     # --- geometry from the framed corners ---
     corn = points[order]  # (n, 2^dim, dim) bit order
     v0 = corn[:, 0]

@@ -59,6 +59,21 @@ def _load():
             lib.hpdg_sipg_fact_apply3.argtypes = (
                 [ctypes.c_int64] * 3 + [ctypes.c_int32]
                 + [np.ctypeslib.ndpointer(np.float64)] * 11)
+        if hasattr(lib, "hpdg_frame_cells"):
+            lib.hpdg_frame_cells.restype = ctypes.c_int
+            lib.hpdg_frame_cells.argtypes = [
+                ctypes.c_int64, ctypes.c_int32,
+                np.ctypeslib.ndpointer(np.int64),
+                np.ctypeslib.ndpointer(np.int64),
+                np.ctypeslib.ndpointer(np.int32),
+                np.ctypeslib.ndpointer(np.int32),
+                np.ctypeslib.ndpointer(np.int32), ctypes.c_int64,
+                np.ctypeslib.ndpointer(np.int32),
+                np.ctypeslib.ndpointer(np.int32),
+                np.ctypeslib.ndpointer(np.int32), ctypes.c_int64,
+                np.ctypeslib.ndpointer(np.int64),
+                np.ctypeslib.ndpointer(np.int64),
+            ]
         _lib = lib
     except Exception:
         _lib = None
@@ -145,3 +160,48 @@ class SipgFactApply3:
         if rc != 0:
             raise RuntimeError("native factorized apply failed")
         return y.reshape(int(np.prod(self.cells)), self.nb ** 3)
+
+
+def frame_cells(cells_bit: np.ndarray, dim: int):
+    """Native BFS parametric-frame assignment + face matching for
+    ARBITRARY hex/quad connectivity (cpp/meshkit.cc::hpdg_frame_cells;
+    the non-lattice import of mesh/geometry.py::from_cell_vertices).
+
+    Returns ``(order, faces, bfaces)`` arrays or None when the native
+    library is unavailable; raises ValueError for the same topology
+    errors the Python fallback reports (shared >2, twisted,
+    disconnected, degenerate)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "hpdg_frame_cells"):
+        return None
+    n, nc = cells_bit.shape
+    cells_bit = np.ascontiguousarray(cells_bit, np.int64)
+    order = np.empty((n, nc), np.int64)
+    cap_f = dim * n + 1
+    cap_b = 2 * dim * n + 1
+    f_in = np.empty(cap_f, np.int32)
+    f_out = np.empty(cap_f, np.int32)
+    f_ax = np.empty(cap_f, np.int32)
+    b_el = np.empty(cap_b, np.int32)
+    b_ax = np.empty(cap_b, np.int32)
+    b_sd = np.empty(cap_b, np.int32)
+    nf = np.zeros(1, np.int64)
+    nbf = np.zeros(1, np.int64)
+    rc = lib.hpdg_frame_cells(n, dim, cells_bit, order, f_in, f_out, f_ax,
+                              cap_f, b_el, b_ax, b_sd, cap_b, nf, nbf)
+    if rc == 1:
+        raise ValueError("a face is shared by more than two cells")
+    if rc == 2:
+        raise ValueError(
+            "hex mesh is not orientation-consistent: cells meet with a "
+            "twisted face (odd rotation/reflection); no identity-aligned "
+            "parametric frame assignment exists")
+    if rc == 3:
+        raise ValueError("hex mesh has disconnected components")
+    if rc == 4:
+        raise ValueError("degenerate cell (bad vertex connectivity)")
+    if rc != 0:
+        return None
+    k, m = int(nf[0]), int(nbf[0])
+    return (order, (f_in[:k].copy(), f_out[:k].copy(), f_ax[:k].copy()),
+            (b_el[:m].copy(), b_ax[:m].copy(), b_sd[:m].copy()))

@@ -187,7 +187,8 @@ def onchip_refinement_solve(step, residual_pair, b64: dict, *,
                             chain_k: int = 8, tol: float = 1e-8,
                             max_steps: int = 10, host_residual=None,
                             device=None, n_runs: int = 1,
-                            quantize_download: bool = False):
+                            quantize_download: bool = False,
+                            fused: bool = False):
     """Iterative refinement with ON-CHIP exact-split anchors: the whole
     refinement loop stays on the device.
 
@@ -247,37 +248,80 @@ def onchip_refinement_solve(step, residual_pair, b64: dict, *,
 
     zero = jnp.zeros(b64np.shape, jnp.float32)
     xh0 = jax.device_put(zero, device)
-    g, consts = hoist_constants(refstep, xh0, xh0)
-    jg = jax.jit(g)
-    jax.block_until_ready(jg(consts, xh0, xh0)[2])  # compile
-    jenc = None
-    if quantize_download:
-        # halve the lo-half's wire bytes: hi downloads raw f32 (it IS
-        # the answer to 24 bits), lo as block-scaled int16 — the codec
-        # error (~2^-15 of lo's block scale ~ 2^-39 of |x|) is far below
-        # the 48-bit pair precision that a 1e-8-verified answer needs.
-        jenc = jax.jit(lambda v: qt.encode_jnp(v.reshape(-1)))
-        jax.block_until_ready(jenc(xh0)[0])
+    # quantize_download halves the lo-half's wire bytes: hi downloads
+    # raw f32 (it IS the answer to 24 bits), lo as block-scaled int16 —
+    # the codec error (~2^-15 of lo's block scale ~ 2^-39 of |x|) is far
+    # below the 48-bit pair precision a 1e-8-verified answer needs.
+    if fused:
+        # the WHOLE refinement loop as one lax.while_loop program: the
+        # per-step scalar fetch of the stepwise mode costs one tunnel
+        # round trip each (~0.1 s on remote chips — ~40% of the 4.1M-dof
+        # device loop); here a single dispatch runs to convergence and
+        # ONE fetch returns solution + anchored history + step count.
+        def floop(xh_init):
+            hist0 = jnp.zeros(max_steps, jnp.float32)
+
+            def cond(st):
+                xh, xl, h, k = st
+                prev = jnp.where(k == 0, jnp.float32(np.inf),
+                                 h[jnp.maximum(k - 1, 0)])
+                return (k < max_steps) & (prev > tol_cut)
+
+            def body(st):
+                xh, xl, h, k = st
+                xh, xl, nr = refstep(xh, xl)
+                return xh, xl, h.at[k].set(nr), k + 1
+
+            xh, xl, h, k = jax.lax.while_loop(
+                cond, body, (xh_init, xh_init, hist0, jnp.int32(0)))
+            out_lo = qt.encode_jnp(xl.reshape(-1)) \
+                if quantize_download else xl
+            return xh, out_lo, h, k
+
+        gF, consts = hoist_constants(floop, xh0)
+        jgF = jax.jit(gF)
+        jax.block_until_ready(jgF(consts, xh0)[3])  # compile
+    else:
+        g, consts = hoist_constants(refstep, xh0, xh0)
+        jg = jax.jit(g)
+        jax.block_until_ready(jg(consts, xh0, xh0)[2])  # compile
+        jenc = None
+        if quantize_download:
+            jenc = jax.jit(lambda v: qt.encode_jnp(v.reshape(-1)))
+            jax.block_until_ready(jenc(xh0)[0])
 
     def one_solve():
         t0 = time.perf_counter()
-        xh, xl = xh0, xh0
-        hist = []
-        steps = 0
-        while steps < max_steps:
-            xh, xl, nr = jg(consts, xh, xl)
-            nr = float(nr)  # scalar fetch = the step barrier
-            hist.append(nr / nb)
-            steps += 1
-            if nr / nb <= tol:
-                break
-        t_loop = time.perf_counter() - t0
-        if jenc is not None:
-            q, s = jax.device_get(jenc(xl))
-            lo = qt.decode_np(q, s, xh.size).reshape(xh.shape)
-            x64 = {p: df_to_f64(np.asarray(xh), lo)}
+        if fused:
+            out = jgF(consts, xh0)
+            steps = int(out[3])  # scalar fetch: barriers the device loop
+            t_loop = time.perf_counter() - t0
+            xh, out_lo, h = jax.device_get(out[:3])
+            hist = [float(v) / nb for v in h[:steps]]
+            if quantize_download:
+                lo = qt.decode_np(out_lo[0], out_lo[1],
+                                  xh.size).reshape(xh.shape)
+            else:
+                lo = out_lo
+            x64 = {p: df_to_f64(np.asarray(xh), np.asarray(lo))}
         else:
-            x64 = {p: df_to_f64(np.asarray(xh), np.asarray(xl))}
+            xh, xl = xh0, xh0
+            hist = []
+            steps = 0
+            while steps < max_steps:
+                xh, xl, nr = jg(consts, xh, xl)
+                nr = float(nr)  # scalar fetch = the step barrier
+                hist.append(nr / nb)
+                steps += 1
+                if nr / nb <= tol:
+                    break
+            t_loop = time.perf_counter() - t0
+            if jenc is not None:
+                q, s = jax.device_get(jenc(xl))
+                lo = qt.decode_np(q, s, xh.size).reshape(xh.shape)
+                x64 = {p: df_to_f64(np.asarray(xh), lo)}
+            else:
+                x64 = {p: df_to_f64(np.asarray(xh), np.asarray(xl))}
         rel = hist[-1] if hist else float("nan")
         verified = False
         if host_residual is not None:

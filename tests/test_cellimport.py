@@ -143,3 +143,38 @@ def test_overshared_face_raises():
     cells2 = np.concatenate([cells, cells[:1]])  # duplicate first cell
     with pytest.raises(ValueError, match="more than two"):
         from_cell_vertices(pts, cells2)
+
+
+def test_native_frame_matcher_matches_python():
+    """cpp/meshkit.cc::hpdg_frame_cells vs the Python BFS: identical
+    topology on the shuffled/rotated lattice and the 3D annulus ring."""
+    from hpdg_tpu import native
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    import os
+    cases = []
+    pts, cells = _lattice_points_cells((2, 3, 2))
+    rng = np.random.default_rng(5)
+    cells = cells[rng.permutation(len(cells))]
+    for i in range(len(cells)):
+        for _ in range(int(rng.integers(0, 4))):
+            cells[i] = cells[i][_ROT_Z]
+    cases.append((pts, cells))
+    cases.append(_annulus_ring(8, three_d=True))
+    for pts, cells in cases:
+        try:
+            os.environ["HPDG_NATIVE_TOPOLOGY"] = "0"
+            m_py = from_cell_vertices(pts, cells)
+        finally:
+            os.environ.pop("HPDG_NATIVE_TOPOLOGY", None)
+        m_nat = from_cell_vertices(pts, cells)
+        def face_set(m):
+            return {(int(i), int(o), int(a)) for i, o, a in
+                    zip(m.faces.inside, m.faces.outside, m.faces.axis)}
+        assert face_set(m_nat) == face_set(m_py)
+        assert len(m_nat.bfaces) == len(m_py.bfaces)
+        src = m_nat.corners if m_nat.corners is not None else m_nat.jac
+        ref = m_py.corners if m_py.corners is not None else m_py.jac
+        # frames may differ by a global symmetry per BFS order, but both
+        # BFS start identically from cell 0 -> identical corner orders
+        assert np.allclose(np.asarray(src), np.asarray(ref), atol=1e-14)

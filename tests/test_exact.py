@@ -252,3 +252,42 @@ def test_onchip_refinement_unverified_flag():
                                  penalty_scaling="normal")
     r = b64[p] - np.asarray(op64({p: jnp.asarray(x64[p])})[p])
     assert np.linalg.norm(r) / np.linalg.norm(b64[p]) < 1e-7
+
+
+def test_onchip_refinement_fused_matches_stepwise():
+    """fused=True (one lax.while_loop program, single fetch) must
+    reproduce the stepwise driver's history and solution exactly."""
+    from hpdg_tpu.solvers.refine import onchip_refinement_solve
+    from hpdg_tpu.matrixfree import sipg_diagonal_blocks, sipg_operator
+    p = 1
+    mesh = hmesh.structured((3, 3))
+    basis = DGBasis(mesh, np.full(mesh.n_elements, p))
+    rng = np.random.default_rng(8)
+    b64 = {p: rng.standard_normal((mesh.n_elements, (p + 1) ** 2))}
+    op32 = sipg_operator(basis, penalty=2.0, dirichlet=True,
+                         dtype=jnp.float32, penalty_scaling="normal")
+    D = sipg_diagonal_blocks(basis, penalty=2.0, dirichlet=True,
+                             penalty_scaling="normal", dtype=jnp.float32)
+    Dinv = {p: jnp.asarray(np.linalg.inv(np.asarray(D[p], np.float64)),
+                           jnp.float32)}
+
+    def step(x, b):
+        r = {p: b[p] - op32(x)[p]}
+        return {p: x[p] + 0.7 * jnp.einsum("nij,nj->ni", Dinv[p], r[p])}
+
+    res = uniform_sipg_exact_residual(basis, b64, penalty=2.0,
+                                      dirichlet=True,
+                                      penalty_scaling="normal")
+    xs, info_s = onchip_refinement_solve(step, res, b64, chain_k=30,
+                                         tol=1e-8, max_steps=8)
+    for quant in (False, True):
+        xf, info_f = onchip_refinement_solve(step, res, b64, chain_k=30,
+                                             tol=1e-8, max_steps=8,
+                                             fused=True,
+                                             quantize_download=quant)
+        assert info_f["steps"] == info_s["steps"]
+        assert np.allclose(info_f["history"], info_s["history"],
+                           rtol=1e-6)
+        tol_x = 1e-11 if quant else 0.0
+        dx = np.abs(xf[p] - xs[p]).max()
+        assert dx <= tol_x * max(1.0, np.abs(xs[p]).max()), dx
