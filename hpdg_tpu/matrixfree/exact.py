@@ -49,6 +49,7 @@ anchoring, no host in the loop.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from hpdg_tpu.basis.dgbasis import DGBasis
@@ -224,4 +225,151 @@ def uniform_sipg_exact_residual(basis: DGBasis, b64, penalty: float = 2.0,
         yh, yl = app(xh, xl)
         return df32.df_sub_df(bh, bl, yh, yl)
 
+    return residual_pair
+
+
+# ---------------------------------------------------------------------
+# exact-split BLOCK-SPARSE apply: on-chip anchors for ANY assembled
+# system (elasticity, adaptive hp meshes, obstacle linearizations) —
+# the general-matrix companion of the uniform-lattice stencil above.
+# ---------------------------------------------------------------------
+
+def _pick_t_spmv(L: int, bits: int) -> tuple[int, int]:
+    """Largest chunk width t such that one magnitude level's FULL ROW
+    contraction (length L = sum of block widths over a row's blocks)
+    sums exactly in f32: nchunks * L * 2^(2t) <= 2^24."""
+    for t in range(8, 1, -1):
+        nchunks = -(-bits // t)
+        if nchunks * L * 4 ** t <= 2 ** 24:
+            return t, nchunks
+    raise ValueError(f"no exact chunk width for row length {L}")
+
+
+def blocksparse_exact_apply(pattern, values64: dict, bits: int = 48):
+    """Build ``apply_pair(xh, xl) -> (yh, yl)`` for a bucketed
+    block-sparse matrix (linalg.blockmatrix layout): bucket dicts of
+    double-f32 pairs in, pairs out, accurate to ~2^-bits of the global
+    row scales, f32 MXU GEMMs only.
+
+    Exactness scheme (differs from the dense-stencil variant in its
+    scales): ONE power-of-two ``sigma`` per input bucket (global, so
+    every block of an output row shares its level scale and the
+    level-wise segment-sums stay exact integers) and a per-output-DOF
+    power-of-two ``tau`` (max over the row's blocks).  Truncation is
+    ~2^-bits of ``tau * sigma`` — relative to the GLOBAL input
+    magnitude, which is exactly the contract an iterative-refinement
+    anchor needs (r accurate to far below tol * ||b||).
+
+    ``values64``: host numpy f64 block arrays, keyed like
+    ``BlockSparseMatrix.values``.
+    """
+    entries = pattern.entries
+    # per-row total contraction length per row bucket
+    row_len = {pr: np.zeros(pattern.row_sizes[pr], np.int64)
+               for pr in pattern.row_sizes}
+    for (pr, pc), (rows, cols) in entries.items():
+        W = values64[(pr, pc)]
+        np.add.at(row_len[pr], rows, W.shape[2])
+    L = max(int(v.max()) for v in row_len.values() if v.size) or 1
+    t, nchunks = _pick_t_spmv(L, bits)
+    levels = nchunks
+
+    # per-output-dof tau (pow2 >= max |W| over the dof's blocks)
+    taus = {}
+    for pr in pattern.row_sizes:
+        taus[pr] = np.zeros((pattern.row_sizes[pr], 0))
+    br_of = {}
+    for (pr, pc), (rows, cols) in entries.items():
+        W = np.asarray(values64[(pr, pc)], np.float64)
+        br = W.shape[1]
+        br_of[pr] = br
+        m = np.zeros((pattern.row_sizes[pr], br))
+        np.maximum.at(m, rows, np.abs(W).max(axis=2))
+        cur = taus[pr]
+        taus[pr] = np.maximum(cur, m) if cur.size else m
+    for pr in taus:
+        m = taus[pr]
+        ex = np.frexp(m)[1]
+        taus[pr] = np.ldexp(1.0, ex)  # pow2 >= max; 1.0 for zero rows
+
+    # host chunking of each entry's blocks at the row-dof tau
+    prep = {}
+    for (pr, pc), (rows, cols) in entries.items():
+        W = np.asarray(values64[(pr, pc)], np.float64)
+        r = W / taus[pr][rows][:, :, None]
+        ch = []
+        for _ in range(nchunks):
+            r = r * (2.0 ** t)
+            c = np.rint(r)
+            ch.append(jnp.asarray(c, jnp.float32))
+            r = r - c
+        prep[(pr, pc)] = (jnp.asarray(rows), jnp.asarray(cols), ch)
+    tau_dev = {pr: jnp.asarray(taus[pr], jnp.float32) for pr in taus}
+    two = np.float32(2.0)
+
+    def apply_pair(xh: dict, xl: dict):
+        # global per-bucket power-of-two input scale
+        sig = {}
+        xc = {}
+        for pc in xh:
+            m = jnp.max(jnp.abs(xh[pc]))
+            _, ex = jnp.frexp(m)
+            sig[pc] = jnp.ldexp(jnp.float32(1.0), ex)
+            xc[pc] = df32.split_chunks(xh[pc], xl[pc],
+                                       sig[pc].reshape((1,) * xh[pc].ndim),
+                                       t, nchunks)
+        out = {}
+        for (pr, pc), (rows, cols, ch) in prep.items():
+            terms = []
+            for lv in range(levels + 1):
+                s = None
+                for j in range(min(lv + 1, nchunks)):
+                    i = lv - j
+                    if i >= nchunks:
+                        continue
+                    g = jnp.einsum("nij,nj->ni", ch[i], xc[pc][j][cols],
+                                   precision="default")
+                    s = g if s is None else s + g
+                if s is None:
+                    continue
+                S = jax.ops.segment_sum(s, rows,
+                                        num_segments=pattern.row_sizes[pr])
+                terms.append((lv, S * (tau_dev[pr]
+                                       * (two ** (-t * (lv + 2))))
+                              * sig[pc]))
+            out.setdefault(pr, []).extend(terms)
+        res = {}
+        for pr, terms in out.items():
+            h = jnp.zeros((pattern.row_sizes[pr], br_of[pr]), jnp.float32)
+            lo = jnp.zeros_like(h)
+            for _, tm in sorted(terms, key=lambda it: -it[0]):
+                h, lo = df32.df_add(h, lo, tm)
+            res[pr] = (h, lo)
+        return ({pr: res[pr][0] for pr in res},
+                {pr: res[pr][1] for pr in res})
+
+    return apply_pair
+
+
+def blocksparse_exact_residual(A64, b64: dict, bits: int = 48):
+    """``residual_pair(xh, xl) -> (rh, rl)`` with ``r = b - A x`` for a
+    host f64 BlockSparseMatrix ``A64`` — the general-matrix on-chip
+    anchor (elasticity, adaptive hp, truncated obstacle systems)."""
+    vals = {k: np.asarray(v, np.float64) for k, v in A64.values.items()}
+    app = blocksparse_exact_apply(A64.pattern, vals, bits=bits)
+    bh, bl = {}, {}
+    for pk, v in b64.items():
+        h, low = df32.df_from_f64(np.asarray(v, np.float64))
+        bh[pk] = jnp.asarray(h)
+        bl[pk] = jnp.asarray(low)
+
+    def residual_pair(xh, xl):
+        yh, yl = app(xh, xl)
+        rh, rl = {}, {}
+        for pk in yh:
+            rh[pk], rl[pk] = df32.df_sub_df(bh[pk], bl[pk],
+                                            yh[pk], yl[pk])
+        return rh, rl
+
+    residual_pair.tree_mode = True  # bucket-dict pairs (refine driver)
     return residual_pair

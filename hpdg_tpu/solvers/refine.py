@@ -205,9 +205,13 @@ def onchip_refinement_solve(step, residual_pair, b64: dict, *,
     end, where a single f64 host residual verifies the result.
 
     step:          one V-cycle ``step(x, b) -> x`` (f32 bucket dicts)
-    residual_pair: ``(x_hi, x_lo) -> (r_hi, r_lo)`` exact-split residual
-                   (matrixfree.exact.uniform_sipg_exact_residual)
-    b64:           host f64 rhs bucket dict (single bucket)
+    residual_pair: exact-split residual.  Two forms: array mode
+                   ``(x_hi, x_lo) -> (r_hi, r_lo)`` on single-bucket
+                   arrays (matrixfree.exact.uniform_sipg_exact_residual)
+                   or tree mode (``.tree_mode = True``) on bucket dicts
+                   of pairs (matrixfree.exact.blocksparse_exact_residual
+                   — any assembled system, any number of buckets)
+    b64:           host f64 rhs bucket dict
     host_residual: optional ``x64 -> r64`` host f64 residual map for the
                    final verification; without it info["rel_residual"]
                    is the final ON-CHIP anchored value and
@@ -223,31 +227,50 @@ def onchip_refinement_solve(step, residual_pair, b64: dict, *,
     """
     device = device or jax.devices()[0]
     keys = sorted(b64.keys())
-    if len(keys) != 1:
-        raise ValueError("onchip refinement: single-bucket systems only")
-    (p,) = keys
-    b64np = np.asarray(b64[p], np.float64)
-    nb = float(np.linalg.norm(b64np))
+    b64np = {k: np.asarray(b64[k], np.float64) for k in keys}
+    nb = float(np.sqrt(sum(float(np.vdot(v, v)) for v in b64np.values())))
     tol_cut = jnp.float32(tol * nb)
+    sizes = {k: int(b64np[k].size) for k in keys}
+    shapes = {k: b64np[k].shape for k in keys}
+
+    # residual adapters: matrixfree.exact's uniform stencil residual is
+    # array -> array (single bucket); the block-sparse one is bucket
+    # dicts -> dicts (marked with .tree_mode).  The driver runs on
+    # dicts throughout.
+    if getattr(residual_pair, "tree_mode", False):
+        res_d = residual_pair
+    else:
+        if len(keys) != 1:
+            raise ValueError("array-mode residual_pair needs a single "
+                             "bucket; use blocksparse_exact_residual")
+        (_p1,) = keys
+
+        def res_d(xh, xl):
+            rh, rl = residual_pair(xh[_p1], xl[_p1])
+            return {_p1: rh}, {_p1: rl}
 
     def refstep(xh, xl):
-        rh, rl = residual_pair(xh, xl)
-        nr = jnp.sqrt(jnp.vdot(rh, rh))
-        rhs = {p: rh * (jnp.float32(1.0) / nr)}
+        rh, rl = res_d(xh, xl)
+        nr = jnp.sqrt(sum(jnp.vdot(rh[k], rh[k]) for k in keys))
+        inv = jnp.float32(1.0) / nr
+        rhs = {k: rh[k] * inv for k in keys}
 
         def chain(_):
-            x = {p: jnp.zeros_like(rh)}
+            x = {k: jnp.zeros_like(rh[k]) for k in keys}
             for _ in range(chain_k):
                 x = step(x, rhs)
-            return x[p]
+            return x
 
         c = jax.lax.cond(nr <= tol_cut,
-                         lambda _: jnp.zeros_like(rh), chain, None)
-        xh2, xl2 = df_add(xh, xl, nr * c)
+                         lambda _: {k: jnp.zeros_like(rh[k])
+                                    for k in keys}, chain, None)
+        xh2, xl2 = {}, {}
+        for k in keys:
+            xh2[k], xl2[k] = df_add(xh[k], xl[k], nr * c[k])
         return xh2, xl2, nr
 
-    zero = jnp.zeros(b64np.shape, jnp.float32)
-    xh0 = jax.device_put(zero, device)
+    xh0 = {k: jax.device_put(jnp.zeros(shapes[k], jnp.float32), device)
+           for k in keys}
     # quantize_download halves the lo-half's wire bytes: hi downloads
     # raw f32 (it IS the answer to 24 bits), lo as block-scaled int16 —
     # the codec error (~2^-15 of lo's block scale ~ 2^-39 of |x|) is far
@@ -274,8 +297,8 @@ def onchip_refinement_solve(step, residual_pair, b64: dict, *,
 
             xh, xl, h, k = jax.lax.while_loop(
                 cond, body, (xh_init, xh_init, hist0, jnp.int32(0)))
-            out_lo = qt.encode_jnp(xl.reshape(-1)) \
-                if quantize_download else xl
+            out_lo = ({kk: qt.encode_jnp(xl[kk].reshape(-1))
+                       for kk in keys} if quantize_download else xl)
             return xh, out_lo, h, k
 
         gF, consts = hoist_constants(floop, xh0)
@@ -287,23 +310,31 @@ def onchip_refinement_solve(step, residual_pair, b64: dict, *,
         jax.block_until_ready(jg(consts, xh0, xh0)[2])  # compile
         jenc = None
         if quantize_download:
-            jenc = jax.jit(lambda v: qt.encode_jnp(v.reshape(-1)))
-            jax.block_until_ready(jenc(xh0)[0])
+            jenc = jax.jit(lambda v: {kk: qt.encode_jnp(v[kk].reshape(-1))
+                                      for kk in keys})
+            jax.block_until_ready(jenc(xh0)[keys[0]][0])
 
     def one_solve():
         t0 = time.perf_counter()
+        def decode_x64(xh, out_lo, quantized):
+            x64 = {}
+            for k in keys:
+                if quantized:
+                    q, s = out_lo[k]
+                    lo = qt.decode_np(np.asarray(q), np.asarray(s),
+                                      sizes[k]).reshape(shapes[k])
+                else:
+                    lo = np.asarray(out_lo[k])
+                x64[k] = df_to_f64(np.asarray(xh[k]), lo)
+            return x64
+
         if fused:
             out = jgF(consts, xh0)
             steps = int(out[3])  # scalar fetch: barriers the device loop
             t_loop = time.perf_counter() - t0
             xh, out_lo, h = jax.device_get(out[:3])
             hist = [float(v) / nb for v in h[:steps]]
-            if quantize_download:
-                lo = qt.decode_np(out_lo[0], out_lo[1],
-                                  xh.size).reshape(xh.shape)
-            else:
-                lo = out_lo
-            x64 = {p: df_to_f64(np.asarray(xh), np.asarray(lo))}
+            x64 = decode_x64(xh, out_lo, quantize_download)
         else:
             xh, xl = xh0, xh0
             hist = []
@@ -316,18 +347,16 @@ def onchip_refinement_solve(step, residual_pair, b64: dict, *,
                 if nr / nb <= tol:
                     break
             t_loop = time.perf_counter() - t0
-            if jenc is not None:
-                q, s = jax.device_get(jenc(xl))
-                lo = qt.decode_np(q, s, xh.size).reshape(xh.shape)
-                x64 = {p: df_to_f64(np.asarray(xh), lo)}
-            else:
-                x64 = {p: df_to_f64(np.asarray(xh), np.asarray(xl))}
+            out_lo = jax.device_get(jenc(xl)) if jenc is not None else xl
+            x64 = decode_x64(xh, out_lo, jenc is not None)
         rel = hist[-1] if hist else float("nan")
         verified = False
         if host_residual is not None:
             r64 = host_residual(x64)
-            rel = float(np.linalg.norm(
-                np.asarray(r64[p], np.float64))) / nb
+            rel = float(np.sqrt(sum(
+                float(np.vdot(np.asarray(v, np.float64),
+                              np.asarray(v, np.float64)))
+                for v in r64.values()))) / nb
             verified = rel <= tol
         t_solve = time.perf_counter() - t0
         return x64, {"history": hist, "steps": steps,

@@ -291,3 +291,107 @@ def test_onchip_refinement_fused_matches_stepwise():
         tol_x = 1e-11 if quant else 0.0
         dx = np.abs(xf[p] - xs[p]).max()
         assert dx <= tol_x * max(1.0, np.abs(xs[p]).max()), dx
+
+
+# ---------------- block-sparse exact apply (general matrices) ----------
+
+
+def _exact_vs_matvec(A64, x64d):
+    from hpdg_tpu.matrixfree.exact import blocksparse_exact_apply
+    from hpdg_tpu.linalg import blockmatrix as bm
+    vals = {k: np.asarray(v, np.float64) for k, v in A64.values.items()}
+    app = blocksparse_exact_apply(A64.pattern, vals)
+    xh, xl, x64 = {}, {}, {}
+    for k, v in x64d.items():
+        h, lo = df32.df_from_f64(v)
+        xh[k], xl[k] = jnp.asarray(h), jnp.asarray(lo)
+        x64[k] = jnp.asarray(v)
+    y64 = bm.matvec(A64, x64)
+    yh, yl = jax.jit(app)(xh, xl)
+    num = den = 0.0
+    for k in y64:
+        y = df32.df_to_f64(np.asarray(yh[k]), np.asarray(yl[k]))
+        num += float(np.vdot(y - np.asarray(y64[k]),
+                             y - np.asarray(y64[k])))
+        den += float(np.vdot(np.asarray(y64[k]), np.asarray(y64[k])))
+    return np.sqrt(num / den)
+
+
+def test_blocksparse_exact_mixed_degrees():
+    """2-bucket hp SIPG matrix: the general exact SpMV matches f64."""
+    from hpdg_tpu.assemble import assemble_laplace
+    m = hmesh.structured((4, 3))
+    rng = np.random.default_rng(9)
+    deg = rng.choice([2, 3], size=m.n_elements)
+    basis = DGBasis(m, deg)
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                         penalty_scaling="normal", dtype=jnp.float64)
+    x = {p: rng.standard_normal((basis.bucket_size(p), (p + 1) ** 2))
+         * np.exp(3 * rng.standard_normal((basis.bucket_size(p), 1)))
+         for p in basis.bucket_degrees}
+    rel = _exact_vs_matvec(A, x)
+    assert rel < 2e-12, rel
+
+
+def test_blocksparse_exact_elasticity():
+    from hpdg_tpu.assemble.elasticity import assemble_elasticity
+    m = hmesh.structured((2, 2, 2))
+    basis = DGBasis(m, np.full(m.n_elements, 2))
+    A = assemble_elasticity(basis, mu=1.3, lam=0.9, penalty=4.0,
+                            dirichlet=True, dtype=jnp.float64)
+    rng = np.random.default_rng(10)
+    x = {2: rng.standard_normal((m.n_elements, 3 * 27))}
+    rel = _exact_vs_matvec(A, x)
+    assert rel < 2e-12, rel
+
+
+def test_blocksparse_exact_hanging_nodes():
+    from hpdg_tpu.assemble import assemble_laplace
+    from hpdg_tpu.mesh.adaptive import refine_local, close_marks
+    m0 = hmesh.structured((3, 3))
+    marks = np.zeros(m0.n_elements, bool)
+    marks[4] = True
+    m = refine_local(m0, close_marks(m0, marks))
+    basis = DGBasis(m, np.full(m.n_elements, 3))
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                         dtype=jnp.float64)
+    rng = np.random.default_rng(11)
+    x = {3: rng.standard_normal((m.n_elements, 16))}
+    rel = _exact_vs_matvec(A, x)
+    assert rel < 2e-12, rel
+
+
+def test_onchip_refinement_blocksparse_elasticity():
+    """General-matrix on-chip refinement: assembled 3D elasticity with
+    block-Jacobi chains reaches a VERIFIED 1e-8 through the
+    block-sparse exact anchor (bucket-dict driver path)."""
+    from hpdg_tpu.solvers.refine import onchip_refinement_solve
+    from hpdg_tpu.matrixfree.exact import blocksparse_exact_residual
+    from hpdg_tpu.assemble.elasticity import assemble_elasticity
+    from hpdg_tpu.linalg import blockmatrix as bm
+    m = hmesh.structured((2, 2, 2))
+    basis = DGBasis(m, np.full(m.n_elements, 1))
+    A64 = assemble_elasticity(basis, mu=1.0, lam=1.0, penalty=4.0,
+                              dirichlet=True, dtype=jnp.float64)
+    rng = np.random.default_rng(12)
+    b64 = {1: rng.standard_normal((m.n_elements, 3 * 8))}
+    A32 = bm.BlockSparseMatrix(
+        A64.pattern, A64.dim,
+        {k: jnp.asarray(v, jnp.float32) for k, v in A64.values.items()},
+        A64.block_shape)
+    D = np.asarray(A64.values[(1, 1)][:m.n_elements], np.float64)
+    Dinv = jnp.asarray(np.linalg.inv(D), jnp.float32)
+
+    def step(x, b):
+        r = {1: b[1] - bm.matvec(A32, x)[1]}
+        return {1: x[1] + 0.6 * jnp.einsum("nij,nj->ni", Dinv, r[1])}
+
+    res = blocksparse_exact_residual(A64, b64)
+    host_res = lambda x64: {1: b64[1] - np.asarray(  # noqa: E731
+        bm.matvec(A64, {1: jnp.asarray(x64[1])})[1])}
+    for fused in (False, True):
+        x64, info = onchip_refinement_solve(
+            step, res, b64, chain_k=80, tol=1e-8, max_steps=10,
+            host_residual=host_res, fused=fused)
+        assert info["verified"], (fused, info)
+        assert info["rel_residual"] <= 1e-8

@@ -72,3 +72,10 @@ def test_curved_geometry_example(capsys):
     out = capsys.readouterr().out
     assert "curved elements" in out
     assert "ratio" in out
+
+
+def test_unstructured_cg_example(capsys):
+    run_example("unstructured_cg.py", [])
+    out = capsys.readouterr().out
+    assert "imported annulus ring" in out
+    assert "CG vs DG nodal agreement" in out
