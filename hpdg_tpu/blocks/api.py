@@ -56,8 +56,32 @@ def solve_linear(basis: DGBasis, A, b, x0=None, tol: float = 1e-8,
     runs the outer loop with the energy-norm correction criterion.
 
     method="cg+mg" uses the V-cycle as a PCG preconditioner instead
-    (more robust, usually fewer operator applies)."""
+    (more robust, usually fewer operator applies).
+
+    method="onchip" runs f32 V-cycle chains inside the on-chip
+    exact-split-anchored refinement loop (solvers.refine): the f64
+    matrix ``A`` provides the block-sparse Ozaki anchor and the final
+    host verification; the V-cycle smooths an f32 copy.  The fastest
+    verified-to-f64-tolerance path on the TPU."""
     x0 = bv.zeros_like(b) if x0 is None else x0
+    if method == "onchip":
+        from hpdg_tpu.solvers.refine import onchip_refinement_solve
+        from hpdg_tpu.matrixfree.exact import blocksparse_exact_residual
+        A32 = bm.BlockSparseMatrix(
+            A.pattern, A.dim,
+            {k: jnp.asarray(v, jnp.float32) for k, v in A.values.items()},
+            A.block_shape)
+        step32, _ = multigrid_solver(basis, A32, meshes=meshes,
+                                     operator_factory=operator_factory,
+                                     dtype=jnp.float32, **mg_kwargs)
+        res = blocksparse_exact_residual(A, b)
+        host_res = lambda x64: bv.sub(  # noqa: E731
+            b, bm.matvec(A, {k: jnp.asarray(v) for k, v in x64.items()}))
+        chain_k = 8
+        return onchip_refinement_solve(
+            step32, res, b, chain_k=chain_k, tol=tol,
+            max_steps=max(1, -(-maxiter // chain_k)),
+            host_residual=host_res, fused=True)
     if method == "mf":
         # fully matrix-free hp-multigrid (Chebyshev on block-Jacobi)
         from hpdg_tpu.solvers.multigrid import matrixfree_multigrid_solver

@@ -395,3 +395,24 @@ def test_onchip_refinement_blocksparse_elasticity():
             host_residual=host_res, fused=fused)
         assert info["verified"], (fused, info)
         assert info["rel_residual"] <= 1e-8
+
+
+def test_solve_linear_onchip_method():
+    """Public API: solve_linear(method="onchip") reaches a VERIFIED f64
+    tolerance through the block-sparse anchor + f32 V-cycle chains
+    (buildingblocks/solve.hh:142-169 run entirely on the device)."""
+    from hpdg_tpu.blocks import api
+    from hpdg_tpu.linalg import blockmatrix as bm
+    from hpdg_tpu.linalg import blockvector as bvv
+    mc = hmesh.structured((4, 4))
+    m = hmesh.refine(mc)
+    basis = DGBasis(m, np.full(m.n_elements, 2))
+    A = api.laplace(basis, penalty=2.0, dirichlet=True)
+    b = api.l2_functional(basis, lambda x: jnp.sin(
+        jnp.pi * x[..., 0]) * jnp.sin(jnp.pi * x[..., 1]))
+    x, info = api.solve_linear(basis, A, b, tol=1e-9, maxiter=80,
+                               meshes=[mc, m], method="onchip")
+    assert info["verified"], info
+    r = bvv.sub(b, bm.matvec(A, {k: jnp.asarray(v) for k, v in x.items()}))
+    rel = float(bvv.norm(r)) / float(bvv.norm(b))
+    assert rel <= 1e-9, rel
