@@ -708,15 +708,25 @@ def main():
         step, _ = multigrid_solver(basis_o, A32, dtype=dtype)
         nb = float(np.linalg.norm(np.asarray(b64[3], np.float64)))
         tol_abs = 1e-6 * nb
-        # compile pass (excluded from the measured wall time)
-        solve_tnnmg(A32, b32, basis_o, lo, up, mg_step=step,
-                    tol=tol_abs, maxiter=1)
-        t0 = time.perf_counter()
         # stall_window: stop at the f32 correction floor (the quality
-        # bar is the f64 free-dof residual check below, not corr)
-        x, info = solve_tnnmg(A32, b32, basis_o, lo, up, mg_step=step,
-                              tol=tol_abs, maxiter=40, stall_window=3)
-        t_solve = time.perf_counter() - t0
+        # bar is the f64 free-dof residual check below, not corr).
+        # tnnmg_fused_solver runs the WHOLE loop as ONE lax.while_loop
+        # device program — one dispatch + one fetch per solve instead
+        # of one tunnel round trip per iteration; built once, then two
+        # complete from-zero solves (first absorbs residual compile,
+        # best is the measured number, all runs recorded).
+        from hpdg_tpu.solvers.tnnmg import tnnmg_fused_solver
+        solver = tnnmg_fused_solver(A32, b32, basis_o, lo, up,
+                                    mg_step=step, tol=tol_abs,
+                                    maxiter=40, stall_window=3)
+        runs = []
+        x = info = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            x, info = solver()
+            jax.block_until_ready(x)
+            runs.append(round(time.perf_counter() - t0, 3))
+        t_solve = min(runs)
         ndofs_o = basis_o.ndof
         nit = info["iterations"]
         # f64 host check: feasibility + free-dof residual

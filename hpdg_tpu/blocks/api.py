@@ -108,7 +108,8 @@ def solve_obstacle(basis: DGBasis, A, b, lo, up, x0=None, tol: float = 1e-9,
                    maxiter: int = 100, meshes=None, **kwargs):
     """Obstacle problem via TNNMG (BuildingBlocks::solveObstacle,
     buildingblocks/solve.hh:40-124).  lo/up: bucketed bound vectors."""
-    step, _ = multigrid_solver(basis, A, meshes=meshes)
+    step, _ = multigrid_solver(basis, A, meshes=meshes,
+                               dtype=next(iter(b.values())).dtype)
     return solve_tnnmg(A, b, basis, lo, up, mg_step=step, x0=x0, tol=tol,
                        maxiter=maxiter, **kwargs)
 

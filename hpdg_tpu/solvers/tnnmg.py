@@ -110,11 +110,144 @@ def truncated_matrix(A: bm.BlockSparseMatrix, free: dict
     return bm.BlockSparseMatrix(A.pattern, A.dim, vals, A.block_shape)
 
 
+def _fused_prog(one_iter, tol, maxiter, stall_window):
+    """The whole TNNMG loop as ONE lax.while_loop device program.
+
+    One dispatch + one fetch for the entire solve; per-iteration
+    diagnostics accumulate in fixed ``maxiter``-slot device arrays and
+    are trimmed after the single download.  The stopping logic is the
+    stepwise path's, evaluated on-device: correction < tol, or (with
+    ``stall_window``) corrections small relative to the first AND flat
+    over the window (the f32 correction floor)."""
+    f32 = jnp.float32
+
+    def prog(xv):
+        def cond(st):
+            return (st[1] < maxiter) & jnp.logical_not(st[6])
+
+        def body(st):
+            xv, k, corrs, alphas, ens, ntrs, _ = st
+            x_new, (corr, alpha, en, nt) = one_iter(xv)
+            corr = corr.astype(f32)
+            corrs = corrs.at[k].set(corr)
+            alphas = alphas.at[k].set(alpha.astype(f32))
+            ens = ens.at[k].set(en.astype(f32))
+            ntrs = ntrs.at[k].set(nt)
+            done = corr < tol
+            if stall_window:
+                prev = corrs[jnp.maximum(k - stall_window, 0)]
+                stall = ((k >= stall_window)
+                         & (corr < 1e-3 * corrs[0])
+                         & (corr > 0.9 * prev))
+                done = done | stall
+            return (x_new, k + 1, corrs, alphas, ens, ntrs, done)
+
+        st = (xv, jnp.int32(0),
+              jnp.full((maxiter,), jnp.nan, f32),
+              jnp.zeros((maxiter,), f32),
+              jnp.zeros((maxiter,), f32),
+              jnp.zeros((maxiter,), jnp.int32),
+              jnp.bool_(False))
+        return jax.lax.while_loop(cond, body, st)
+
+    return prog
+
+
+def _trim_fused(out, tol, maxiter):
+    x = out[0]                       # stays on device, like stepwise
+    k, corrs, alphas, ens, ntrs = jax.device_get(out[1:6])
+    nit = int(k)
+    history = {"correction": [float(v) for v in corrs[:nit]],
+               "damping": [float(v) for v in alphas[:nit]],
+               "truncated": [int(v) for v in ntrs[:nit]],
+               "energy": [float(v) for v in ens[:nit]],
+               "iterations": nit}
+    if nit and nit < maxiter and not (corrs[nit - 1] < tol):
+        history["stalled"] = True
+    return x, history
+
+
+def tnnmg_fused_solver(A: bm.BlockSparseMatrix, b: dict, basis: DGBasis,
+                       lo: dict, up: dict, mg_step=None, tol: float = 1e-9,
+                       maxiter: int = 100, pre_sweeps: int = 1,
+                       active_eps: float = 1e-13, stall_window: int = 0):
+    """Build once, solve many: the fused TNNMG loop as a reusable
+    callable whose traced+compiled program persists across calls.
+
+    ``solve_tnnmg(fused=True)`` re-traces per call (fresh closures);
+    this builder pays the trace/compile once — the right shape for
+    repeated solves (time stepping, benchmarking warm runs).  Returns
+    ``solve(x0=None) -> (x, history)``."""
+    if mg_step is None:
+        from hpdg_tpu.solvers.multigrid import multigrid_solver
+        mg_step, _ = multigrid_solver(
+            basis, A, dtype=next(iter(b.values())).dtype)
+    one_iter = _tnnmg_one_iter(A, b, basis, lo, up, mg_step, pre_sweeps,
+                               active_eps)
+    from hpdg_tpu.solvers.cg import hoist_constants
+    x_ex = jax.tree.map(jnp.clip, bv.zeros_like(b), lo, up)
+    prog = _fused_prog(one_iter, tol, maxiter, stall_window)
+    g, consts = hoist_constants(prog, x_ex)
+    jg = jax.jit(g)
+
+    def solve(x0: dict | None = None):
+        x = bv.zeros_like(b) if x0 is None else x0
+        x = jax.tree.map(jnp.clip, x, lo, up)
+        return _trim_fused(jg(consts, x), tol, maxiter)
+
+    return solve
+
+
+def _tnnmg_one_iter(A, b, basis, lo, up, mg_step, pre_sweeps, active_eps):
+    """One full TNNMG iteration (stages 1-5 + diagnostics) as a pure
+    traceable function xv -> (x_new, (corr, alpha, energy, ntrunc))."""
+    smoother = projected_block_gs_step(A, basis, lo, up)
+    energy = lambda v: 0.5 * bv.dot(v, bm.matvec(A, v)) - bv.dot(b, v)  # noqa: E731
+
+    def masks(xv):
+        free = {}
+        ntrunc = jnp.int32(0)
+        for p in xv:
+            tol_p = active_eps * (1 + jnp.abs(xv[p]))
+            at_lo = jnp.isfinite(lo[p]) & (xv[p] - lo[p] <= tol_p)
+            at_up = jnp.isfinite(up[p]) & (up[p] - xv[p] <= tol_p)
+            free[p] = jnp.logical_not(at_lo | at_up)
+            ntrunc += jnp.sum(~free[p], dtype=jnp.int32)
+        return free, ntrunc
+
+    def finish_iter(x_pre, free, c, x_old):
+        r = bv.sub(b, bm.matvec(A, x_pre))
+        c = {p: jnp.where(free[p], c[p], 0.0) for p in c}
+        c = jax.tree.map(lambda cc, xx, ll, uu:
+                         jnp.clip(xx + cc, ll, uu) - xx, c, x_pre, lo, up)
+        cAc = bv.dot(c, bm.matvec(A, c))
+        rc = bv.dot(r, c)
+        alpha = jnp.where(cAc > 0, rc / cAc, 1.0)
+        alpha = jnp.clip(jnp.nan_to_num(alpha, nan=0.0), 0.0, 1.0)
+        x_new = bv.axpy(alpha, c, x_pre)
+        corr = bv.norm(bv.sub(x_new, x_old))
+        return x_new, corr, alpha, energy(x_new)
+
+    def one_iter(xv):
+        x_pre = xv
+        for _ in range(pre_sweeps):
+            x_pre = smoother(x_pre, b)
+        free, ntrunc = masks(x_pre)
+        r = bv.sub(b, bm.matvec(A, x_pre))
+        r_masked = {p: jnp.where(free[p], r[p], 0.0) for p in r}
+        c = mg_step(bv.zeros_like(b), r_masked)
+        x_new, corr, alpha, en = finish_iter(x_pre, free, c, xv)
+        return x_new, (corr, alpha, en, ntrunc)
+
+    return one_iter
+
+
 def solve_tnnmg(A: bm.BlockSparseMatrix, b: dict, basis: DGBasis,
                 lo: dict, up: dict, mg_step=None, x0: dict | None = None,
                 tol: float = 1e-9, maxiter: int = 100, pre_sweeps: int = 1,
                 active_eps: float = 1e-13, verbose: bool = False,
-                truncate_hierarchy: bool = False, stall_window: int = 0):
+                truncate_hierarchy: bool = False, stall_window: int = 0,
+                fused: bool = False):
     """Full TNNMG loop (solveObstacle analog, buildingblocks/solve.hh:40-124).
 
     Returns (x, info) with per-iteration correction norms, damping
@@ -131,7 +264,19 @@ def solve_tnnmg(A: bm.BlockSparseMatrix, b: dict, basis: DGBasis,
     The default applies the truncation masks only on the fine level
     around an untruncated V-cycle (cheaper; the line search keeps the
     iteration monotone either way).
+
+    ``fused=True`` (default path only) puts the WHOLE solve — all
+    iterations, the tol check and the stall criterion — into one
+    ``lax.while_loop`` device program: one dispatch, one fetch for the
+    entire obstacle solve, instead of one round trip per iteration
+    (the dominant cost on remote/tunneled chips).  History arrays are
+    fixed at ``maxiter`` slots and trimmed after the single download;
+    semantics (iterates, stopping) match the stepwise path exactly.
     """
+    if fused and truncate_hierarchy:
+        raise ValueError(
+            "fused=True needs the default path: truncate_hierarchy "
+            "renews the Galerkin hierarchy on the host every iteration")
     tr_data = tr_cycle = None
     if truncate_hierarchy:
         from hpdg_tpu.solvers.multigrid import (setup_hierarchy,
@@ -141,58 +286,55 @@ def solve_tnnmg(A: bm.BlockSparseMatrix, b: dict, basis: DGBasis,
         tr_cycle = jax.jit(parametric_cycle(tr_data, dtype=dtype))
     elif mg_step is None:
         from hpdg_tpu.solvers.multigrid import multigrid_solver
-        mg_step, _ = multigrid_solver(basis, A)
-    smoother = projected_block_gs_step(A, basis, lo, up)
+        mg_step, _ = multigrid_solver(
+            basis, A, dtype=next(iter(b.values())).dtype)
     x = bv.zeros_like(b) if x0 is None else x0
     # make the start feasible
     x = jax.tree.map(jnp.clip, x, lo, up)
 
-    energy = lambda v: 0.5 * bv.dot(v, bm.matvec(A, v)) - bv.dot(b, v)  # noqa: E731
-
-    def masks(xv):
-        free = {}
-        ntrunc = jnp.int32(0)
-        for p in xv:
-            tol_p = active_eps * (1 + jnp.abs(xv[p]))
-            at_lo = jnp.isfinite(lo[p]) & (xv[p] - lo[p] <= tol_p)
-            at_up = jnp.isfinite(up[p]) & (up[p] - xv[p] <= tol_p)
-            free[p] = jnp.logical_not(at_lo | at_up)
-            ntrunc += jnp.sum(~free[p], dtype=jnp.int32)
-        return free, ntrunc
-
-    def finish_iter(x_pre, free, c, x_old):
-        """Stages 4-5 + diagnostics: project the truncated correction,
-        line-search, and return everything the host loop reads — one
-        fused device program, ONE scalar fetch per iteration (the
-        tunnel round trip is the per-iteration cost on remote chips)."""
-        r = bv.sub(b, bm.matvec(A, x_pre))
-        c = {p: jnp.where(free[p], c[p], 0.0) for p in c}
-        c = jax.tree.map(lambda cc, xx, ll, uu:
-                         jnp.clip(xx + cc, ll, uu) - xx, c, x_pre, lo, up)
-        cAc = bv.dot(c, bm.matvec(A, c))
-        rc = bv.dot(r, c)
-        alpha = jnp.where(cAc > 0, rc / cAc, 1.0)
-        alpha = jnp.clip(jnp.nan_to_num(alpha, nan=0.0), 0.0, 1.0)
-        x_new = bv.axpy(alpha, c, x_pre)
-        corr = bv.norm(bv.sub(x_new, x_old))
-        return x_new, corr, alpha, energy(x_new)
-
     if truncate_hierarchy:
+        smoother = projected_block_gs_step(A, basis, lo, up)
+        energy = lambda v: 0.5 * bv.dot(v, bm.matvec(A, v)) - bv.dot(b, v)  # noqa: E731
+
+        def masks(xv):
+            free = {}
+            ntrunc = jnp.int32(0)
+            for p in xv:
+                tol_p = active_eps * (1 + jnp.abs(xv[p]))
+                at_lo = jnp.isfinite(lo[p]) & (xv[p] - lo[p] <= tol_p)
+                at_up = jnp.isfinite(up[p]) & (up[p] - xv[p] <= tol_p)
+                free[p] = jnp.logical_not(at_lo | at_up)
+                ntrunc += jnp.sum(~free[p], dtype=jnp.int32)
+            return free, ntrunc
+
+        def finish_iter(x_pre, free, c, x_old):
+            """Stages 4-5 + diagnostics: project the truncated
+            correction, line-search, one fused device program."""
+            r = bv.sub(b, bm.matvec(A, x_pre))
+            c = {p: jnp.where(free[p], c[p], 0.0) for p in c}
+            c = jax.tree.map(lambda cc, xx, ll, uu:
+                             jnp.clip(xx + cc, ll, uu) - xx, c, x_pre,
+                             lo, up)
+            cAc = bv.dot(c, bm.matvec(A, c))
+            rc = bv.dot(r, c)
+            alpha = jnp.where(cAc > 0, rc / cAc, 1.0)
+            alpha = jnp.clip(jnp.nan_to_num(alpha, nan=0.0), 0.0, 1.0)
+            x_new = bv.axpy(alpha, c, x_pre)
+            corr = bv.norm(bv.sub(x_new, x_old))
+            return x_new, corr, alpha, energy(x_new)
+
         jsmooth = jax.jit(smoother)
         jmasks = jax.jit(masks)
         jfinish = jax.jit(finish_iter)
     else:
+        if fused:
+            return tnnmg_fused_solver(
+                A, b, basis, lo, up, mg_step=mg_step, tol=tol,
+                maxiter=maxiter, pre_sweeps=pre_sweeps,
+                active_eps=active_eps, stall_window=stall_window)(x)
         # default path: the WHOLE iteration is one jitted program
-        def one_iter(xv):
-            x_pre = xv
-            for _ in range(pre_sweeps):
-                x_pre = smoother(x_pre, b)
-            free, ntrunc = masks(x_pre)
-            r = bv.sub(b, bm.matvec(A, x_pre))
-            r_masked = {p: jnp.where(free[p], r[p], 0.0) for p in r}
-            c = mg_step(bv.zeros_like(b), r_masked)
-            x_new, corr, alpha, en = finish_iter(x_pre, free, c, xv)
-            return x_new, (corr, alpha, en, ntrunc)
+        one_iter = _tnnmg_one_iter(A, b, basis, lo, up, mg_step,
+                                   pre_sweeps, active_eps)
         from hpdg_tpu.solvers.cg import hoist_constants
         g1, c1 = hoist_constants(one_iter, x)
         jg1 = jax.jit(g1)

@@ -124,3 +124,47 @@ def test_tnnmg_elasticity_contact():
     assert all(b2 <= a2 + 1e-9 for a2, b2 in zip(en, en[1:]))
     xv = np.asarray(x[2])
     assert np.all(xv[:, nl:] >= -0.05 - 1e-9)  # feasible u_y
+
+
+def test_tnnmg_fused_matches_stepwise():
+    """fused=True (one lax.while_loop device program) must reproduce the
+    stepwise iterates: same iteration count, same history, same x."""
+    basis, A, b, lo, up = setup_problem(4, 2)
+    x_s, h_s = solve_tnnmg(A, b, basis, lo, up, tol=1e-8, maxiter=30,
+                           stall_window=3)
+    x_f, h_f = solve_tnnmg(A, b, basis, lo, up, tol=1e-8, maxiter=30,
+                           stall_window=3, fused=True)
+    assert h_f["iterations"] == h_s["iterations"]
+    assert float(bv.norm(bv.sub(x_f, x_s))) < 1e-10
+    np.testing.assert_allclose(h_f["correction"], h_s["correction"],
+                               rtol=1e-4)
+    assert h_f["truncated"] == h_s["truncated"]
+    assert h_f.get("stalled", False) == h_s.get("stalled", False)
+
+
+def test_tnnmg_fused_stall_criterion():
+    """The on-device stall criterion fires like the host one: run in f32
+    to a correction floor and check both paths stop at the same spot."""
+    basis, A, b64, lo64, up64 = setup_problem(4, 2)
+    A32 = bm.BlockSparseMatrix(
+        A.pattern, A.dim,
+        {k: jnp.asarray(v, jnp.float32) for k, v in A.values.items()},
+        A.block_shape)
+    b32 = {k: jnp.asarray(v, jnp.float32) for k, v in b64.items()}
+    lo = {k: jnp.asarray(v, jnp.float32) for k, v in lo64.items()}
+    up = {k: jnp.asarray(v, jnp.float32) for k, v in up64.items()}
+    x_s, h_s = solve_tnnmg(A32, b32, basis, lo, up, tol=0.0, maxiter=60,
+                           stall_window=3)
+    x_f, h_f = solve_tnnmg(A32, b32, basis, lo, up, tol=0.0, maxiter=60,
+                           stall_window=3, fused=True)
+    assert h_s.get("stalled") or h_s["iterations"] == 60
+    assert h_f["iterations"] == h_s["iterations"]
+    assert h_f.get("stalled", False) == h_s.get("stalled", False)
+
+
+def test_tnnmg_fused_rejects_truncate_hierarchy():
+    basis, A, b, lo, up = setup_problem(3, 1)
+    import pytest
+    with pytest.raises(ValueError):
+        solve_tnnmg(A, b, basis, lo, up, fused=True,
+                    truncate_hierarchy=True)
