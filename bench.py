@@ -744,7 +744,7 @@ def main():
         if not feas or free_res > 1e-4:
             return None
         return dict(ndof=ndofs_o, time=t_solve, iterations=nit,
-                    truncated=int(max(info["truncated"])))
+                    truncated=int(max(info["truncated"])), runs=runs)
 
     extra_results = {}
     for name, fn, alarm_s in (("elasticity", measure_elasticity_solve,
@@ -800,6 +800,8 @@ def main():
         out["tnnmg_dofs"] = tn["ndof"]
         out["tnnmg_iterations"] = tn["iterations"]
         out["tnnmg_truncated_max"] = tn["truncated"]
+        if tn.get("runs"):
+            out["tnnmg_seconds_runs"] = tn["runs"]
     if r12 and r12["time"] is not None and n_head != 12:
         out["time_to_1e8_s_216k"] = round(r12["time"], 3)
         out["time_to_1e8_s_216k_runs"] = [r["seconds"] for r in r12["runs"]]

@@ -470,9 +470,11 @@ def build_hp_sharded_general(gmesh, degrees, devices=None,
                 hits += 1
                 sh_ent = dict(own=own, ghosts=ghosts, emesh=ent["emesh"],
                               ebasis=ent["ebasis"], plan=ent["plan"],
-                              diag_cache=ent["diag"])
+                              diag_cache=ent["diag"], cache_key=key)
                 if ent.get("dinv") is not None:
                     sh_ent["dinv_cache"] = ent["dinv"]
+                if ent.get("lane") is not None:
+                    sh_ent["lane_cache"] = ent["lane"]
                 shards.append(sh_ent)
                 continue
             misses += 1
@@ -491,11 +493,22 @@ def build_hp_sharded_general(gmesh, degrees, devices=None,
     if plan_cache is not None:
         for sh in shards:
             k = sh.get("cache_key")
-            if k is not None and k not in plan_cache:
+            if k is None:
+                continue
+            ent = plan_cache.get(k)
+            if ent is None:
                 plan_cache[k] = dict(emesh=sh["emesh"], ebasis=sh["ebasis"],
                                      plan=sh["plan"],
                                      diag=sh.get("diag_cache"),
-                                     dinv=sh.get("dinv_cache"))
+                                     dinv=sh.get("dinv_cache"),
+                                     lane=sh.get("lane_cache"))
+            else:
+                # older entries grow the newly computed pieces (lane
+                # stacks, diagonal-block inverses) in place
+                for src, dst in (("dinv_cache", "dinv"),
+                                 ("lane_cache", "lane")):
+                    if ent.get(dst) is None and sh.get(src) is not None:
+                        ent[dst] = sh[src]
         plan_cache.setdefault("__stats__", []).append((hits, misses))
     return res
 
@@ -603,6 +616,79 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                                      diffusion=diffusion, dtype=host_dtype)
             sh["diag_cache"] = D
             Dsh.append(D)
+    for s, sh in enumerate(shards):
+        own = sh["own"]
+        od = degrees[own]
+        for p in DEG:
+            owned_slots[(s, p)] = own[od == p]
+
+    def _deg_lane(sh, s, p, vtp):
+        """Shard ``s``'s UNPADDED stack contributions for degree ``p``.
+
+        A pure function of the shard's content (own + ghost geometry,
+        maps, degrees) and the fixed problem family (penalty scaling /
+        diffusion), so it rides the plan cache: clean shards skip these
+        per-element loops on rebuilds — the profiled O(N) warm-rebuild
+        floor (plan_seconds followed total mesh size, not dirty
+        shards)."""
+        eb = sh["ebasis"]
+        own_p = owned_slots[(s, p)]
+        no = len(own_p)
+        out = {"no": no}
+        if p in eb.bucket_degrees:
+            # ext bucket: owned slots first (ext element order), then
+            # ghosts; a ghost's recv index = its rank among deg-p
+            # elements of its block (both sides enumerate the block in
+            # the same order)
+            elems = eb.bucket_elems[p]  # ext element ids, sorted
+            ek_v = np.zeros(len(elems), _I)
+            ei_v = np.arange(len(elems), dtype=_I)  # owned slot == pos
+            ghm = elems >= n_own[s]
+            if ghm.any():
+                blk_off = []
+                off = n_own[s]
+                for g in sh["ghosts"]:
+                    blk_off.append(off)
+                    off += len(g["lay_deg"])
+                e_g = elems[ghm]
+                gi = np.searchsorted(blk_off, e_g, side="right") - 1
+                ek_v[ghm] = np.array([g["ch"] for g in sh["ghosts"]],
+                                     _I)[gi]
+                ei_g = np.zeros(len(e_g), _I)
+                for gidx, g in enumerate(sh["ghosts"]):
+                    mblk = gi == gidx
+                    if mblk.any():
+                        cs = np.concatenate(
+                            [[0], np.cumsum(g["lay_deg"] == p)])
+                        ei_g[mblk] = cs[e_g[mblk] - blk_off[gidx]]
+                ei_v[ghm] = ei_g
+            out["ek"], out["ei"] = ek_v, ei_v
+        snd = {}
+        for ch in CHS:
+            sel = send_ids[(s, ch)]
+            sel = sel[degrees[sel] == p]
+            # own_p ascending and sel subset of own_p: searchsorted is
+            # the owned-slot index
+            snd[ch] = np.searchsorted(own_p, sel).astype(_I)
+        out["snd"] = snd
+        if no:
+            ext = gmesh.extent[own_p]
+            out["bc"] = np.prod(ext, axis=1)[:, None] / ext**2
+            if kmat:
+                out["bih"] = 1.0 / ext
+                out["bdj"] = np.prod(ext, axis=1)
+            if has_k:
+                xpq = (gmesh.lower[own_p][:, None, :]
+                       + vtp["points"][None, :, :] * ext[:, None, :])
+                xq = geo.apply_map(gmesh, own_p, xpq)
+                kq_b = (np.asarray(diffusion(jnp.asarray(xq)))
+                        if diffusion is not None else None)
+                if affine:
+                    kq_b = np.asarray(geo.effective_tensor(
+                        gmesh, own_p, kq_b, xpq))
+                out["bk"] = kq_b
+        return out
+
     for p in DEG:
         ek = np.zeros((ndev, m_ext[p]), _I)
         ei = np.zeros((ndev, m_ext[p]), _I)
@@ -612,6 +698,7 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
         bs = (p + 1) ** dim
         dv = np.zeros((ndev, m_own[p], bs, bs))
         dr = np.broadcast_to(np.eye(bs), (ndev, m_own[p], bs, bs)).copy()
+        vtp = None
         if has_k:
             vtp = tensor.volume_tables(p, dim, p + 2,
                                        family=shards[0]["ebasis"].family)
@@ -621,56 +708,26 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
             bih = np.zeros((ndev, m_own[p], dim))
             bdj = np.zeros((ndev, m_own[p]))
         for s, sh in enumerate(shards):
-            eb = sh["ebasis"]
-            own = sh["own"]
-            od = degrees[own]
-            own_p = own[od == p]
-            owned_slots[(s, p)] = own_p
-            no = len(own_p)
+            lane = sh.setdefault("lane_cache", {})
+            ln = lane.get(("deg", p))
+            if ln is None:
+                ln = _deg_lane(sh, s, p, vtp)
+                lane[("deg", p)] = ln
+            no = ln["no"]
             om[s, :no] = 1.0
-            # ghost-block ext-id offsets (fixed channel order)
-            blk_off = []
-            off = n_own[s]
-            for g in sh["ghosts"]:
-                blk_off.append(off)
-                off += len(g["lay_deg"])
-            # ext bucket: owned slots first (ext element order), then ghosts
-            if p in eb.bucket_degrees:
-                elems = eb.bucket_elems[p]  # ext element ids, sorted
-                for j, e in enumerate(elems):
-                    if e < n_own[s]:           # owned: owned slot == j
-                        ek[s, j], ei[s, j] = 0, j
-                        continue
-                    # rank among deg-p elements preceding it in its block
-                    # == its position in the sender's packed buffer (both
-                    # sides enumerate the block in the same order)
-                    gi = int(np.searchsorted(blk_off, e, side="right")) - 1
-                    g = sh["ghosts"][gi]
-                    pos = e - blk_off[gi]
-                    ek[s, j] = g["ch"]
-                    ei[s, j] = int(np.sum(g["lay_deg"][:pos] == p))
-            slot_of = {int(e): k for k, e in enumerate(own_p)}
+            if "ek" in ln:
+                ek[s, :len(ln["ek"])] = ln["ek"]
+                ei[s, :len(ln["ei"])] = ln["ei"]
             for ch in CHS:
-                sel = send_ids[(s, ch)]
-                sel = sel[degrees[sel] == p]
-                snd[ch][s, :len(sel)] = [slot_of[int(e)] for e in sel]
-            # bulk geometry of owned elements
-            ext = gmesh.extent[own_p]
+                sv = ln["snd"][ch]
+                snd[ch][s, :len(sv)] = sv
             if no:
-                bc[s, :no] = np.prod(ext, axis=1)[:, None] / ext**2
+                bc[s, :no] = ln["bc"]
                 if kmat:
-                    bih[s, :no] = 1.0 / ext
-                    bdj[s, :no] = np.prod(ext, axis=1)
+                    bih[s, :no] = ln["bih"]
+                    bdj[s, :no] = ln["bdj"]
                 if has_k:
-                    xpq = (gmesh.lower[own_p][:, None, :]
-                           + vtp["points"][None, :, :] * ext[:, None, :])
-                    xq = geo.apply_map(gmesh, own_p, xpq)
-                    kq_b = (np.asarray(diffusion(jnp.asarray(xq)))
-                            if diffusion is not None else None)
-                    if affine:
-                        kq_b = np.asarray(geo.effective_tensor(
-                            gmesh, own_p, kq_b, xpq))
-                    bk[s, :no] = kq_b
+                    bk[s, :no] = ln["bk"]
             D = Dsh[s]
             if p in D and no:
                 dr[s, :no] = np.asarray(D[p])[:no]
@@ -714,47 +771,77 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
         if kmat:
             arr["ihi_all"] = np.zeros((ndev, F, dim))
             arr["iho_all"] = np.zeros((ndev, F, dim))
-        for s, sh in enumerate(shards):
+        def _fg_lane(sh, s):
+            """Shard ``s``'s unpadded rows for face class ``c`` (one
+            entry per matching face group, applied in plan order) —
+            cached alongside the plan, same content argument as
+            ``_deg_lane``."""
+            rows = []
             for fg in sh["plan"].face_groups:
                 if (fg.p_in, fg.p_out, fg.axis, fg.nc_code) != c:
                     continue
-                k = len(fg.face_ids)
-                arr["in_pos"][s, :k] = fg.in_pos
-                arr["out_pos"][s, :k] = fg.out_pos
-                # scatter target: owned slot (== ext bucket pos, owned
-                # come first) or the dump row m_own[p]
                 ein = sh["emesh"].faces.inside[fg.face_ids]
                 eout = sh["emesh"].faces.outside[fg.face_ids]
-                arr["tgt_in"][s, :k] = np.where(ein < n_own[s], fg.in_pos,
-                                                m_own[pi])
-                arr["tgt_out"][s, :k] = np.where(eout < n_own[s], fg.out_pos,
-                                                 m_own[po])
-                arr["fmeas"][s, :k] = fg.fmeas
-                arr["ihi"][s, :k] = fg.inv_h_in
-                arr["iho"][s, :k] = fg.inv_h_out
-                arr["pen"][s, :k] = (
-                    geo.penalty_coef_mesh(sh["emesh"], fg, penalty,
-                                          max(pi, po), penalty_scaling)
-                    if affine else
-                    penalty_coef(fg, penalty, max(pi, po), penalty_scaling))
+                row = dict(k=len(fg.face_ids), in_pos=fg.in_pos,
+                           out_pos=fg.out_pos,
+                           own_in=ein < n_own[s],
+                           own_out=eout < n_own[s],
+                           fmeas=fg.fmeas, ihi=fg.inv_h_in,
+                           iho=fg.inv_h_out,
+                           pen=(geo.penalty_coef_mesh(
+                               sh["emesh"], fg, penalty, max(pi, po),
+                               penalty_scaling)
+                               if affine else
+                               penalty_coef(fg, penalty, max(pi, po),
+                                            penalty_scaling)))
                 if has_k:
                     from hpdg_tpu.assemble.plan import face_phys_points
-                    xpq = face_phys_points(sh["ebasis"], fg, fin_c["points"])
+                    xpq = face_phys_points(sh["ebasis"], fg,
+                                           fin_c["points"])
                     xq = (geo.apply_map(sh["emesh"], ein, xpq)
                           if affine else xpq)
                     kq_f = (np.asarray(diffusion(jnp.asarray(xq)))
                             if diffusion is not None else None)
                     if affine:
-                        arr["kq"][s, :k] = np.asarray(geo.effective_tensor(
+                        row["kq"] = np.asarray(geo.effective_tensor(
                             sh["emesh"], ein, kq_f, xpq))
-                        arr["kq_out"][s, :k] = np.asarray(
-                            geo.effective_tensor(sh["emesh"], eout, kq_f,
-                                                 xpq))
+                        row["kq_out"] = np.asarray(geo.effective_tensor(
+                            sh["emesh"], eout, kq_f, xpq))
                     else:
-                        arr["kq"][s, :k] = kq_f
+                        row["kq"] = kq_f
                 if kmat:
-                    arr["ihi_all"][s, :k] = 1.0 / sh["emesh"].extent[ein]
-                    arr["iho_all"][s, :k] = 1.0 / sh["emesh"].extent[eout]
+                    row["ihi_all"] = 1.0 / sh["emesh"].extent[ein]
+                    row["iho_all"] = 1.0 / sh["emesh"].extent[eout]
+                rows.append(row)
+            return rows
+
+        for s, sh in enumerate(shards):
+            lane = sh.setdefault("lane_cache", {})
+            rows = lane.get(("fg", c))
+            if rows is None:
+                rows = _fg_lane(sh, s)
+                lane[("fg", c)] = rows
+            for row in rows:
+                k = row["k"]
+                arr["in_pos"][s, :k] = row["in_pos"]
+                arr["out_pos"][s, :k] = row["out_pos"]
+                # scatter target: owned slot (== ext bucket pos, owned
+                # come first) or the dump row m_own[p]
+                arr["tgt_in"][s, :k] = np.where(row["own_in"],
+                                                row["in_pos"], m_own[pi])
+                arr["tgt_out"][s, :k] = np.where(row["own_out"],
+                                                 row["out_pos"], m_own[po])
+                arr["fmeas"][s, :k] = row["fmeas"]
+                arr["ihi"][s, :k] = row["ihi"]
+                arr["iho"][s, :k] = row["iho"]
+                arr["pen"][s, :k] = row["pen"]
+                if has_k:
+                    arr["kq"][s, :k] = row["kq"]
+                    if affine:
+                        arr["kq_out"][s, :k] = row["kq_out"]
+                if kmat:
+                    arr["ihi_all"][s, :k] = row["ihi_all"]
+                    arr["iho_all"][s, :k] = row["iho_all"]
         data["fg"][c] = arr
 
     for c in BCLS:
@@ -771,24 +858,23 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
             arr["kq"] = np.zeros((ndev, B, len(ftc["weights"])) + kshape)
         if kmat:
             arr["ih_all"] = np.zeros((ndev, B, dim))
-        for s, sh in enumerate(shards):
+        def _bg_lane(sh, s):
+            """Shard ``s``'s unpadded rows for boundary class ``c``
+            (owned faces only) — cached alongside the plan."""
+            rows = []
             for bg in sh["plan"].boundary_groups:
                 if (bg.p, bg.axis, bg.side) != c:
                     continue
                 elems = sh["emesh"].bfaces.elem[bg.face_ids]
                 keep = np.where(elems < n_own[s])[0]  # owned only: ghost
                 # outer boundaries and detached fakes are not domain bdry
-                k = len(keep)
-                arr["pos"][s, :k] = bg.pos[keep]
-                arr["tgt"][s, :k] = bg.pos[keep]
-                arr["fmeas"][s, :k] = bg.fmeas[keep]
-                arr["ih"][s, :k] = bg.inv_h[keep]
-                arr["pen"][s, :k] = (
-                    geo.boundary_penalty_coef_mesh(sh["emesh"], bg, penalty,
-                                                   penalty_scaling)
-                    if affine else
-                    boundary_penalty_coef(bg, penalty,
-                                          penalty_scaling))[keep]
+                row = dict(k=len(keep), pos=bg.pos[keep],
+                           fmeas=bg.fmeas[keep], ih=bg.inv_h[keep],
+                           pen=(geo.boundary_penalty_coef_mesh(
+                               sh["emesh"], bg, penalty, penalty_scaling)
+                               if affine else
+                               boundary_penalty_coef(
+                                   bg, penalty, penalty_scaling))[keep])
                 if has_k:
                     em = sh["emesh"]
                     els = elems[keep]
@@ -807,10 +893,29 @@ def _finish_sharded(gmesh, degrees, shards, channels, send_ids, devices,
                     if affine:
                         kq_bd = np.asarray(geo.effective_tensor(
                             em, els, kq_bd, xpq))
-                    arr["kq"][s, :k] = kq_bd
+                    row["kq"] = kq_bd
                 if kmat:
-                    arr["ih_all"][s, :k] = 1.0 / sh["emesh"].extent[
-                        elems[keep]]
+                    row["ih_all"] = 1.0 / sh["emesh"].extent[elems[keep]]
+                rows.append(row)
+            return rows
+
+        for s, sh in enumerate(shards):
+            lane = sh.setdefault("lane_cache", {})
+            rows = lane.get(("bg", c))
+            if rows is None:
+                rows = _bg_lane(sh, s)
+                lane[("bg", c)] = rows
+            for row in rows:
+                k = row["k"]
+                arr["pos"][s, :k] = row["pos"]
+                arr["tgt"][s, :k] = row["pos"]
+                arr["fmeas"][s, :k] = row["fmeas"]
+                arr["ih"][s, :k] = row["ih"]
+                arr["pen"][s, :k] = row["pen"]
+                if has_k:
+                    arr["kq"][s, :k] = row["kq"]
+                if kmat:
+                    arr["ih_all"][s, :k] = row["ih_all"]
         data["bg"][c] = arr
 
     # ---------------- static trace tables ----------------
