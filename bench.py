@@ -605,25 +605,26 @@ def main():
             signal.alarm(0)
 
     # ---- extra: config 4 — 3D elasticity h+p multigrid (measured) ----
-    def measure_elasticity_solve():
-        """3D linear elasticity (mu=lam=1), 8^3 hexes p=2 -> p=1 -> h
-        hierarchy, patch-smoothed assembled V-cycles on the TPU inside
-        an ON-CHIP exact-split-anchored refinement loop (block-sparse
-        Ozaki anchors; falls back to the host-f64-anchored tunnel loop
-        if the on-chip run fails to verify).  BASELINE config 4;
-        buildingblocks/solve.hh:142-169 run on the vector problem."""
+    def measure_elasticity_solve(n_el: int = 24):
+        """3D linear elasticity (mu=lam=1) at ~1.1M vector DOFs:
+        n_el^3 hexes p=2 -> p=1 -> h hierarchy, assembled V-cycles on
+        the TPU inside an ON-CHIP exact-split-anchored refinement loop.
+        The anchor uses the DEDUPLICATED chunk store (per unique block
+        — a uniform lattice's 96k blocks chunk to a few dozen stencil
+        variants, keeping the 48-bit store in HBM at this size).
+        BASELINE config 4; buildingblocks/solve.hh:142-169 run on the
+        vector problem.  Falls back to 8^3 if the big config fails."""
         from hpdg_tpu.assemble.elasticity import (assemble_elasticity,
                                                   l2_functional_vec)
         from hpdg_tpu.matrixfree.exact import blocksparse_exact_residual
         from hpdg_tpu.solvers.multigrid import multigrid_solver
-        from hpdg_tpu.solvers.refine import (onchip_refinement_solve,
-                                             tunnel_refinement_solve)
+        from hpdg_tpu.solvers.refine import onchip_refinement_solve
         from hpdg_tpu.linalg import blockmatrix as bm
-        from hpdg_tpu.linalg import blockvector as bvv
         cpu = jax.devices("cpu")[0]
-        mc = hmesh.structured((4, 4, 4))
+        mc = hmesh.structured((n_el // 2,) * 3)
         mf = hmesh.refine(mc)
         basis_e = DGBasis(mf, np.full(mf.n_elements, 2))
+        t_asm0 = time.perf_counter()
         with jax.default_device(cpu):
             A64 = assemble_elasticity(basis_e, mu=1.0, lam=1.0,
                                       penalty=4.0, dirichlet=True)
@@ -634,28 +635,29 @@ def main():
                  jnp.zeros_like(x[..., 0]), jnp.zeros_like(x[..., 0])],
                 axis=-1)
             b64 = l2_functional_vec(basis_e, force, dtype=jnp.float64)
-            mv64 = jax.jit(lambda v: bm.matvec(A64, v), device=cpu)
-            host_res = lambda x64: bvv.sub(b64, mv64(x64))  # noqa: E731
+        A64np = {k: np.asarray(v, np.float64) for k, v in A64.values.items()}
+        b64np = {k: np.asarray(v, np.float64) for k, v in b64.items()}
+        log(f"# elasticity host assembly: {time.perf_counter()-t_asm0:.1f} s")
+
+        def host_res(x64):
+            from hpdg_tpu.solvers.tnnmg import _np_matvec
+            Ax = _np_matvec(A64, {k: np.asarray(v) for k, v in x64.items()})
+            return {k: b64np[k] - Ax[k] for k in b64np}
+
         A32 = bm.BlockSparseMatrix(
             A64.pattern, A64.dim,
-            {k: jnp.asarray(v, jnp.float32) for k, v in A64.values.items()},
+            {k: jnp.asarray(v, jnp.float32) for k, v in A64np.items()},
             A64.block_shape)
-        try:
-            step, _ = multigrid_solver(basis_e, A32, meshes=[mc, mf],
-                                       smoother="patch", dtype=dtype)
-        except Exception as e:
-            log(f"# elasticity patch smoother unavailable ({e}); gs")
-            step, _ = multigrid_solver(basis_e, A32, meshes=[mc, mf],
-                                       smoother="gs", dtype=dtype)
+        smoother = "patch" if basis_e.ndof * 3 < 3e5 else "gs"
+        step, _ = multigrid_solver(basis_e, A32, meshes=[mc, mf],
+                                   smoother=smoother, dtype=dtype)
         ndofs_e = basis_e.ndof * 3
         info = None
         try:
-            res_pair = blocksparse_exact_residual(A64, b64)
-            # fused loop measured 0.60 s vs 1.09 s stepwise on the real
-            # chip at this config (41k dofs, 3 steps to 3e-9)
+            res_pair = blocksparse_exact_residual(A64, b64, dedup=True)
             x64, info = onchip_refinement_solve(
-                step, res_pair, b64, chain_k=8, tol=1e-8, max_steps=8,
-                host_residual=host_res, n_runs=2, fused=True)
+                step, res_pair, b64, chain_k=10, tol=1e-8, max_steps=10,
+                host_residual=host_res, n_runs=3, fused=True)
             log(f"# elasticity ONCHIP solve ({ndofs_e} dofs): verified="
                 f"{info['verified']} rel {info['rel_residual']:.2e} in "
                 f"{info['seconds']:.3f} s (loop {info['seconds_loop']:.3f}),"
@@ -664,87 +666,60 @@ def main():
             if not info["verified"]:
                 info = None
         except Exception as e:
-            log(f"# elasticity onchip anchors failed ({e}); tunnel mode")
-        if info is None:
-            op32 = lambda v: bm.matvec(A32, v)  # noqa: E731
-            x64, info = tunnel_refinement_solve(
-                step, op32, b64, chain_k=8, tol=1e-8, max_steps=6,
-                host_residual=host_res, n_runs=2)
-            log(f"# elasticity solve ({ndofs_e} dofs): verified="
-                f"{info['verified']} rel {info['rel_residual']:.2e} in "
-                f"{info['seconds']:.3f} s, history "
-                f"{['%.1e' % h for h in info['history']]} "
-                f"(runs {info['runs']})")
-        if not info["verified"] or not info["rel_residual"] <= 1e-8:
+            log(f"# elasticity onchip anchors failed: {e}")
+        if info is None and n_el > 8:
+            log("# elasticity: retrying at 8^3")
+            return measure_elasticity_solve(8)
+        if info is None or not info["verified"] \
+                or not info["rel_residual"] <= 1e-8:
             return None
         return dict(ndof=ndofs_e, time=info["seconds"],
-                    runs=info["runs"])
+                    loop=info.get("seconds_loop"), runs=info["runs"])
 
     # ---- extra: config 5 — obstacle problem via TNNMG (measured) ----
-    def measure_tnnmg_solve():
+    def measure_tnnmg_solve(n2: int = 128):
         """Membrane-into-obstacle (constant load, lower bound -0.2) on
-        32^2 p=3, TNNMG with projected block-GS + truncated V-cycle on
-        the TPU in f32 (BASELINE config 5; partnnmgstep.hh:29-232 /
-        buildingblocks/solve.hh:40-124)."""
+        n2^2 p=3 (262,144 DOFs at 128): fused f32 TNNMG settles the
+        contact set, then the PDAS loop with on-chip exact-split
+        anchors drives the truncated systems to a VERIFIED f64 free-dof
+        residual <= 1e-8 (BASELINE config 5; partnnmgstep.hh:29-232 /
+        buildingblocks/solve.hh:40-124 — which solves in host f64 to
+        any tol; this is its TPU equivalent)."""
         from hpdg_tpu.blocks import api
-        from hpdg_tpu.solvers.tnnmg import solve_tnnmg
-        from hpdg_tpu.solvers.multigrid import multigrid_solver
-        from hpdg_tpu.linalg import blockmatrix as bm
-        from hpdg_tpu.linalg import blockvector as bvv
+        from hpdg_tpu.solvers.tnnmg import solve_obstacle_verified
         cpu = jax.devices("cpu")[0]
-        m2 = hmesh.structured((32, 32), lower=(-1, -1), upper=(1, 1))
+        chain = [hmesh.structured((16, 16), lower=(-1, -1), upper=(1, 1))]
+        while chain[-1].n_elements < n2 * n2:
+            chain.append(hmesh.refine(chain[-1]))
+        m2 = chain[-1]
         basis_o = DGBasis(m2, np.full(m2.n_elements, 3))
         with jax.default_device(cpu):
             A64 = api.laplace(basis_o, penalty=2.0, dirichlet=True)
             b64 = api.l2_functional(basis_o,
                                     lambda x: -8.0 + 0.0 * x[..., 0])
-        A32 = bm.BlockSparseMatrix(
-            A64.pattern, A64.dim,
-            {k: jnp.asarray(v, jnp.float32) for k, v in A64.values.items()},
-            A64.block_shape)
-        b32 = {k: jnp.asarray(v, jnp.float32) for k, v in b64.items()}
         lo, up = api.constant_bounds(basis_o, lower=-0.2,
                                      dtype=jnp.float32)
-        step, _ = multigrid_solver(basis_o, A32, dtype=dtype)
-        nb = float(np.linalg.norm(np.asarray(b64[3], np.float64)))
-        tol_abs = 1e-6 * nb
-        # stall_window: stop at the f32 correction floor (the quality
-        # bar is the f64 free-dof residual check below, not corr).
-        # tnnmg_fused_solver runs the WHOLE loop as ONE lax.while_loop
-        # device program — one dispatch + one fetch per solve instead
-        # of one tunnel round trip per iteration; built once, then two
-        # complete from-zero solves (first absorbs residual compile,
-        # best is the measured number, all runs recorded).
-        from hpdg_tpu.solvers.tnnmg import tnnmg_fused_solver
-        solver = tnnmg_fused_solver(A32, b32, basis_o, lo, up,
-                                    mg_step=step, tol=tol_abs,
-                                    maxiter=40, stall_window=3)
-        runs = []
-        x = info = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            x, info = solver()
-            jax.block_until_ready(x)
-            runs.append(round(time.perf_counter() - t0, 3))
-        t_solve = min(runs)
+        x64, info = solve_obstacle_verified(
+            A64, b64, basis_o, lo, up, tol=1e-8, maxiter=40,
+            stall_window=3, meshes=chain, n_runs=3)
         ndofs_o = basis_o.ndof
-        nit = info["iterations"]
-        # f64 host check: feasibility + free-dof residual
-        x64 = {k: np.asarray(v, np.float64) for k, v in x.items()}
-        with jax.default_device(cpu):
-            r = np.asarray(bvv.sub(b64, bm.matvec(A64, {
-                k: jnp.asarray(v) for k, v in x64.items()}))[3])
-        feas = bool(np.all(x64[3] >= -0.2 - 1e-5))
-        active = np.asarray(x64[3]) <= -0.2 + 1e-5
-        free_res = float(np.linalg.norm(r[~active]) / nb)
-        log(f"# tnnmg obstacle solve ({ndofs_o} dofs): {nit} its in "
-            f"{t_solve:.3f} s, last corr {info['correction'][-1]:.2e}, "
-            f"max truncated {max(info['truncated'])}, feasible={feas}, "
-            f"free-dof f64 rel residual {free_res:.2e}")
-        if not feas or free_res > 1e-4:
+        nit = info["tnnmg"]["iterations"]
+        log(f"# tnnmg obstacle solve ({ndofs_o} dofs): VERIFIED="
+            f"{info['verified']} free-dof f64 rel residual "
+            f"{info['free_residual']:.2e}, feasible={info['feasible']}, "
+            f"complementarity {info['complementarity']:.2e}, "
+            f"{info['seconds']:.3f} s ({nit} tnnmg its + "
+            f"{len(info['outer'])} pdas solves, truncated "
+            f"{info['truncated']}; runs {info['runs']})")
+        if not info["verified"]:
+            if n2 > 32:
+                log("# tnnmg: retrying at 32^2")
+                return measure_tnnmg_solve(32)
             return None
-        return dict(ndof=ndofs_o, time=t_solve, iterations=nit,
-                    truncated=int(max(info["truncated"])), runs=runs)
+        return dict(ndof=ndofs_o, time=info["seconds"], iterations=nit,
+                    truncated=info["truncated"],
+                    free_res=info["free_residual"],
+                    runs=[r["seconds"] for r in info["runs"]])
 
     extra_results = {}
     for name, fn, alarm_s in (("elasticity", measure_elasticity_solve,
@@ -794,12 +769,16 @@ def main():
         out["elasticity_time_to_1e8_s"] = round(el["time"], 3)
         out["elasticity_dofs"] = el["ndof"]
         out["elasticity_runs"] = [r["seconds"] for r in el["runs"]]
+        if el.get("loop") is not None:
+            out["elasticity_device_loop_s"] = round(el["loop"], 3)
     tn = extra_results.get("tnnmg")
     if tn:
         out["tnnmg_seconds"] = round(tn["time"], 3)
         out["tnnmg_dofs"] = tn["ndof"]
         out["tnnmg_iterations"] = tn["iterations"]
         out["tnnmg_truncated_max"] = tn["truncated"]
+        out["tnnmg_free_residual"] = float(f"{tn['free_res']:.3e}")
+        out["tnnmg_verified"] = True
         if tn.get("runs"):
             out["tnnmg_seconds_runs"] = tn["runs"]
     if r12 and r12["time"] is not None and n_head != 12:

@@ -245,7 +245,8 @@ def _pick_t_spmv(L: int, bits: int) -> tuple[int, int]:
     raise ValueError(f"no exact chunk width for row length {L}")
 
 
-def blocksparse_exact_apply(pattern, values64: dict, bits: int = 48):
+def blocksparse_exact_apply(pattern, values64: dict, bits: int = 48,
+                            dedup: bool = False):
     """Build ``apply_pair(xh, xl) -> (yh, yl)`` for a bucketed
     block-sparse matrix (linalg.blockmatrix layout): bucket dicts of
     double-f32 pairs in, pairs out, accurate to ~2^-bits of the global
@@ -260,9 +261,20 @@ def blocksparse_exact_apply(pattern, values64: dict, bits: int = 48):
     magnitude, which is exactly the contract an iterative-refinement
     anchor needs (r accurate to far below tol * ||b||).
 
+    ``dedup=True`` stores the chunked matrix per UNIQUE block (bitwise
+    f64 equality): on uniform lattices the batched assembler produces
+    bitwise-identical interior blocks, so a 1M-DOF elasticity matrix
+    chunks to a few dozen stencil blocks instead of ~20 GB of per-entry
+    chunks.  The per-dof ``tau`` becomes one per block-row POSITION
+    (max over all blocks of the bucket), so truncation is relative to
+    the bucket-global magnitudes — the same backward-error contract.
+    Falls back to the per-entry store for buckets without repetition.
+
     ``values64``: host numpy f64 block arrays, keyed like
     ``BlockSparseMatrix.values``.
     """
+    if dedup:
+        return _blocksparse_exact_apply_dedup(pattern, values64, bits)
     entries = pattern.entries
     # per-row total contraction length per row bucket
     row_len = {pr: np.zeros(pattern.row_sizes[pr], np.int64)
@@ -351,12 +363,115 @@ def blocksparse_exact_apply(pattern, values64: dict, bits: int = 48):
     return apply_pair
 
 
-def blocksparse_exact_residual(A64, b64: dict, bits: int = 48):
+def _blocksparse_exact_apply_dedup(pattern, values64: dict, bits: int):
+    """Deduplicated store: chunk each bucket's UNIQUE blocks once, run
+    one GEMM per (unique block, chunk pair) over the gathered input
+    rows of that block's entries, reassemble in entry order, and
+    segment-sum per magnitude level (exact integer f32 adds — the same
+    bound as the per-entry path, since tau/sigma are bucket-global)."""
+    entries = pattern.entries
+    row_len = {pr: np.zeros(pattern.row_sizes[pr], np.int64)
+               for pr in pattern.row_sizes}
+    for (pr, pc), (rows, cols) in entries.items():
+        W = values64[(pr, pc)]
+        np.add.at(row_len[pr], rows, W.shape[2])
+    L = max(int(v.max()) for v in row_len.values() if v.size) or 1
+    t, nchunks = _pick_t_spmv(L, bits)
+    levels = nchunks
+
+    # bucket-global tau per block-row position: pow2 >= max |W| over
+    # every block that writes into bucket pr
+    taus = {}
+    br_of = {}
+    for (pr, pc), _ in entries.items():
+        W = np.asarray(values64[(pr, pc)], np.float64)
+        br_of[pr] = W.shape[1]
+        m = np.abs(W).max(axis=(0, 2)) if len(W) else np.zeros(W.shape[1])
+        cur = taus.get(pr)
+        taus[pr] = m if cur is None else np.maximum(cur, m)
+    for pr in taus:
+        ex = np.frexp(taus[pr])[1]
+        taus[pr] = np.ldexp(1.0, ex)  # pow2 >= max; 1.0 for zero rows
+
+    # per bucket: unique blocks, entry order sorted by unique id, and
+    # static numpy group slices
+    prep = {}
+    for (pr, pc), (rows, cols) in entries.items():
+        W = np.asarray(values64[(pr, pc)], np.float64)
+        nnz, br, bc = W.shape
+        flat = np.ascontiguousarray(W).reshape(nnz, -1)
+        uniq, uid = np.unique(flat, axis=0, return_inverse=True)
+        U = uniq.reshape(-1, br, bc)
+        perm = np.argsort(uid, kind="stable")
+        bounds = np.searchsorted(uid[perm], np.arange(len(U) + 1))
+        # chunk unique blocks at the bucket tau, transposed for x @ W^T
+        r = U / taus[pr][None, :, None]
+        ch = []
+        for _ in range(nchunks):
+            r = r * (2.0 ** t)
+            c = np.rint(r)
+            ch.append(jnp.asarray(c.transpose(0, 2, 1), jnp.float32))
+            r = r - c
+        prep[(pr, pc)] = (jnp.asarray(rows[perm]),
+                          [jnp.asarray(cols[perm[bounds[u]:bounds[u + 1]]])
+                           for u in range(len(U))],
+                          [int(b) for b in bounds], ch)
+    tau_dev = {pr: jnp.asarray(taus[pr], jnp.float32) for pr in taus}
+    two = np.float32(2.0)
+
+    def apply_pair(xh: dict, xl: dict):
+        sig = {}
+        xc = {}
+        for pc in xh:
+            m = jnp.max(jnp.abs(xh[pc]))
+            _, ex = jnp.frexp(m)
+            sig[pc] = jnp.ldexp(jnp.float32(1.0), ex)
+            xc[pc] = df32.split_chunks(xh[pc], xl[pc],
+                                       sig[pc].reshape((1,) * xh[pc].ndim),
+                                       t, nchunks)
+        out = {}
+        for (pr, pc), (rows_p, cols_u, bounds, ch) in prep.items():
+            nnz = int(rows_p.shape[0])
+            br = ch[0].shape[2]
+            for lv in range(levels + 1):
+                s = None
+                for j in range(min(lv + 1, nchunks)):
+                    i = lv - j
+                    if i >= nchunks:
+                        continue
+                    parts = [jnp.matmul(xc[pc][j][cols_u[u]], ch[i][u],
+                                        precision="default")
+                             for u in range(len(cols_u))]
+                    g = jnp.concatenate(parts) if len(parts) > 1 \
+                        else parts[0]
+                    s = g if s is None else s + g
+                if s is None:
+                    continue
+                S = jax.ops.segment_sum(s, rows_p,
+                                        num_segments=pattern.row_sizes[pr])
+                out.setdefault(pr, []).append(
+                    (lv, S * (tau_dev[pr] * (two ** (-t * (lv + 2))))
+                     * sig[pc]))
+        res = {}
+        for pr, terms in out.items():
+            h = jnp.zeros((pattern.row_sizes[pr], br_of[pr]), jnp.float32)
+            lo = jnp.zeros_like(h)
+            for _, tm in sorted(terms, key=lambda it: -it[0]):
+                h, lo = df32.df_add(h, lo, tm)
+            res[pr] = (h, lo)
+        return ({pr: res[pr][0] for pr in res},
+                {pr: res[pr][1] for pr in res})
+
+    return apply_pair
+
+
+def blocksparse_exact_residual(A64, b64: dict, bits: int = 48,
+                               dedup: bool = False):
     """``residual_pair(xh, xl) -> (rh, rl)`` with ``r = b - A x`` for a
     host f64 BlockSparseMatrix ``A64`` — the general-matrix on-chip
     anchor (elasticity, adaptive hp, truncated obstacle systems)."""
     vals = {k: np.asarray(v, np.float64) for k, v in A64.values.items()}
-    app = blocksparse_exact_apply(A64.pattern, vals, bits=bits)
+    app = blocksparse_exact_apply(A64.pattern, vals, bits=bits, dedup=dedup)
     bh, bl = {}, {}
     for pk, v in b64.items():
         h, low = df32.df_from_f64(np.asarray(v, np.float64))
@@ -372,4 +487,40 @@ def blocksparse_exact_residual(A64, b64: dict, bits: int = 48):
         return rh, rl
 
     residual_pair.tree_mode = True  # bucket-dict pairs (refine driver)
+    return residual_pair
+
+
+def truncated_exact_residual(A64, bits: int = 48, dedup: bool = True):
+    """Exact-split residual of the TRUNCATED system ``A_tr = F A F +
+    (I - F)`` as a PARAMETRIC function of the free mask and rhs pair:
+
+        residual_pair(free, bh, bl, xh, xl) -> (rh, rl)
+        with  r = F (b - A (F x)) - (I - F) x
+
+    The identity lets the anchor reuse the UNtruncated matrix's chunk
+    store (built once here; with ``dedup`` a uniform lattice's matrix
+    chunks to a handful of stencil blocks) — truncation enters only as
+    exact 0/1 mask multiplies in pair arithmetic.  This is what makes a
+    VERIFIED deep-tolerance obstacle solve cheap: dune-tnnmg's truncated
+    linearization (partnnmgstep.hh:147-158) changes every active-set
+    update, but its exact anchor never needs re-chunking or re-tracing.
+
+    ``free``: bucket dict of 0/1 f32 masks (1 = free dof).  ``bh, bl``:
+    rhs pair of the truncated system (must be zero at active dofs)."""
+    vals = {k: np.asarray(v, np.float64) for k, v in A64.values.items()}
+    app = blocksparse_exact_apply(A64.pattern, vals, bits=bits,
+                                  dedup=dedup)
+
+    def residual_pair(free: dict, bh: dict, bl: dict, xh: dict, xl: dict):
+        xfh = {k: xh[k] * free[k] for k in xh}
+        xfl = {k: xl[k] * free[k] for k in xl}
+        yh, yl = app(xfh, xfl)
+        rh, rl = {}, {}
+        for k in yh:
+            h, lo = df32.df_sub_df(bh[k], bl[k], yh[k], yl[k])
+            act = 1.0 - free[k]
+            rh[k], rl[k] = df32.df_add_df(h * free[k], lo * free[k],
+                                          -(xh[k] * act), -(xl[k] * act))
+        return rh, rl
+
     return residual_pair

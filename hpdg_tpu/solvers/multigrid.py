@@ -442,12 +442,17 @@ def parametric_cycle(data: MultigridData, pre_steps: int = 3,
         def body(i, st):
             x, r, pdir, rz = st
             Ap = bm.matvec(M, pdir)
-            alpha = rz / jnp.maximum(bv.dot(pdir, Ap), 1e-300)
+            # guards must be dtype-safe: a 1e-300 floor underflows to 0
+            # in f32 and turns exact CG convergence into 0/0 = NaN
+            den = bv.dot(pdir, Ap)
+            alpha = jnp.where(den > 0, rz / jnp.where(den > 0, den, 1.0),
+                              0.0)
             x = bv.axpy(alpha, pdir, x)
             r = bv.axpy(-alpha, Ap, r)
             z = sm.apply_blockdiag(Dinv, r)
             rz_new = bv.dot(r, z)
-            beta = rz_new / jnp.maximum(rz, 1e-300)
+            beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0),
+                             0.0)
             pdir = bv.axpy(beta, pdir, z)
             return x, r, pdir, rz_new
 

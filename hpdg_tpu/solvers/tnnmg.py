@@ -390,3 +390,265 @@ def solve_tnnmg(A: bm.BlockSparseMatrix, b: dict, basis: DGBasis,
                 break
     history["iterations"] = len(history["correction"])
     return x, history
+
+
+# ---------------------------------------------------------------------
+# VERIFIED deep-tolerance obstacle solves: f32 TNNMG settles the active
+# set, then a primal-dual active-set loop solves each truncated linear
+# system on-chip with exact-split anchors (matrixfree.exact) to a
+# host-f64-verified free-dof residual — the TPU equivalent of the
+# reference's any-tolerance f64 solveObstacle (solve.hh:40-124).
+# ---------------------------------------------------------------------
+
+def _np_matvec(A64, x64: dict) -> dict:
+    """Host f64 SpMV in plain numpy (no device, no x64 flag needed)."""
+    pattern = A64.pattern
+    out = {pr: np.zeros((pattern.row_sizes[pr],
+                         np.asarray(A64.values[(pr, pr)]).shape[1]))
+           for pr in pattern.row_sizes}
+    for (pr, pc), (rows, cols) in pattern.entries.items():
+        W = np.asarray(A64.values[(pr, pc)], np.float64)
+        g = np.einsum("nij,nj->ni", W, x64[pc][cols])
+        np.add.at(out[pr], rows, g)
+    return out
+
+
+def _truncated_refine_prog(res_par, cycle, chain_k: int, max_steps: int):
+    """The inner linear solve of one active-set iteration as ONE
+    lax.while_loop program, PARAMETRIC in everything that changes per
+    outer iteration (level matrices, diag inverses, free masks, rhs
+    pair, tolerance) — so the program jits exactly once per problem.
+
+    Per refinement step: exact-split truncated residual (accurate to
+    ~2^-48 of |A||x|), normalize, ``chain_k`` f32 V-cycles from zero on
+    the truncated hierarchy, accumulate into the double-f32 solution
+    pair.  Returns (xh, xl, history, steps)."""
+    from hpdg_tpu.utils.df32 import df_add
+
+    def prog(mats, dinvs, free, bh, bl, tol_cut, xh0):
+        keys = sorted(bh.keys())
+
+        def refstep(xh, xl):
+            rh, rl = res_par(free, bh, bl, xh, xl)
+            nr = jnp.sqrt(sum(jnp.vdot(rh[k], rh[k]) for k in keys))
+            inv = jnp.where(nr > 0, 1.0 / nr, 0.0).astype(jnp.float32)
+            rhs = {k: rh[k] * inv for k in keys}
+
+            def chain(_):
+                x = {k: jnp.zeros_like(rh[k]) for k in keys}
+                for _ in range(chain_k):
+                    x = cycle(mats, dinvs, x, rhs)
+                return x
+
+            c = jax.lax.cond(nr <= tol_cut,
+                             lambda _: {k: jnp.zeros_like(rh[k])
+                                        for k in keys}, chain, None)
+            xh2, xl2 = {}, {}
+            for k in keys:
+                xh2[k], xl2[k] = df_add(xh[k], xl[k], nr * c[k])
+            return xh2, xl2, nr
+
+        def cond(st):
+            _, _, h, k = st
+            prev = jnp.where(k == 0, jnp.float32(np.inf),
+                             h[jnp.maximum(k - 1, 0)])
+            return (k < max_steps) & (prev > tol_cut)
+
+        def body(st):
+            xh, xl, h, k = st
+            xh, xl, nr = refstep(xh, xl)
+            return xh, xl, h.at[k].set(nr), k + 1
+
+        hist0 = jnp.zeros(max_steps, jnp.float32)
+        return jax.lax.while_loop(
+            cond, body,
+            (xh0, jax.tree.map(jnp.zeros_like, xh0), hist0, jnp.int32(0)))
+
+    return prog
+
+
+def solve_obstacle_verified(A64, b64: dict, basis: DGBasis, lo, up,
+                            tol: float = 1e-8, *, maxiter: int = 40,
+                            stall_window: int = 3, pre_sweeps: int = 1,
+                            max_outer: int = 6, chain_k: int = 8,
+                            max_steps: int = 12, mg_pre_steps: int = 3,
+                            mg_post_steps: int = 3, dedup: bool = True,
+                            meshes: list | None = None,
+                            n_runs: int = 1, verbose: bool = False):
+    """Obstacle problem solved to a VERIFIED f64 free-dof residual.
+
+    Two phases, both entirely on-chip:
+
+    1. fused f32 TNNMG (``tnnmg_fused_solver``) runs to its correction
+       floor — fast, and it settles the contact set;
+    2. a primal-dual active-set loop: per outer iteration the truncated
+       linear system ``F A F y = F (b - A x_act)`` is solved by
+       iterative refinement whose anchors are exact-split residuals of
+       the UNtruncated matrix with 0/1 masks applied in pair arithmetic
+       (matrixfree.exact.truncated_exact_residual — chunk store built
+       once, never re-traced), then the active set is updated by the
+       PDAS rule ``active_lo = {lambda + c (lo - x) > 0}`` with
+       ``lambda = A x - b`` computed in host f64.
+
+    Terminates when the active set is stationary; the returned
+    ``info["free_residual"]`` / ``info["feasible"]`` /
+    ``info["complementarity"]`` are measured host-f64 quantities, and
+    ``info["verified"]`` is True iff the free-dof residual met ``tol``
+    relative to ``||b||`` with feasibility intact.
+
+    Reference: solveObstacle runs TNNMG in host f64 to any tolerance
+    (buildingblocks/solve.hh:40-124); here phase 1 is the TNNMG analog
+    and phase 2 supplies the deep tolerance that f32 device arithmetic
+    alone cannot reach.
+    """
+    import time as _time
+    from hpdg_tpu.matrixfree.exact import truncated_exact_residual
+    from hpdg_tpu.solvers.cg import hoist_constants
+    from hpdg_tpu.solvers.multigrid import (multigrid_solver,
+                                            setup_hierarchy,
+                                            parametric_cycle)
+    from hpdg_tpu.utils.df32 import df_from_f64, df_to_f64
+
+    f32 = jnp.float32
+    keys = sorted(b64.keys())
+    b64np = {k: np.asarray(b64[k], np.float64) for k in keys}
+    nb = float(np.sqrt(sum(float(np.vdot(v, v)) for v in b64np.values())))
+    lo64 = {k: np.asarray(lo[k], np.float64) for k in keys}
+    up64 = {k: np.asarray(up[k], np.float64) for k in keys}
+    A32 = bm.BlockSparseMatrix(
+        A64.pattern, A64.dim,
+        {k: jnp.asarray(np.asarray(v), f32) for k, v in A64.values.items()},
+        A64.block_shape)
+    b32 = {k: jnp.asarray(b64np[k], f32) for k in keys}
+    lo32 = {k: jnp.asarray(lo64[k], f32) for k in keys}
+    up32 = {k: jnp.asarray(up64[k], f32) for k in keys}
+
+    # PDAS scale c: the mean diagonal entry of A (units of A)
+    diag = bm.extract_diagonal(A32)
+    cscale = float(np.mean([float(jnp.mean(jnp.abs(
+        jnp.diagonal(diag[p], axis1=1, axis2=2)))) for p in diag]))
+
+    # ---- phase 1: fused f32 TNNMG to the correction floor ----
+    mg_step, _ = multigrid_solver(basis, A32, meshes=meshes, dtype=f32)
+    solver1 = tnnmg_fused_solver(A32, b32, basis, lo32, up32,
+                                 mg_step=mg_step, tol=1e-6 * nb,
+                                 maxiter=maxiter, pre_sweeps=pre_sweeps,
+                                 stall_window=stall_window)
+
+    # ---- phase 2 machinery, built/traced ONCE ----
+    res_par = truncated_exact_residual(A64, dedup=dedup)
+    free_all = {k: jnp.ones(b32[k].shape, bool) for k in keys}
+    data = setup_hierarchy(basis, truncated_matrix(A32, free_all),
+                           meshes=meshes, dtype=f32)
+    cycle = parametric_cycle(data, pre_steps=mg_pre_steps,
+                             post_steps=mg_post_steps, dtype=f32)
+    prog = _truncated_refine_prog(res_par, cycle, chain_k, max_steps)
+    dinvs0 = [sm.inverse_diagonal_blocks(M) for M in data.matrices]
+    free0f = {k: jnp.ones(b32[k].shape, f32) for k in keys}
+    bh0, bl0 = {}, {}
+    for k in keys:
+        h, low = df_from_f64(b64np[k])
+        bh0[k], bl0[k] = jnp.asarray(h), jnp.asarray(low)
+    xh0 = {k: jnp.zeros(b32[k].shape, f32) for k in keys}
+    g, consts = hoist_constants(prog, data.matrices, dinvs0, free0f,
+                                bh0, bl0, f32(tol * nb), xh0)
+    jprog = jax.jit(g)
+    # warm the compile with a zero-step run (tol_cut = inf)
+    jax.block_until_ready(jprog(consts, data.matrices, dinvs0, free0f,
+                                bh0, bl0, f32(np.inf), xh0)[3])
+
+    def one_solve():
+        t0 = _time.perf_counter()
+        x32, hist1 = solver1()
+        x64 = {k: np.asarray(v, np.float64) for k, v in x32.items()}
+        free_np = None
+        outer_hist = []
+        for outer in range(max_outer):
+            Ax = _np_matvec(A64, x64)
+            lam = {k: Ax[k] - b64np[k] for k in keys}  # lambda = A x - b
+            act_lo = {k: np.isfinite(lo64[k])
+                      & (lam[k] + cscale * (lo64[k] - x64[k]) > 0)
+                      for k in keys}
+            act_up = {k: np.isfinite(up64[k]) & ~act_lo[k]
+                      & (-lam[k] + cscale * (x64[k] - up64[k]) > 0)
+                      for k in keys}
+            free_new = {k: ~(act_lo[k] | act_up[k]) for k in keys}
+            if free_np is not None and all(
+                    np.array_equal(free_new[k], free_np[k]) for k in keys):
+                break  # active set stationary: converged
+            free_np = free_new
+            x_act = {k: np.where(act_lo[k], lo64[k],
+                                 np.where(act_up[k], up64[k], 0.0))
+                     for k in keys}
+            Axa = _np_matvec(A64, x_act)
+            b_tr = {k: free_new[k] * (b64np[k] - Axa[k]) for k in keys}
+            freeb = {k: jnp.asarray(free_new[k]) for k in keys}
+            data.renew(truncated_matrix(A32, freeb), dtype=f32)
+            dinvs = [sm.inverse_diagonal_blocks(M) for M in data.matrices]
+            freef = {k: jnp.asarray(free_new[k], f32) for k in keys}
+            bh, bl = {}, {}
+            for k in keys:
+                h, low = df_from_f64(b_tr[k])
+                bh[k], bl[k] = jnp.asarray(h), jnp.asarray(low)
+            out = jprog(consts, data.matrices, dinvs, freef, bh, bl,
+                        f32(tol * nb), xh0)
+            xh, xl, h, ksteps = jax.device_get(out)
+            nsteps = int(ksteps)
+            y64 = {k: df_to_f64(xh[k], xl[k]) for k in keys}
+            x64 = {k: x_act[k] + free_new[k] * y64[k] for k in keys}
+            ntr = int(sum(int(np.sum(~free_new[k])) for k in keys))
+            outer_hist.append({
+                "steps": nsteps, "truncated": ntr,
+                "anchored": [float(v) / nb for v in h[:nsteps]]})
+            if verbose:
+                print(f"pdas outer={outer} trunc={ntr} steps={nsteps} "
+                      f"r={outer_hist[-1]['anchored'][-1:]}")
+        # ---- host f64 verification ----
+        r64 = {k: b64np[k] - v for k, v in _np_matvec(A64, x64).items()}
+        free_res = float(np.sqrt(sum(
+            float(np.vdot(r64[k][free_np[k]], r64[k][free_np[k]]))
+            for k in keys))) / nb
+        feas_tol = 1e-10 * (1.0 + max(
+            float(np.max(np.abs(x64[k]))) for k in keys))
+        feasible = all(
+            bool(np.all(x64[k] >= np.where(np.isfinite(lo64[k]),
+                                           lo64[k] - feas_tol, -np.inf)))
+            and bool(np.all(x64[k] <= np.where(np.isfinite(up64[k]),
+                                               up64[k] + feas_tol, np.inf)))
+            for k in keys)
+        # complementarity: max wrong-signed multiplier on active dofs
+        comp = 0.0
+        for k in keys:
+            lam = -r64[k]  # lambda = A x - b
+            if np.any(~free_np[k]):
+                at_lo = ~free_np[k] & np.isfinite(lo64[k]) \
+                    & (np.abs(x64[k] - lo64[k]) <= feas_tol)
+                at_up = ~free_np[k] & ~at_lo
+                if np.any(at_lo):
+                    comp = max(comp, float(np.max(
+                        np.maximum(-lam[at_lo], 0.0))) / nb)
+                if np.any(at_up):
+                    comp = max(comp, float(np.max(
+                        np.maximum(lam[at_up], 0.0))) / nb)
+        seconds = _time.perf_counter() - t0
+        info = {"tnnmg": hist1, "outer": outer_hist,
+                "free_residual": free_res, "feasible": feasible,
+                "complementarity": comp, "seconds": seconds,
+                "truncated": (outer_hist[-1]["truncated"]
+                              if outer_hist else 0),
+                "verified": feasible and free_res <= tol}
+        return x64, info
+
+    best_x, best = one_solve()
+    runs = [{"seconds": round(best["seconds"], 3),
+             "free_residual": float(f"{best['free_residual']:.3e}")}]
+    for _ in range(n_runs - 1):
+        x64, info = one_solve()
+        runs.append({"seconds": round(info["seconds"], 3),
+                     "free_residual": float(f"{info['free_residual']:.3e}")})
+        if (info["verified"] and not best["verified"]) or (
+                info["verified"] == best["verified"]
+                and info["seconds"] < best["seconds"]):
+            best_x, best = x64, info
+    best["runs"] = runs
+    return best_x, best

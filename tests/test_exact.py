@@ -296,11 +296,11 @@ def test_onchip_refinement_fused_matches_stepwise():
 # ---------------- block-sparse exact apply (general matrices) ----------
 
 
-def _exact_vs_matvec(A64, x64d):
+def _exact_vs_matvec(A64, x64d, dedup=False):
     from hpdg_tpu.matrixfree.exact import blocksparse_exact_apply
     from hpdg_tpu.linalg import blockmatrix as bm
     vals = {k: np.asarray(v, np.float64) for k, v in A64.values.items()}
-    app = blocksparse_exact_apply(A64.pattern, vals)
+    app = blocksparse_exact_apply(A64.pattern, vals, dedup=dedup)
     xh, xl, x64 = {}, {}, {}
     for k, v in x64d.items():
         h, lo = df32.df_from_f64(v)
@@ -395,6 +395,63 @@ def test_onchip_refinement_blocksparse_elasticity():
             host_residual=host_res, fused=fused)
         assert info["verified"], (fused, info)
         assert info["rel_residual"] <= 1e-8
+
+
+def test_blocksparse_exact_dedup_matches():
+    """The deduplicated chunk store (per UNIQUE block) matches f64 on a
+    uniform lattice, where batched assembly makes interior blocks
+    bitwise equal — the store that keeps 1M-DOF anchors in HBM."""
+    from hpdg_tpu.assemble import assemble_laplace
+    from hpdg_tpu.matrixfree.exact import _blocksparse_exact_apply_dedup
+    m = hmesh.structured((5, 4))
+    basis = DGBasis(m, np.full(m.n_elements, 3))
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                         dtype=jnp.float64)
+    rng = np.random.default_rng(13)
+    x = {3: rng.standard_normal((m.n_elements, 16))
+         * np.exp(3 * rng.standard_normal((m.n_elements, 1)))}
+    rel = _exact_vs_matvec(A, x, dedup=True)
+    assert rel < 2e-12, rel
+    # the dedup store really is small: unique diagonal blocks ~ the 9
+    # boundary configurations of a 2D lattice, not n_elements
+    vals = {k: np.asarray(v, np.float64) for k, v in A.values.items()}
+    W = vals[(3, 3)][:m.n_elements]
+    nu = len(np.unique(W.reshape(len(W), -1), axis=0))
+    assert nu <= 9, nu
+
+
+def test_truncated_exact_residual_matches_f64():
+    """Masked exact residual == f64 residual of the truncated system
+    F A F + (I - F): the anchor of verified obstacle solves."""
+    from hpdg_tpu.assemble import assemble_laplace
+    from hpdg_tpu.matrixfree.exact import truncated_exact_residual
+    from hpdg_tpu.solvers.tnnmg import truncated_matrix
+    from hpdg_tpu.linalg import blockmatrix as bm
+    m = hmesh.structured((4, 4))
+    basis = DGBasis(m, np.full(m.n_elements, 2))
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                         dtype=jnp.float64)
+    rng = np.random.default_rng(14)
+    n, bs = m.n_elements, 9
+    free_np = rng.random((n, bs)) > 0.3
+    x64 = {2: rng.standard_normal((n, bs))}
+    b64 = {2: rng.standard_normal((n, bs)) * free_np}
+    # f64 oracle: truncated matrix residual
+    A_tr = truncated_matrix(A, {2: jnp.asarray(free_np)})
+    r_ref = np.asarray(b64[2]) - np.asarray(
+        bm.matvec(A_tr, {2: jnp.asarray(x64[2])})[2])
+    for dedup in (False, True):
+        res_par = truncated_exact_residual(A, dedup=dedup)
+        xh, xl = df32.df_from_f64(x64[2])
+        bh, bl = df32.df_from_f64(b64[2])
+        rh, rl = jax.jit(res_par)(
+            {2: jnp.asarray(free_np, jnp.float32)},
+            {2: jnp.asarray(bh)}, {2: jnp.asarray(bl)},
+            {2: jnp.asarray(xh)}, {2: jnp.asarray(xl)})
+        got = df32.df_to_f64(np.asarray(rh[2]), np.asarray(rl[2]))
+        rel = float(np.linalg.norm(got - r_ref)
+                    / max(np.linalg.norm(r_ref), 1e-300))
+        assert rel < 5e-12, (dedup, rel)
 
 
 def test_solve_linear_onchip_method():

@@ -168,3 +168,24 @@ def test_tnnmg_fused_rejects_truncate_hierarchy():
     with pytest.raises(ValueError):
         solve_tnnmg(A, b, basis, lo, up, fused=True,
                     truncate_hierarchy=True)
+
+
+def test_solve_obstacle_verified_reaches_1e8():
+    """Phase-1 f32 TNNMG + PDAS with on-chip exact-split anchors must
+    produce a VERIFIED f64 free-dof residual <= 1e-8 (the deep-tolerance
+    bar the f32 correction floor alone cannot meet; solve.hh:40-124
+    solves to any requested tol in f64)."""
+    from hpdg_tpu.solvers.tnnmg import solve_obstacle_verified
+    basis, A, b, lo, up = setup_problem(8, 2)
+    x64, info = solve_obstacle_verified(A, b, basis, lo, up, tol=1e-8,
+                                        maxiter=30, max_outer=6)
+    assert info["verified"], info
+    assert info["free_residual"] <= 1e-8
+    assert info["feasible"]
+    assert info["complementarity"] <= 1e-8
+    assert info["truncated"] > 0  # contact zone exists
+    # matches a deep f64 TNNMG solve of the same problem
+    x_ref, _ = solve_tnnmg(A, b, basis, lo, up, tol=1e-12, maxiter=200)
+    for p in x64:
+        err = np.max(np.abs(x64[p] - np.asarray(x_ref[p])))
+        assert err < 1e-7, err
