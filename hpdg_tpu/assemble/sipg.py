@@ -194,7 +194,10 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
     ``sigma1``: gradient-jump stabilization
     sigma1/|f| (grad phi_i . n)(grad phi_j . n) on interior faces
     (variableipdg.hh:330-351; boundary faces are unaffected there too).
-    Supported on axis-aligned box meshes with scalar media.
+    Geometry-generic: on curved/affine meshes and tensor media the
+    jump uses per-point physical gradients and unit normals
+    (mesh.geometry.face_grad_jump_geometry), exceeding the reference's
+    center-normal approximation (variableipdg.hh:286).
 
     ``diffusion``: optional vectorized coefficient ``K(x)`` taking an
     array ``(..., dim)`` of physical points and returning values of
@@ -236,10 +239,6 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
         probe = np.asarray(diffusion(jnp.full((1, dim), 0.5, dtype)))
         kmat = kmat or probe.ndim >= 3
     theta = dg_theta(dg_form)
-    if sigma1 != 0.0 and kmat:
-        raise NotImplementedError(
-            "sigma1 gradient-jump stabilization: box meshes with scalar "
-            "media only (matches the reference's own usage scope)")
     # under a uniform rescale s the sigma1 term scales as s^-2:
     # |f| ~ s^(d-1) cancels 1/|f|, each (grad . n) contributes 1/s
     s1pow = gs ** (-2)
@@ -385,6 +384,29 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                        - theta * jnp.einsum("fq,fiq,jq->fij", half, KDo,
                                             J(Vi))
                        - pen * BVio.T[None])
+                if sigma1 != 0.0:
+                    # geometry-generic gradient-jump stabilization
+                    # sigma1/|f|_phys int [grad u . n][grad v . n] ds
+                    # (variableipdg.hh:330-351, per-point normals):
+                    # plain physical gradients, no K folded in
+                    xpo_s1 = (xpo if affine else face_phys_points(
+                        basis, fg, fin["points"], side="out"))
+                    sn_i, sn_o, zs = geo.face_grad_jump_geometry(
+                        mesh, fg, xp, xpo_s1)
+                    s_in = np.einsum("biq,fqb->fiq", fin["Dall"], sn_i)
+                    s_out = np.einsum("biq,fqb->fiq", fout["Dall"], sn_o)
+                    zsw = zs * w[None, :]
+                    emeas = zsw.sum(axis=1)
+                    cfq = J((s1pow * sigma1 / emeas)[:, None] * zsw)
+                    s_in, s_out = J(s_in), J(s_out)
+                    M11 = M11 + jnp.einsum("fq,fiq,fjq->fij", cfq,
+                                           s_in, s_in)
+                    M22 = M22 + jnp.einsum("fq,fiq,fjq->fij", cfq,
+                                           s_out, s_out)
+                    M12 = M12 - jnp.einsum("fq,fiq,fjq->fij", cfq,
+                                           s_in, s_out)
+                    M21 = M21 - jnp.einsum("fq,fiq,fjq->fij", cfq,
+                                           s_out, s_in)
             else:
                 kzi = k * wj[None, :] * c_in[:, None]  # -0.5 |f|/h_in K w
                 kzo = k * wj[None, :] * c_out[:, None]

@@ -219,7 +219,9 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
     ``dg_form``: "sipg" | "iipg" | "nipg" (or theta float) — symmetry
     factor of the consistency terms (variableipdg.hh:33,177,328-351).
     ``sigma1``: gradient-jump stabilization on interior faces
-    (variableipdg.hh:330-351); box meshes with scalar media.
+    (variableipdg.hh:330-351); geometry-generic (curved meshes and
+    tensor media use per-point physical gradients and unit normals,
+    mesh.geometry.face_grad_jump_geometry).
     """
     from hpdg_tpu.assemble.sipg import dg_theta
     plan = plan or build_plan(basis)
@@ -228,10 +230,6 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
     affine = geo.has_affine(mesh)
     kmat = _is_tensor_coefficient(diffusion, dim, dtype) or affine
     theta = dg_theta(dg_form)
-    if sigma1 != 0.0 and kmat:
-        raise NotImplementedError(
-            "sigma1 gradient-jump stabilization: box meshes with scalar "
-            "media only")
     bulk = laplace_bulk_operator(basis, diffusion=diffusion, dtype=dtype)
     groups = _face_prep(basis, plan, dtype)
 
@@ -263,6 +261,14 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                 mesh, ein, None, g["xpq"]))
             g["keff_out"] = np.asarray(geo.effective_tensor(
                 mesh, eout, None, g["xpq_out"]))
+        if sigma1 != 0.0 and kmat:
+            # geometry-generic gradient-jump traces (per-point physical
+            # gradients / unit normal; host constants)
+            sn_i, sn_o, zs = geo.face_grad_jump_geometry(
+                mesh, fg, g["xpq"], g["xpq_out"])
+            zsw = zs * g["w"][None, :]
+            g["s1_cw"] = (sigma1 / zsw.sum(axis=1))[:, None] * zsw
+            g["s1_sn_in"], g["s1_sn_out"] = sn_i, sn_o
 
     bgroups = []
     if dirichlet:
@@ -342,13 +348,27 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                 t1_in = zw * (-avg) + penw * jump
                 t1_out = zw * avg - penw * jump
                 t2b = zw * (0.5 * theta * jump)
-                contribs[fg.p_in].append(
-                    t1_in @ Vi.T
-                    + jnp.einsum("fq,fqb,fb,biq->fi", t2b, Kai, ihi, Dalli))
+                c_in = (t1_in @ Vi.T
+                        + jnp.einsum("fq,fqb,fb,biq->fi", t2b, Kai, ihi,
+                                     Dalli))
+                c_out = (t1_out @ Vo.T
+                         + jnp.einsum("fq,fqb,fb,biq->fi", t2b, Kao, iho,
+                                      Dallo))
+                if sigma1 != 0.0:
+                    # gradient-jump: plain physical gradient traces (no
+                    # K), per-point unit normal, weighted by
+                    # sigma1/|f|_phys * ds (host-precomputed s1_cw)
+                    sn_i, sn_o = J(g["s1_sn_in"]), J(g["s1_sn_out"])
+                    gin = jnp.einsum("fbq,fqb->fq", duin, sn_i)
+                    gout = jnp.einsum("fbq,fqb->fq", duout, sn_o)
+                    gj = J(g["s1_cw"]) * (gin - gout)
+                    c_in = c_in + jnp.einsum("fq,fqb,biq->fi", gj, sn_i,
+                                             Dalli)
+                    c_out = c_out - jnp.einsum("fq,fqb,biq->fi", gj, sn_o,
+                                               Dallo)
+                contribs[fg.p_in].append(c_in)
                 targets[fg.p_in].append(fg.in_pos)
-                contribs[fg.p_out].append(
-                    t1_out @ Vo.T
-                    + jnp.einsum("fq,fqb,fb,biq->fi", t2b, Kao, iho, Dallo))
+                contribs[fg.p_out].append(c_out)
                 targets[fg.p_out].append(fg.out_pos)
                 continue
             dninq = (u_in @ Di) * J(fg.inv_h_in)[:, None]

@@ -319,6 +319,52 @@ def _det_center(mesh: Mesh, elems) -> np.ndarray:
     return detj_phys(mesh, elems)
 
 
+def face_grad_jump_geometry(mesh: Mesh, fg, xp_in, xp_out):
+    """Per-point geometry of the sigma1 gradient-jump stabilization
+    sigma1/|f| * integral [grad u . n][grad v . n] ds on general
+    (affine / trilinear / box) meshes — the geometry-generic analog of
+    the reference's per-point jacobianInverseTransposed + unit-normal
+    construction (variableipdg.hh:286-351; the reference takes the
+    normal at the face center, here it is per quadrature point, exact
+    on curved faces).
+
+    ``xp_in`` / ``xp_out``: GLOBAL parametric face quadrature points of
+    the inside / outside elements, (f, q, d).
+
+    Returns ``(sn_in, sn_out, zs)``:
+
+    * ``sn_in[f, q, b]`` — contraction vector such that the physical
+      normal derivative of inside basis function i is
+      ``sum_b Dall_in[b, i, q] * sn_in[f, q, b]`` with ``Dall`` the
+      element-local (unit-cube) derivative tables:
+      ``sn = (J^-1 n) / h`` per point, n the inside-side unit normal.
+    * ``sn_out`` — the same for the outside element (same n).
+    * ``zs[f, q]`` — physical surface measure per point EXCLUDING the
+      quadrature weight (parametric face measure x Nanson factor,
+      symmetric mean of the two sides);
+      ``|f|_phys = (w[None, :] * zs).sum(axis=1)``.
+    """
+    ein = mesh.faces.inside[fg.face_ids]
+    eout = mesh.faces.outside[fg.face_ids]
+    ax = int(fg.axis)
+    J_in = jacobians(mesh, ein, xp_in)           # (f, q, d, d)
+    J_out = jacobians(mesh, eout, xp_out)
+    Ji_in = np.linalg.inv(J_in)
+    Ji_out = np.linalg.inv(J_out)
+    nrm = Ji_in[:, :, ax, :]                     # J^-T e_ax rows
+    nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)
+    nrm = nrm / nlen
+    sn_in = (np.einsum("fqba,fqa->fqb", Ji_in, nrm)
+             / mesh.extent[ein][:, None, :])
+    sn_out = (np.einsum("fqba,fqa->fqb", Ji_out, nrm)
+              / mesh.extent[eout][:, None, :])
+    g_in = np.abs(np.linalg.det(J_in)) * nlen[..., 0]
+    g_out = (np.abs(np.linalg.det(J_out))
+             * np.linalg.norm(Ji_out[:, :, ax, :], axis=-1))
+    zs = 0.5 * (g_in + g_out) * np.asarray(fg.fmeas)[:, None]
+    return sn_in, sn_out, zs
+
+
 def boundary_penalty_geometry(mesh: Mesh, bg):
     """(fmeas_phys, inv_h_phys) for a boundary group."""
     elems = mesh.bfaces.elem[bg.face_ids]

@@ -139,20 +139,17 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
     the symmetry factor of the consistency terms, the reference's
     dgType_ (variableipdg.hh:33,177,328-351).
     ``sigma1``: gradient-jump stabilization
-    sigma1/|f| * (grad phi_i . n)(grad phi_j . n) on interior faces
+    sigma1/|f|_phys * (grad phi_i . n)(grad phi_j . n) on interior faces
     (variableipdg.hh:330-351; it does not affect boundary faces).
-    Supported on axis-aligned box meshes (the curved-geometry
-    generalization is out of the reference's scope as well: its fast
-    Gauss-Lobatto assembler carries no sigma1 at all).
+    Geometry-generic: per-point physical gradients and unit normals,
+    |f|_phys the quadrature surface measure (symmetric mean of the two
+    sides' Nanson factors) — the convention the fast assembler and the
+    sum-factorized apply implement.
     """
     mesh = basis.mesh
     dim = mesh.dim
     K = diffusion or (lambda x: 1.0)
     theta = dg_theta(dg_form)
-    if sigma1 != 0.0 and (getattr(mesh, "jac", None) is not None
-                          or getattr(mesh, "corners", None) is not None):
-        raise NotImplementedError(
-            "sigma1 gradient-jump stabilization: box meshes only")
     A = np.zeros((basis.ndof, basis.ndof))
 
     # ---- bulk ----
@@ -207,6 +204,14 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
                      * 0.5 * (gic / (dic * hi[ax]) + goc / (doc * ho[ax])))
         oi, no = basis.offsets[ei], basis.block_sizes[ei]
         oo, mo = basis.offsets[eo], basis.block_sizes[eo]
+        if sigma1 != 0.0:
+            # gradient-jump blocks accumulate separately: the 1/|f|_phys
+            # factor needs the full quadrature surface measure first
+            S11 = np.zeros((no, no))
+            S12 = np.zeros((no, mo))
+            S21 = np.zeros((mo, no))
+            S22 = np.zeros((mo, mo))
+            emeas_acc = 0.0
         tang = [a for a in range(dim) if a != ax]
         # parametric adjacency: lattice-style meshes share one global
         # parametric chart (intersection logic covers 2:1 hanging
@@ -269,20 +274,27 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
                        - 0.5 * theta * np.outer(dno, vo)) \
                 + zp * np.outer(vo, vo)
             if sigma1 != 0.0:
-                # sigma1 z / |f| (grad v_i . n)(grad v_j . n), jump-jump
-                # sign pattern [+,-;-,+] (variableipdg.hh:330-351); plain
-                # gradients, no K (reference multiplies none in)
+                # sigma1 z / |f|_phys (grad v_i . n)(grad v_j . n),
+                # jump-jump sign pattern [+,-;-,+]
+                # (variableipdg.hh:330-351); plain PHYSICAL gradients
+                # with the per-point unit normal, no K folded in
                 pgi = Gi @ nrm_i
                 pgo = Go @ nrm_i
-                zs = sigma1 * tw[q] * fmeas / fmeas  # box: |f_param|=|f|
-                M11 += zs * np.outer(pgi, pgi)
-                M12 -= zs * np.outer(pgi, pgo)
-                M21 -= zs * np.outer(pgo, pgi)
-                M22 += zs * np.outer(pgo, pgo)
+                emeas_acc += z
+                S11 += z * np.outer(pgi, pgi)
+                S12 -= z * np.outer(pgi, pgo)
+                S21 -= z * np.outer(pgo, pgi)
+                S22 += z * np.outer(pgo, pgo)
             A[oi:oi + no, oi:oi + no] += M11
             A[oi:oi + no, oo:oo + mo] += M12
             A[oo:oo + mo, oi:oi + no] += M21
             A[oo:oo + mo, oo:oo + mo] += M22
+        if sigma1 != 0.0:
+            cs1 = sigma1 / emeas_acc
+            A[oi:oi + no, oi:oi + no] += cs1 * S11
+            A[oi:oi + no, oo:oo + mo] += cs1 * S12
+            A[oo:oo + mo, oi:oi + no] += cs1 * S21
+            A[oo:oo + mo, oo:oo + mo] += cs1 * S22
 
     # ---- Dirichlet boundary faces ----
     if dirichlet:
