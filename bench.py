@@ -230,12 +230,47 @@ def main():
             log(f"# matrix-free bench {n2}^3 failed: {e}")
         del xmf
 
+    # ---- roofline model for the applies (r4 verdict item 7) ----
+    # Approximate v5e (TPU v5 lite) peaks; classification thresholds are
+    # coarse on purpose — the point is to make bandwidth- vs compute- vs
+    # dispatch-bound VISIBLE in the artifact, not to claim 3 digits.
+    PEAK_F32_TFLOPS = 49.0   # ~bf16 peak (197) / 4: honest-f32 passes
+    PEAK_HBM_GBS = 819.0     # v5e HBM bandwidth
+
+    def roofline(dofs_per_s, flops_per_dof, bytes_per_dof):
+        """Effective TFLOP/s + GB/s of an apply and which roof (if any)
+        it touches.  flops: dense-stencil-equivalent useful work per DOF
+        (the operator y = A x, not internal algorithm flops); bytes: the
+        minimal-traffic model (x read once + y written once)."""
+        tflops = dofs_per_s * flops_per_dof / 1e12
+        gbs = dofs_per_s * bytes_per_dof / 1e9
+        fc = tflops / PEAK_F32_TFLOPS
+        fb = gbs / PEAK_HBM_GBS
+        bound = ("compute" if fc >= 0.4 else
+                 "bandwidth" if fb >= 0.4 else
+                 "dispatch/latency (far from both roofs)")
+        return {"tflops": round(tflops, 3), "gbs": round(gbs, 2),
+                "peak_compute_frac": round(fc, 4),
+                "peak_bw_frac": round(fb, 4), "bound": bound}
+
+    # dense-stencil-equivalent flops/DOF of the SIPG apply: (2*dim+1)
+    # GEMMs of bs^2 per element = 7 * (p+1)^3 * 2 flops per dof
+    FLOPS_PER_DOF = 2 * (2 * 3 + 1) * (p + 1) ** 3
+    BYTES_PER_DOF = 8.0  # f32 x read + y write (min-traffic model)
+
     asm = jax.jit(lambda s: assemble_laplace(
         basis, penalty=2.0, dirichlet=True, plan=plan, dtype=dtype,
         geom_scale=s).values)
     t_asm = timeit(asm, jnp.float32(1.0))
     asm_rate = ndof / t_asm
-    log(f"# assembly: {t_asm*1e3:.2f} ms -> {asm_rate:,.0f} DOF/s")
+    # assembly is HBM-WRITE-bound: bytes written = the matrix itself
+    nnz_blocks = sum(len(rows) for rows, _ in plan.pattern.entries.values()) \
+        if hasattr(plan, "pattern") else 7 * mesh.n_elements
+    asm_bytes = nnz_blocks * (p + 1) ** 6 * 4
+    asm_gbs = asm_bytes / t_asm / 1e9
+    log(f"# assembly: {t_asm*1e3:.2f} ms -> {asm_rate:,.0f} DOF/s "
+        f"({asm_gbs:.0f} GB/s matrix write, "
+        f"{asm_gbs/PEAK_HBM_GBS:.0%} of HBM peak)")
 
     # ---- extra: GENERAL-mesh (hanging-node) matrix-free apply ----
     # the r2-verdict item-5 artifact: the adaptive-mesh apply has no
@@ -764,6 +799,18 @@ def main():
         key = {"pallas": "apply", "mf": "mf_apply"}[kind]
         out[f"{key}_dofs_per_s_{n2}cubed"] = round(rate_a, 1)
         out[f"{key}_ms_runs_{n2}cubed"] = t_list
+        rl = roofline(rate_a, FLOPS_PER_DOF, BYTES_PER_DOF)
+        out[f"{key}_tflops_{n2}cubed"] = rl["tflops"]
+        out[f"{key}_gbs_{n2}cubed"] = rl["gbs"]
+        out[f"{key}_model_bound_{n2}cubed"] = rl["bound"]
+    out["apply_flops_per_dof"] = FLOPS_PER_DOF
+    out["apply_bytes_per_dof_model"] = BYTES_PER_DOF
+    out["assembly_matrix_write_gbs"] = round(asm_gbs, 1)
+    out["assembly_model_bound"] = (
+        "bandwidth (matrix write)" if asm_gbs / PEAK_HBM_GBS >= 0.25
+        else "dispatch/latency")
+    out["roofline_peaks"] = {"f32_tflops": PEAK_F32_TFLOPS,
+                             "hbm_gbs": PEAK_HBM_GBS}
     el = extra_results.get("elasticity")
     if el:
         out["elasticity_time_to_1e8_s"] = round(el["time"], 3)
