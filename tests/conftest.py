@@ -80,6 +80,30 @@ _SLOW_TESTS = (
     # 2-sweep stretched-cell rate bar (6.5 min of XLA-CPU compiles; the
     # single-sweep rate test keeps the config in the quick tier)
     "test_sharded_elasticity_stretched_rate_below_02",
+    # round-5 retier (quick tier must stay <= 8 min on the 1-core bench
+    # host; each entry's feature keeps a faster sibling in the quick
+    # tier, named in the comment)
+    "test_classic_anchored_reaches_verified_1e8",   # solve_linear onchip +
+    #   blocksparse refinement cover the verified-1e-8 driver contract
+    "test_onchip_refinement_fused_matches_stepwise",  # fused path exercised
+    #   by test_solve_linear_onchip_method + bench; stepwise by blocksparse
+    "test_onchip_refinement_block_jacobi_quick",    # same driver, heavier
+    #   chain; test_truncated_exact_residual_matches_f64 keeps anchors
+    "test_tensor_diffusion_matrixfree_3d",  # 2D tensor sibling in quick
+    "test_onchip_refinement_blocksparse_elasticity",  # scalar blocksparse
+    #   onchip test stays quick
+    "test_cg_q2_coarse_solver_matches_p1_variant",  # q1 variant stays
+    "test_uniform_factorized_matches_dense_stencil",  # native parity test
+    #   (test_native_factorized_sipg_apply_matches_xla) keeps it covered
+    "test_elasticity_multigrid_line_smoother_anisotropy",  # scalar line
+    #   smoother anisotropy tests stay quick
+    "test_patch_fallback_mixed_degrees",     # general patch-step oracle
+    #   + probe-class tests stay quick
+    "test_elasticity_hpair_patch_breaks_plateau",  # elasticity patch rate
+    #   covered by slow tier; hpair construction by test_patches quick set
+    "test_elasticity_normal_penalty_scaling",  # assembly-level scaling
+    #   parity (test_normal_penalty_scaling_matches_oracle...) stays quick
+    "test_model_zoo_on_curved_mesh",  # per-model presets stay quick
 )
 
 
