@@ -20,6 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from hpdg_tpu.basis import tensor
+from hpdg_tpu.mesh.structured import require_classic_faces
 from hpdg_tpu.basis.dgbasis import DGBasis
 from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
                                     face_group_tables, penalty_coef,
@@ -32,6 +33,7 @@ def assemble_elasticity(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
                         dtype=jnp.float64, plan: AssemblyPlan | None = None,
                         penalty_scaling: str = "measure"
                         ) -> BlockSparseMatrix:
+    require_classic_faces(basis.mesh, "assemble_elasticity")
     from hpdg_tpu.mesh import geometry as geo
     if geo.has_geometry(basis.mesh):
         return _assemble_elasticity_geom(basis, mu, lam, penalty, dirichlet,

@@ -32,11 +32,21 @@ class FaceGroup:
     out_pos: np.ndarray
     fmeas: np.ndarray  # face measures (of the intersection = fine face)
     inv_h_in: np.ndarray  # 1 / extent[inside, axis]
-    inv_h_out: np.ndarray
+    inv_h_out: np.ndarray  # 1 / extent[outside, out_axis]
     slot12: np.ndarray  # slots into values[(p_in, p_out)]
     slot21: np.ndarray  # slots into values[(p_out, p_in)]
     # M11 slot == in_pos (diagonal), M22 slot == out_pos.
     nc_code: int = 0  # 0 conforming; else hanging-node sub-face code
+    # generalized face charts (mesh.structured.Faces): defaults = the
+    # classic identity contract; twisted unstructured imports differ
+    in_side: int = 1
+    out_axis: int = -1  # -1 sentinel -> same as ``axis``
+    out_side: int = 0
+    twist: int = 0  # tangential isometry code (Faces.twist)
+
+    def __post_init__(self):
+        if self.out_axis < 0:
+            object.__setattr__(self, "out_axis", self.axis)
 
     def tang_maps(self, dim: int):
         """(tang_map_in, tang_map_out) for tensor.face_tables."""
@@ -48,6 +58,30 @@ class FaceGroup:
         bits = [(sub >> (nt - 1 - t)) & 1 for t in range(nt)]
         m = tuple((0.5 * b, 0.5) for b in bits)
         return (None, m) if coarse_out else (m, None)
+
+    def twist_map(self, pts: np.ndarray) -> np.ndarray:
+        """Outside-chart tangential coordinates of the inside-chart
+        face points ``pts`` (nq, dim-1) under this group's twist code
+        (Faces.twist encoding)."""
+        return apply_twist(pts, self.twist)
+
+
+def apply_twist(pts: np.ndarray, twist: int) -> np.ndarray:
+    """v = g(u) for the Faces.twist isometry encoding: 2D flip in {0,1};
+    3D ``swap*4 + flip1*2 + flip0`` (swap tangential axes first, then
+    per-axis flips t -> 1-t)."""
+    pts = np.asarray(pts)
+    nt = pts.shape[1]
+    if twist == 0:
+        return pts
+    if nt == 1:
+        return 1.0 - pts if twist else pts
+    swap, fl1, fl0 = (twist >> 2) & 1, (twist >> 1) & 1, twist & 1
+    w = pts[:, ::-1] if swap else pts
+    out = np.empty_like(w)
+    out[:, 0] = 1.0 - w[:, 0] if fl0 else w[:, 0]
+    out[:, 1] = 1.0 - w[:, 1] if fl1 else w[:, 1]
+    return out
 
 
 @dataclass(frozen=True)
@@ -88,12 +122,17 @@ def build_plan(basis: DGBasis) -> AssemblyPlan:
     fmeas_all = mesh.face_measure()
     face_groups = []
     if nf:
-        # group faces by (deg_in, deg_out, axis, nc_code) via ONE int64
-        # key sort — same lexicographic group order as np.unique(axis=0)
-        # but ~10x faster at 1e6 faces (no void-dtype comparisons)
-        key = (((deg[faces.inside].astype(np.int64) * 256
-                 + deg[faces.outside]) * 16 + faces.axis) * 256
-               + faces.nc_code)
+        # group faces by (deg_in, deg_out, axis, nc_code, chart codes)
+        # via ONE int64 key sort — same lexicographic group order as
+        # np.unique(axis=0) but ~10x faster at 1e6 faces (no void-dtype
+        # comparisons).  The chart codes (in_side/out_axis/out_side/
+        # twist) are all 0-defaults on classic meshes, so classic group
+        # keys and order are unchanged.
+        chart = (((faces.in_side.astype(np.int64) * 16 + faces.out_axis)
+                  * 2 + faces.out_side) * 8 + faces.twist)
+        key = ((((deg[faces.inside].astype(np.int64) * 256
+                  + deg[faces.outside]) * 16 + faces.axis) * 256
+                + faces.nc_code) * 512 + chart)
         order = np.argsort(key, kind="stable")
         ks = key[order]
         starts = np.concatenate([[0], np.flatnonzero(np.diff(ks)) + 1,
@@ -102,6 +141,12 @@ def build_plan(basis: DGBasis) -> AssemblyPlan:
             fids = order[starts[g]:starts[g + 1]].astype(np.int32)
             fids.sort()
             kk = int(ks[starts[g]])
+            ch = kk % 512
+            tw = ch % 8
+            oside = (ch // 8) % 2
+            oax = (ch // 16) % 16
+            iside = ch // 256
+            kk //= 512
             ncc = kk % 256
             ax = (kk // 256) % 16
             po = (kk // (256 * 16)) % 256
@@ -128,8 +173,9 @@ def build_plan(basis: DGBasis) -> AssemblyPlan:
                 in_pos=in_pos, out_pos=out_pos,
                 fmeas=fmeas_all[fids],
                 inv_h_in=1.0 / mesh.extent[ein, ax],
-                inv_h_out=1.0 / mesh.extent[eout, ax],
+                inv_h_out=1.0 / mesh.extent[eout, oax],
                 slot12=slot12, slot21=slot21, nc_code=ncc,
+                in_side=iside, out_axis=oax, out_side=oside, twist=tw,
             ))
 
     bmeas_all = mesh.bface_measure()
@@ -168,14 +214,54 @@ def build_plan(basis: DGBasis) -> AssemblyPlan:
 
 def face_group_tables(basis, fg: FaceGroup, nq1: int):
     """Trace tables for both sides of a face group, with the hanging-node
-    sub-face mapping applied to the coarse side (if any)."""
+    sub-face mapping applied to the coarse side (if any).
+
+    Generalized face charts (twisted unstructured imports): the inside
+    tables come from face (axis, in_side), the outside tables from
+    (out_axis, out_side) with the twist isometry applied as a
+    quadrature-point permutation (tensor Gauss rules are closed under
+    the face isometries), so column q of BOTH tables refers to the same
+    physical point.  ``Dn`` is returned SIGNED along the shared normal
+    (pointing inside -> outside) in each element's own chart — the
+    classic contract (in high / out low, same axis) keeps both signs +1
+    and the tables bit-identical to before.
+    """
     from hpdg_tpu.basis import tensor
     dim = basis.mesh.dim
     tm_in, tm_out = fg.tang_maps(dim)
-    fin = tensor.face_tables(fg.p_in, dim, fg.axis, 1, nq1,
+    if fg.nc_code != 0 and fg.twist != 0:
+        raise NotImplementedError("hanging-node faces with twisted "
+                                  "charts cannot arise from 2:1 "
+                                  "refinement of imported meshes")
+    fin = tensor.face_tables(fg.p_in, dim, fg.axis, fg.in_side, nq1,
                              family=basis.family, tang_map=tm_in)
-    fout = tensor.face_tables(fg.p_out, dim, fg.axis, 0, nq1,
-                              family=basis.family, tang_map=tm_out)
+    fout = tensor.face_tables(fg.p_out, dim, fg.out_axis, fg.out_side,
+                              nq1, family=basis.family, tang_map=tm_out)
+    if fg.twist != 0:
+        fout = dict(fout)
+        pts = fin["points"]
+        mapped = fg.twist_map(pts)
+        # the tensor rule is closed under the isometry: find the exact
+        # column permutation realizing it
+        d2 = ((mapped[:, None, :] - fout["points"][None, :, :]) ** 2
+              ).sum(-1)
+        qmap = d2.argmin(axis=1)
+        if not (np.sqrt(d2[np.arange(len(qmap)), qmap]) < 1e-12).all() \
+                or len(set(int(q) for q in qmap)) != len(qmap):
+            raise AssertionError("face quadrature not closed under the "
+                                 "twist isometry")
+        for name in ("V", "Dn"):
+            fout[name] = fout[name][..., qmap]
+        fout["Dall"] = fout["Dall"][..., qmap]
+        fout["points"] = mapped
+    sgn_in = 2 * fg.in_side - 1
+    sgn_out = 1 - 2 * fg.out_side
+    if sgn_in < 0:
+        fin = dict(fin)
+        fin["Dn"] = sgn_in * fin["Dn"]
+    if sgn_out < 0:
+        fout = dict(fout)
+        fout["Dn"] = sgn_out * fout["Dn"]
     return fin, fout
 
 
@@ -212,14 +298,17 @@ def face_phys_points(basis, fg: FaceGroup, pts: np.ndarray,
         if fg.nc_code != 0:
             raise ValueError("hanging-node faces need a shared "
                              "parametric chart")
-        e = ein if side == "in" else eout
+        if side == "in":
+            e, ax2, sd2, tpts = ein, fg.axis, fg.in_side, pts
+        else:
+            e, ax2, sd2 = eout, fg.out_axis, fg.out_side
+            tpts = fg.twist_map(pts)
         nlo = mesh.lower[e].copy()
         next_ = mesh.extent[e]
         xn = np.repeat(nlo[:, None, :], nq, axis=1)
-        xn[:, :, fg.axis] += (next_[:, fg.axis][:, None]
-                              if side == "in" else 0.0)
-        for t, a in enumerate(tang):
-            xn[:, :, a] += pts[None, :, t] * next_[:, a][:, None]
+        xn[:, :, ax2] += sd2 * next_[:, ax2][:, None]
+        for t, a in enumerate(aa for aa in range(dim) if aa != ax2):
+            xn[:, :, a] += tpts[None, :, t] * next_[:, a][:, None]
         x = np.where(adj[:, None, None], x, xn)
     return x
 

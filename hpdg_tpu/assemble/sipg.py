@@ -359,10 +359,17 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
             if kmat:
                 # tensor medium / affine geometry: co-normal derivative
                 # traces (K grad phi).n = sum_b k_eff[ax, b] Dall[b]/h_b
-                KDi = jnp.einsum("fqb,biq,fb->fiq", k_in[..., ax, :],
+                # — each side along ITS chart's face axis, signed so the
+                # parametric normal points inside -> outside (twisted
+                # imports; defaults reduce to +e_axis both sides)
+                sgn_i = float(2 * fg.in_side - 1)
+                sgn_o = float(1 - 2 * fg.out_side)
+                KDi = jnp.einsum("fqb,biq,fb->fiq",
+                                 sgn_i * k_in[..., ax, :],
                                  J(fin["Dall"]),
                                  J(1.0 / mesh.extent[ein]))
-                KDo = jnp.einsum("fqb,biq,fb->fiq", k_out[..., ax, :],
+                KDo = jnp.einsum("fqb,biq,fb->fiq",
+                                 sgn_o * k_out[..., fg.out_axis, :],
                                  J(fout["Dall"]),
                                  J(1.0 / mesh.extent[eout]))
                 half = gpow * (-0.5) * J(fg.fmeas)[:, None] * wj[None, :]

@@ -20,6 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from hpdg_tpu.basis import tensor
+from hpdg_tpu.mesh.structured import require_classic_faces
 from hpdg_tpu.basis.dgbasis import DGBasis
 from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
                                     face_group_tables, face_phys_points,
@@ -57,6 +58,7 @@ def sipg_diagonal_blocks(basis: DGBasis, penalty: float = 2.0,
     tensor media as in gausslobattoipdgcoefficientassembler.hh:31).
     First-class affine geometry (mesh.jac) folds in exactly as in the
     assemblers (mesh/geometry.py)."""
+    require_classic_faces(basis.mesh, "sipg_diagonal_blocks")
     from hpdg_tpu.mesh import geometry as geo
     plan = plan or build_plan(basis)
     mesh = basis.mesh

@@ -14,6 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from hpdg_tpu.basis import tensor
+from hpdg_tpu.mesh.structured import require_classic_faces
 from hpdg_tpu.basis.dgbasis import DGBasis
 from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
                                     face_group_tables, penalty_coef,
@@ -117,6 +118,7 @@ def elasticity_operator(basis: DGBasis, mu: float = 1.0, lam: float = 1.0,
     (see :func:`elasticity_geom_tables`) — possibly with traced arrays,
     which is how the sharded layer feeds per-shard geometry through one
     SPMD program."""
+    require_classic_faces(basis.mesh, "elasticity_operator")
     from hpdg_tpu.mesh import geometry as geo
     plan = plan or build_plan(basis)
     mesh = basis.mesh
@@ -363,6 +365,7 @@ def elasticity_diagonal_blocks(basis: DGBasis, mu: float = 1.0,
     elasticity member of the diagonal-block factory family (the
     reference's assembled-block flavor, slowipdgdiag.hh:22-27 pattern,
     here batched over the whole mesh at once)."""
+    require_classic_faces(basis.mesh, "elasticity_diagonal_blocks")
     from hpdg_tpu.assemble.elasticity import assemble_elasticity
     from hpdg_tpu.linalg.blockmatrix import extract_diagonal
     A = assemble_elasticity(basis, mu=mu, lam=lam, penalty=penalty,

@@ -14,6 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from hpdg_tpu.basis import tensor
+from hpdg_tpu.mesh.structured import require_classic_faces
 from hpdg_tpu.basis.dgbasis import DGBasis
 from hpdg_tpu.assemble.plan import (AssemblyPlan, build_plan,
                                     face_group_tables, penalty_coef,
@@ -26,6 +27,7 @@ def ipdg_local_norm(basis: DGBasis, penalty: float = 2.0,
                     plan: AssemblyPlan | None = None,
                     penalty_scaling: str = "measure"):
     """Returns apply(x) -> (n_elements,) array of eta_e^2 (flat element order)."""
+    require_classic_faces(basis.mesh, "ipdg_local_norm")
     plan = plan or build_plan(basis)
     dim = basis.dim
     mesh = basis.mesh
@@ -123,6 +125,7 @@ def jump_indicator(basis: DGBasis, penalty: float = 2.0,
     ipdglocalnorm.hh:6-16) — usable even at p=1 where hierarchic
     p-surrogates are empty.  Returns apply(x) -> (n_elements,).
     """
+    require_classic_faces(basis.mesh, "jump_indicator")
     plan = plan or build_plan(basis)
     mesh = basis.mesh
 

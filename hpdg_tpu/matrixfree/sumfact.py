@@ -335,8 +335,12 @@ def sipg_operator(basis: DGBasis, penalty: float = 2.0,
                                                      g["xpq_out"])
                     else:
                         k_in = k_out = kq
-                Kai = k_in[..., fg.axis, :]       # (nf, q, dim)
-                Kao = k_out[..., fg.axis, :]
+                # each side's conormal row along ITS chart's face axis,
+                # signed so the parametric normal points inside ->
+                # outside (twisted imports; defaults keep +e_axis)
+                Kai = float(2 * fg.in_side - 1) * k_in[..., fg.axis, :]
+                Kao = float(1 - 2 * fg.out_side) \
+                    * k_out[..., fg.out_axis, :]  # (nf, q, dim)
                 ihi = J(1.0 / g["ext_in"])        # (nf, dim)
                 iho = J(1.0 / g["ext_out"])
                 Dalli, Dallo = J(g["Dalli"]), J(g["Dallo"])

@@ -300,7 +300,7 @@ def face_penalty_geometry(mesh: Mesh, fg):
     if not has_geometry(mesh):
         return fg.fmeas, fg.inv_h_in, fg.inv_h_out
     g_in = face_jacobian_factor(mesh, ein, fg.axis)
-    g_out = face_jacobian_factor(mesh, eout, fg.axis)
+    g_out = face_jacobian_factor(mesh, eout, fg.out_axis)
     det_in = _det_center(mesh, ein)
     det_out = _det_center(mesh, eout)
     # conforming affine meshes have identical physical faces from both
@@ -347,11 +347,13 @@ def face_grad_jump_geometry(mesh: Mesh, fg, xp_in, xp_out):
     ein = mesh.faces.inside[fg.face_ids]
     eout = mesh.faces.outside[fg.face_ids]
     ax = int(fg.axis)
+    oax = int(getattr(fg, "out_axis", ax))
+    sgn_in = 2 * int(getattr(fg, "in_side", 1)) - 1
     J_in = jacobians(mesh, ein, xp_in)           # (f, q, d, d)
     J_out = jacobians(mesh, eout, xp_out)
     Ji_in = np.linalg.inv(J_in)
     Ji_out = np.linalg.inv(J_out)
-    nrm = Ji_in[:, :, ax, :]                     # J^-T e_ax rows
+    nrm = sgn_in * Ji_in[:, :, ax, :]            # J^-T (+-e_ax) rows
     nlen = np.linalg.norm(nrm, axis=-1, keepdims=True)
     nrm = nrm / nlen
     sn_in = (np.einsum("fqba,fqa->fqb", Ji_in, nrm)
@@ -360,7 +362,7 @@ def face_grad_jump_geometry(mesh: Mesh, fg, xp_in, xp_out):
               / mesh.extent[eout][:, None, :])
     g_in = np.abs(np.linalg.det(J_in)) * nlen[..., 0]
     g_out = (np.abs(np.linalg.det(J_out))
-             * np.linalg.norm(Ji_out[:, :, ax, :], axis=-1))
+             * np.linalg.norm(Ji_out[:, :, oax, :], axis=-1))
     zs = 0.5 * (g_in + g_out) * np.asarray(fg.fmeas)[:, None]
     return sn_in, sn_out, zs
 
@@ -593,11 +595,13 @@ def from_quad_lattice(points, cells, lattice_shape, tol: float = 1e-9
     return m
 
 
-def _face_centroid(mesh: Mesh, elems, axis, high: bool) -> np.ndarray:
+def _face_centroid(mesh: Mesh, elems, axis, high) -> np.ndarray:
+    """Physical centroid of the (axis, side) face of each element;
+    ``high`` is a bool (all faces same side) or a per-face side array."""
     ctr = mesh.lower[elems] + 0.5 * mesh.extent[elems]
     off = np.zeros_like(ctr)
-    off[np.arange(len(elems)), axis] = (0.5 if high else -0.5) \
-        * mesh.extent[elems, axis]
+    sgn = np.where(np.asarray(high, bool), 0.5, -0.5)
+    off[np.arange(len(elems)), axis] = sgn * mesh.extent[elems, axis]
     x = (ctr + off)[:, None, :]
     return apply_map(mesh, elems, x)[:, 0]
 
@@ -731,25 +735,18 @@ def from_cell_vertices(points, cells, tol: float = 1e-9) -> Mesh:
             if pf < 0:
                 continue
             q = int(pf // nfpc)
+            if seen[q]:
+                # closure face of the BFS tree: any frame mismatch
+                # becomes a per-face twist code below (the generality of
+                # the reference's UGGrid path, dynamicdgqkglbasis.hh:
+                # 36-151 — arbitrary intersection orientation)
+                continue
             vset = set(int(v) for v in quads[e, lf])
             afs = face_of(order[e], vset)
             assert afs is not None
             a, s = afs
             ids_e = ffaces[(a, s)]
             ids_q = ffaces[(a, 1 - s)]
-            if seen[q]:
-                # consistency: q's frame must present the shared face on
-                # the opposite side with identical tangential coords
-                ok = face_of(order[q], vset) == (a, 1 - s) and all(
-                    int(order[q][cq]) == int(order[e][ce])
-                    for ce, cq in zip(ids_e, ids_q))
-                if not ok:
-                    raise ValueError(
-                        f"hex mesh is not orientation-consistent: cells "
-                        f"{e} and {q} meet with a twisted face (odd "
-                        "rotation/reflection); no identity-aligned "
-                        "parametric frame assignment exists")
-                continue
             adj = neighbor_map(q)
             oq = np.full(nc, -1, dtype=np.int64)
             ids_q_opp = ffaces[(a, s)]
@@ -767,8 +764,8 @@ def from_cell_vertices(points, cells, tol: float = 1e-9) -> Mesh:
                 oq[cq_opp] = others[0]
             if sorted(int(v) for v in oq) != sorted(qverts):
                 raise ValueError(
-                    f"cells {e} and {q} meet with a twisted face; no "
-                    "identity-aligned parametric frame exists")
+                    f"cell {q}: face-aligned frame propagation does not "
+                    "reach all vertices (degenerate connectivity)")
             order[q] = oq
             seen[q] = True
             queue.append(q)
@@ -777,48 +774,88 @@ def from_cell_vertices(points, cells, tol: float = 1e-9) -> Mesh:
                          f"({int((~seen).sum())} unreachable cells)")
 
     # --- faces/bfaces from the assigned frames ---
+    # Each matched pair is processed once; BFS-tree faces come out with
+    # identity codes, closure faces may carry (out_axis, out_side,
+    # twist) ≠ defaults — meshes with singular edges / odd face twists
+    # import instead of raising.
     fin, fout, fax = [], [], []
+    fis, foa, fos, ftw = [], [], [], []
     bel, bax, bsd = [], [], []
-    done = set()
-    for e in range(n):
-        for a in range(dim):
-            for s in (0, 1):
-                vset = frozenset(int(order[e][c]) for c in ffaces[(a, s)])
-                if vset in done:
-                    continue
-                # find the partner via the original quad matching
-                # (order[e] is a permutation of cells_bit[e], so the
-                # vertex SET identifies the same physical face)
-                lf = None
-                for k, fk in enumerate(face_keys):
-                    if frozenset(int(v) for v in quads[e, k]) == vset:
-                        lf = k
-                        break
-                pf = partner[e * nfpc + lf]
-                if pf < 0:
-                    bel.append(e)
-                    bax.append(a)
-                    bsd.append(s)
-                else:
-                    done.add(vset)
-                    q = int(pf // nfpc)
-                    aq, sq = face_of(order[q], set(vset))
-                    if aq != a or sq != 1 - s:
-                        raise ValueError("internal: frames inconsistent")
-                    if s == 1:
-                        fin.append(e)
-                        fout.append(q)
-                    else:
-                        fin.append(q)
-                        fout.append(e)
-                    fax.append(a)
+    for fi in range(n * nfpc):
+        e = fi // nfpc
+        pf = int(partner[fi])
+        vset = set(int(v) for v in quads[e, fi % nfpc])
+        if pf < 0:
+            a, s = face_of(order[e], vset)
+            bel.append(e)
+            bax.append(a)
+            bsd.append(s)
+            continue
+        if pf < fi:
+            continue  # pair already handled from its lower index
+        q = int(pf // nfpc)
+        a_e, s_e = face_of(order[e], vset)
+        a_q, s_q = face_of(order[q], vset)
+        # inside = the element that sees the face on its HIGH side when
+        # exactly one does (the classic contract); otherwise keep e
+        # inside and record in_side
+        if s_e == 1 or s_q != 1:
+            ein, eout = e, q
+            a_in, s_in, a_out, s_out = a_e, s_e, a_q, s_q
+        else:
+            ein, eout = q, e
+            a_in, s_in, a_out, s_out = a_q, s_q, a_e, s_e
+        tw = _face_twist_code(order[ein], order[eout], a_in, s_in,
+                              a_out, s_out, ffaces, dim, ein, eout)
+        fin.append(ein)
+        fout.append(eout)
+        fax.append(a_in)
+        fis.append(s_in)
+        foa.append(a_out)
+        fos.append(s_out)
+        ftw.append(tw)
     faces = Faces(inside=np.asarray(fin, np.int32),
                   outside=np.asarray(fout, np.int32),
-                  axis=np.asarray(fax, np.int32))
+                  axis=np.asarray(fax, np.int32),
+                  in_side=np.asarray(fis, np.int32),
+                  out_axis=np.asarray(foa, np.int32),
+                  out_side=np.asarray(fos, np.int32),
+                  twist=np.asarray(ftw, np.int32))
     bfaces = BoundaryFaces(elem=np.asarray(bel, np.int32),
                            axis=np.asarray(bax, np.int32),
                            side=np.asarray(bsd, np.int32))
     return _mesh_from_frames(points, order, faces, bfaces, dim, tol)
+
+
+def _face_twist_code(ord_in, ord_out, a_in, s_in, a_out, s_out, ffaces,
+                     dim, ein, eout) -> int:
+    """Tangential isometry code of a matched face pair (Faces.twist).
+
+    Inside-face corners are indexed by their tangential bits
+    ``k = b0 * 2 + b1`` (natural tangential-axis order, last fastest,
+    matching _frame_faces); the shared vertices induce a corner map into
+    the outside face whose bit form must be an isometry of the square
+    (segment in 2D): ``c = flip(swap(b))``.  Encodes
+    ``swap*4 + flip1*2 + flip0`` (2D: just flip).  Raises for
+    non-isometric pairings (degenerate cells)."""
+    vin = [int(ord_in[c]) for c in ffaces[(a_in, s_in)]]
+    vout = [int(ord_out[c]) for c in ffaces[(a_out, s_out)]]
+    pos = {v: k for k, v in enumerate(vout)}
+    pi = [pos[v] for v in vin]
+    if dim == 2:
+        return 0 if pi[0] == 0 else 1
+    bits = [(pi[k] >> 1, pi[k] & 1) for k in range(4)]
+    c00 = bits[0]
+    d01 = (bits[1][0] ^ c00[0], bits[1][1] ^ c00[1])
+    d10 = (bits[2][0] ^ c00[0], bits[2][1] ^ c00[1])
+    exp11 = (c00[0] ^ d10[0] ^ d01[0], c00[1] ^ d10[1] ^ d01[1])
+    if bits[3] != exp11 or sorted((d01, d10)) != [(0, 1), (1, 0)]:
+        raise ValueError(
+            f"cells {ein} and {eout} meet with a non-isometric face "
+            "corner pairing (degenerate cell)")
+    swap = 1 if d10 == (0, 1) else 0
+    flip0, flip1 = c00
+    return swap * 4 + flip1 * 2 + flip0
 
 
 def _mesh_from_frames(points, order, faces, bfaces, dim, tol) -> Mesh:
@@ -849,10 +886,13 @@ def _mesh_from_frames(points, order, faces, bfaces, dim, tol) -> Mesh:
         m = Mesh(dim=dim, lower=lower, extent=extent, faces=faces,
                  bfaces=bfaces, jac=A, shift=shift)
     # physical conformity: both sides of every face must agree
+    # (centroids are twist-invariant, so this also validates faces with
+    # non-default charts)
     f = m.faces
     if len(f):
-        ctr_in = _face_centroid(m, f.inside, f.axis, high=True)
-        ctr_out = _face_centroid(m, f.outside, f.axis, high=False)
+        ctr_in = _face_centroid(m, f.inside, f.axis, f.in_side == 1)
+        ctr_out = _face_centroid(m, f.outside, f.out_axis,
+                                 f.out_side == 1)
         dev = np.abs(ctr_in - ctr_out).max()
         if dev > 1e-8 * max(1.0, np.abs(points).max()):
             raise ValueError("imported cells disagree on shared faces "

@@ -37,20 +37,81 @@ class Faces:
     the binary sub-face position over the tangential axes (natural
     order, last fastest) of the FINE face within the COARSE face.  The
     face geometry (quadrature domain) is always the fine (small) face.
+
+    GENERAL (twist-tolerant) face charts — the defaults encode the
+    classic contract above; unstructured imports whose cells meet with
+    twisted faces (geometry.from_cell_vertices on e.g. meshes with
+    singular edges, where no identity-aligned global frame assignment
+    exists — the UGGrid generality of the reference's
+    dynamicdgqkglbasis.hh:36-151) fill them per face:
+
+    * ``in_side``: which side of the INSIDE element's axis the face is
+      (default 1 = high side, the classic contract).  The shared normal
+      (pointing inside -> outside) is ``(2*in_side - 1) * e_axis`` in
+      the inside element's chart.
+    * ``out_axis`` / ``out_side``: the face's (axis, side) in the
+      OUTSIDE element's chart (defaults: ``axis`` / 0).
+    * ``twist``: tangential isometry code mapping inside-face
+      coordinates u (over the inside's tangential axes, natural order)
+      to outside-face coordinates v: in 2D ``twist`` in {0,1} = flip;
+      in 3D ``twist = swap*4 + flip1*2 + flip0`` with
+      ``(w0, w1) = (u1, u0) if swap else (u0, u1)`` and
+      ``v_t = 1 - w_t if flip_t else w_t``.  0 = identity (classic).
     """
 
     inside: np.ndarray  # (nf,) int32 element index
     outside: np.ndarray  # (nf,) int32
-    axis: np.ndarray  # (nf,) int32 normal axis
+    axis: np.ndarray  # (nf,) int32 normal axis (inside chart)
     nc_code: np.ndarray = None  # (nf,) int32, 0 = conforming
+    in_side: np.ndarray = None  # (nf,) int32, default 1 (high)
+    out_axis: np.ndarray = None  # (nf,) int32, default = axis
+    out_side: np.ndarray = None  # (nf,) int32, default 0 (low)
+    twist: np.ndarray = None  # (nf,) int32 isometry code, default 0
 
     def __post_init__(self):
+        nf = len(self.inside)
         if self.nc_code is None:
             object.__setattr__(self, "nc_code",
-                               np.zeros(len(self.inside), dtype=np.int32))
+                               np.zeros(nf, dtype=np.int32))
+        if self.in_side is None:
+            object.__setattr__(self, "in_side",
+                               np.ones(nf, dtype=np.int32))
+        if self.out_axis is None:
+            object.__setattr__(self, "out_axis",
+                               np.asarray(self.axis, np.int32).copy())
+        if self.out_side is None:
+            object.__setattr__(self, "out_side",
+                               np.zeros(nf, dtype=np.int32))
+        if self.twist is None:
+            object.__setattr__(self, "twist",
+                               np.zeros(nf, dtype=np.int32))
+
+    @property
+    def is_classic(self) -> bool:
+        """True iff every face follows the classic identity contract
+        (in high / out low on the same axis, no twist)."""
+        return bool(np.all(self.in_side == 1)
+                    and np.array_equal(self.out_axis, self.axis)
+                    and np.all(self.out_side == 0)
+                    and np.all(self.twist == 0))
 
     def __len__(self):
         return len(self.inside)
+
+
+def require_classic_faces(mesh, what: str) -> None:
+    """Guard for code paths that assume the classic identity face
+    contract.  The scalar IPDG pipeline (assemble.sipg, the
+    sum-factorized apply, the oracle) handles generalized charts; paths
+    that do not yet thread (in_side, out_axis, out_side, twist) raise
+    here instead of silently mis-assembling."""
+    if not mesh.faces.is_classic:
+        raise NotImplementedError(
+            f"{what}: mesh has twisted/generalized face charts "
+            "(unstructured import with odd face orientation). "
+            "Supported there: assemble.assemble_laplace, "
+            "matrixfree.sipg_operator, the assembled matvec and "
+            "Krylov solvers.")
 
 
 @dataclass(frozen=True)

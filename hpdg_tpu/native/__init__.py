@@ -168,9 +168,11 @@ def frame_cells(cells_bit: np.ndarray, dim: int):
     the non-lattice import of mesh/geometry.py::from_cell_vertices).
 
     Returns ``(order, faces, bfaces)`` arrays or None when the native
-    library is unavailable; raises ValueError for the same topology
-    errors the Python fallback reports (shared >2, twisted,
-    disconnected, degenerate)."""
+    library is unavailable OR when the mesh needs per-face twist codes
+    (rc=2: no identity-aligned frame assignment exists — the Python
+    path handles those); raises ValueError for the topology errors the
+    Python fallback also reports (shared >2, disconnected,
+    degenerate)."""
     lib = _load()
     if lib is None or not hasattr(lib, "hpdg_frame_cells"):
         return None
@@ -192,10 +194,9 @@ def frame_cells(cells_bit: np.ndarray, dim: int):
     if rc == 1:
         raise ValueError("a face is shared by more than two cells")
     if rc == 2:
-        raise ValueError(
-            "hex mesh is not orientation-consistent: cells meet with a "
-            "twisted face (odd rotation/reflection); no identity-aligned "
-            "parametric frame assignment exists")
+        # twisted faces (no identity-aligned frame assignment): defer to
+        # the Python path, which assigns per-face twist codes instead
+        return None
     if rc == 3:
         raise ValueError("hex mesh has disconnected components")
     if rc == 4:

@@ -54,8 +54,23 @@ def solve_tnnmg_sharded(pmg: HPShardedPMG, b: dict, lo: dict, up: dict,
         * (p + 1) ** dim for p in fine.degree_set)
 
     if omega is None:
-        omega = 0.5  # nonlinear block-Jacobi damping (convex combination
-        # of feasible points — the parallel-safe default)
+        # the documented default: omega = 1/rho(D^-1 A) by power
+        # iteration — energy monotonicity of the damped projected
+        # block-Jacobi sweep needs omega * rho <= 1.  A fixed 0.5 (the
+        # old default) silently diverged whenever rho(D^-1 A) > 2,
+        # e.g. stretched cells under "measure" penalty scaling.
+        @jax.jit
+        def _rho(v0):
+            def body(i, st):
+                v, _ = st
+                w = fine.dinv_mul(fine.apply(v))
+                nw = hp_norm(w)
+                inv = jnp.where(nw > 0, 1.0 / nw, 0.0)
+                return jax.tree.map(lambda a: a * inv, w), nw
+            return jax.lax.fori_loop(0, 30, body,
+                                     (v0, jnp.asarray(1.0)))[1]
+        rho = float(_rho({p: jnp.ones_like(v) for p, v in b.items()}))
+        omega = min(0.95 / max(rho, 1e-3), 1.0)
 
     def local_projected_solve(Dm, r_loc, y, lo_b, up_b, inner=2):
         """Batched projected scalar GS inside each diagonal block — the

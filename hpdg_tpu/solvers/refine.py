@@ -333,6 +333,7 @@ def onchip_refinement_solve(step, residual_pair, b64: dict, *,
             steps = int(out[3])  # scalar fetch: barriers the device loop
             t_loop = time.perf_counter() - t0
             xh, out_lo, h = jax.device_get(out[:3])
+            t_fetch = time.perf_counter() - t0 - t_loop
             hist = [float(v) / nb for v in h[:steps]]
             x64 = decode_x64(xh, out_lo, quantize_download)
         else:
@@ -348,19 +349,25 @@ def onchip_refinement_solve(step, residual_pair, b64: dict, *,
                     break
             t_loop = time.perf_counter() - t0
             out_lo = jax.device_get(jenc(xl)) if jenc is not None else xl
+            t_fetch = time.perf_counter() - t0 - t_loop
             x64 = decode_x64(xh, out_lo, jenc is not None)
         rel = hist[-1] if hist else float("nan")
         verified = False
+        t_verify = 0.0
         if host_residual is not None:
+            t_v0 = time.perf_counter()
             r64 = host_residual(x64)
             rel = float(np.sqrt(sum(
                 float(np.vdot(np.asarray(v, np.float64),
                               np.asarray(v, np.float64)))
                 for v in r64.values()))) / nb
             verified = rel <= tol
+            t_verify = time.perf_counter() - t_v0
         t_solve = time.perf_counter() - t0
         return x64, {"history": hist, "steps": steps,
                      "seconds": t_solve, "seconds_loop": t_loop,
+                     "seconds_fetch": round(t_fetch, 3),
+                     "seconds_verify": round(t_verify, 3),
                      "verified": verified, "rel_residual": rel}
 
     best_x64, best = one_solve()

@@ -177,6 +177,12 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
     for f in range(len(mesh.faces)):
         ei, eo = int(mesh.faces.inside[f]), int(mesh.faces.outside[f])
         ax = int(mesh.faces.axis[f])
+        # generalized face charts (twisted unstructured imports;
+        # defaults reproduce the classic in-high/out-low contract)
+        in_side = int(mesh.faces.in_side[f])
+        out_ax = int(mesh.faces.out_axis[f])
+        out_side = int(mesh.faces.out_side[f])
+        twist = int(mesh.faces.twist[f])
         pi, po = int(basis.degrees[ei]), int(basis.degrees[eo])
         pmax = max(pi, po)
         qn, qw = quadrature.gauss_lobatto_for_order(2 * pmax)
@@ -199,9 +205,10 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
             pen_f = penalty * pmax**2
         else:  # "normal": |f_phys| * mean inverse normal PHYSICAL extent
             gic, dic = _face_center_factors(mesh, ei, ax)
-            goc, doc = _face_center_factors(mesh, eo, ax)
+            goc, doc = _face_center_factors(mesh, eo, out_ax)
             pen_f = (penalty * pmax**2 * 0.5 * (gic + goc) * fmeas
-                     * 0.5 * (gic / (dic * hi[ax]) + goc / (doc * ho[ax])))
+                     * 0.5 * (gic / (dic * hi[ax])
+                              + goc / (doc * ho[out_ax])))
         oi, no = basis.offsets[ei], basis.block_sizes[ei]
         oo, mo = basis.offsets[eo], basis.block_sizes[eo]
         if sigma1 != 0.0:
@@ -236,9 +243,22 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
             else:
                 xi = np.zeros(dim)
                 xo = np.zeros(dim)
-                xi[ax], xo[ax] = 1.0, 0.0
+                xi[ax], xo[out_ax] = float(in_side), float(out_side)
                 for t, a in enumerate(tang):
-                    xi[a] = xo[a] = tpts[q][t]
+                    xi[a] = tpts[q][t]
+                # outside chart: tangential coords through the twist
+                # isometry (independent scalar re-derivation of
+                # assemble.plan.apply_twist)
+                uu = list(tpts[q])
+                if dim == 3 and (twist >> 2) & 1:
+                    uu = uu[::-1]
+                if dim >= 2 and (twist & 1):
+                    uu[0] = 1.0 - uu[0]
+                if dim == 3 and (twist >> 1) & 1:
+                    uu[1] = 1.0 - uu[1]
+                for t, a in enumerate(aa for aa in range(dim)
+                                      if aa != out_ax):
+                    xo[a] = uu[t]
                 xg_i = mesh.lower[ei] + xi * hi
                 xg_o = mesh.lower[eo] + xo * ho
             vi = _phi(nodes_i, xi)
@@ -248,8 +268,9 @@ def sipg_matrix(basis: DGBasis, penalty: float = 2.0, dirichlet: bool = False,
             _, Jii, dAi, xpi = _geo_at(mesh, ei, xg_i)
             _, Jio, dAo, _ = _geo_at(mesh, eo, xg_o)
             gi = dAi * np.linalg.norm(Jii[ax])
-            go = dAo * np.linalg.norm(Jio[ax])
-            nrm_i = Jii[ax] / np.linalg.norm(Jii[ax])
+            go = dAo * np.linalg.norm(Jio[out_ax])
+            sgn_in = 2 * in_side - 1
+            nrm_i = sgn_in * Jii[ax] / np.linalg.norm(Jii[ax])
             # physical co-normal derivative (K grad phi).n per point
             kq = K(xpi)
             Km = kq if np.ndim(kq) == 2 else kq * np.eye(dim)
