@@ -102,6 +102,45 @@ class _DictBuilder:
         return vals
 
 
+class _CoefBuilder(_DictBuilder):
+    """:class:`_DictBuilder` that never multiplies out the blocks.
+
+    ``finish`` returns ``{key: (coef [nblocks, K] np.f64,
+    D [K, br*bc] np.f64)}`` — the factorized form of the value buffer
+    (``values = coef @ D``).  Two blocks are bitwise equal whenever
+    their coefficient rows are equal, so downstream consumers
+    (matrixfree.dedup.dedup_spmv_from_plan) can deduplicate on the
+    tiny ``[nblocks, K]`` table and materialize only the UNIQUE blocks
+    — nothing of size ``[nnz, bs, bs]`` ever exists.
+    """
+
+    def add(self, key, slots, mat_np, coefs):
+        cols = self.mats.setdefault(key, [])
+        col = len(cols)
+        cols.append(np.asarray(mat_np, np.float64).reshape(-1))
+        c = np.broadcast_to(np.asarray(coefs, np.float64), (len(slots),))
+        self.entries.setdefault(key, []).append(
+            (np.asarray(slots, np.int32), col, c))
+
+    def finish(self) -> dict:
+        parts = {}
+        for (pr, pc), (rows, _) in self.plan.pattern.entries.items():
+            key = (pr, pc)
+            nblocks = len(rows)
+            br = (pr + 1) ** self.dim
+            bc = (pc + 1) ** self.dim
+            if key not in self.mats:
+                parts[key] = (np.zeros((nblocks, 0)),
+                              np.zeros((0, br * bc)))
+                continue
+            D = np.stack(self.mats[key])
+            coef = np.zeros((nblocks, D.shape[0]))
+            for (s, c, v) in self.entries[key]:
+                np.add.at(coef[:, c], s, v)
+            parts[key] = (coef, D)
+        return parts
+
+
 class _ValueBuilder:
     """Assemble the per-(p_row, p_col) value arrays WITHOUT scatter.
 
@@ -185,7 +224,8 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                      geom_scale=None,
                      penalty_scaling: str = "measure",
                      dg_form="sipg",
-                     sigma1: float = 0.0) -> BlockSparseMatrix:
+                     sigma1: float = 0.0,
+                     coef_parts: bool = False) -> BlockSparseMatrix:
     """Assemble the (optionally variable-coefficient) IPDG stiffness matrix.
 
     ``dg_form``: "sipg" (default, symmetric) | "iipg" | "nipg", or the
@@ -209,6 +249,15 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
     (gausslobattoipdgassembler.hh:320-364): solving on the image
     Phi(box) equals solving on the box with
     K = |det DPhi| DPhi^-1 DPhi^-T.
+
+    ``coef_parts``: return the FACTORIZED value buffer
+    ``{(pr, pc): (coef [nblocks, K], D [K, br*bc])}`` (host numpy,
+    ``values = coef @ D``) instead of a BlockSparseMatrix.  Only the
+    constant-coefficient box-mesh fast path factorizes this way;
+    variable/tensor media raise ValueError.  Consumed by
+    matrixfree.dedup.dedup_spmv_from_plan, which deduplicates on the
+    coefficient rows so the full ``[nnz, bs, bs]`` array is never
+    materialized.
 
     ``geom_scale``: optional (possibly traced) scalar s; assembles the
     operator of the mesh with all extents multiplied by s.  For the
@@ -242,8 +291,13 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
     # under a uniform rescale s the sigma1 term scales as s^-2:
     # |f| ~ s^(d-1) cancels 1/|f|, each (grad . n) contributes 1/s
     s1pow = gs ** (-2)
-    vb = _DictBuilder(plan, dim, dtype) if fast else _ValueBuilder(plan, dim,
-                                                                   dtype)
+    if coef_parts and not fast:
+        raise ValueError("coef_parts needs the constant-coefficient "
+                         "box-mesh fast path (no diffusion, no affine "
+                         "geometry)")
+    vb = (_CoefBuilder(plan, dim, dtype) if coef_parts
+          else _DictBuilder(plan, dim, dtype) if fast
+          else _ValueBuilder(plan, dim, dtype))
 
     # ---------------- bulk ----------------
     for p in basis.bucket_degrees:
@@ -505,6 +559,8 @@ def assemble_laplace(basis: DGBasis, penalty: float = 2.0,
                          + pen * BVV[None])
             vb.add_diag(p, bg.pos, M)
 
+    if coef_parts:
+        return vb.finish()
     return BlockSparseMatrix(plan.pattern, dim, vb.finish())
 
 

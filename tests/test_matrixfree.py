@@ -426,3 +426,103 @@ def test_dedup_spmv_mixed_degree_fallback():
         rel = (np.linalg.norm(np.asarray(y[p]) - np.asarray(y_ref[p]))
                / max(np.linalg.norm(np.asarray(y_ref[p])), 1e-300))
         assert rel < 1e-13, (p, rel)
+
+
+def test_unique_rows_bitwise_grouping():
+    """Hash-accelerated unique_rows groups EXACTLY like np.unique
+    (bitwise), including negative zeros kept distinct from +0.0."""
+    from hpdg_tpu.matrixfree.dedup import unique_rows
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((9, 7))
+    base[0, 0], base[1, 0] = 0.0, -0.0  # bitwise-distinct, == equal
+    rows = base[rng.integers(0, 9, 500)]
+    uid, reps = unique_rows(rows)
+    assert (rows[reps][uid] == rows).all()
+    assert rows[reps].view(np.uint64).shape[0] == 9
+    # group count matches a bitwise unique
+    bits = np.ascontiguousarray(rows).view(np.uint8).reshape(500, -1)
+    assert len(np.unique(bits, axis=0)) == len(reps)
+    # ids are ordered by first occurrence
+    first = np.zeros(len(reps), bool)
+    expect = 0
+    for g in uid:
+        if not first[g]:
+            assert g == expect, (g, expect)
+            first[g] = True
+            expect += 1
+
+
+def test_dedup_spmv_from_plan_matches_assembled():
+    """dedup_spmv_from_plan builds the SAME operator as assembling +
+    matvec — but from the [nnz, K] coefficient table, never
+    materializing [nnz, bs, bs] (r4 verdict item 3: the multi-M-DOF
+    adaptive-mesh path).  Hanging-node 3D mesh, Dirichlet, normal
+    penalty scaling, f64 at 1e-13 and f32 at 2e-6."""
+    import jax.numpy as jnp
+    from hpdg_tpu.mesh.adaptive import refine_local, close_marks
+    from hpdg_tpu.matrixfree.dedup import dedup_spmv_from_plan
+    from hpdg_tpu.assemble import assemble_laplace, build_plan
+    from hpdg_tpu.linalg import blockmatrix as bm
+    rng = np.random.default_rng(79)
+    m0 = hmesh.structured((4, 4, 4))
+    m = refine_local(m0, close_marks(m0, rng.random(m0.n_elements) < 0.3))
+    basis = DGBasis(m, np.full(m.n_elements, 3))
+    plan = build_plan(basis)
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True, plan=plan,
+                         dtype=jnp.float64, penalty_scaling="normal")
+    x = {3: rng.standard_normal((m.n_elements, 64))}
+    y_ref = np.asarray(bm.matvec(A, {3: jnp.asarray(x[3])})[3])
+    for dtype, tol in ((jnp.float64, 1e-13), (jnp.float32, 2e-6)):
+        op, stats = dedup_spmv_from_plan(
+            basis, penalty=2.0, dirichlet=True, dtype=dtype, plan=plan,
+            penalty_scaling="normal")
+        y = np.asarray(op({3: jnp.asarray(x[3], dtype)})[3], np.float64)
+        rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+        assert rel < tol, (dtype, rel)
+    assert stats["compression"] < 0.25, stats["compression"]
+
+
+def test_dedup_spmv_from_plan_mixed_degrees_and_forms():
+    """Mixed-degree 2D mesh through the coefficient-table dedup, for a
+    nonsymmetric DG form (NIPG) with sigma1 stabilization — every
+    fast-path assembler term must round-trip the factorization."""
+    import jax.numpy as jnp
+    from hpdg_tpu.matrixfree.dedup import dedup_spmv_from_plan
+    from hpdg_tpu.assemble import assemble_laplace, build_plan
+    from hpdg_tpu.linalg import blockmatrix as bm
+    rng = np.random.default_rng(80)
+    m = hmesh.structured((5, 4))
+    deg = rng.choice([2, 3], size=m.n_elements)
+    basis = DGBasis(m, deg)
+    plan = build_plan(basis)
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True, plan=plan,
+                         dtype=jnp.float64, dg_form="nipg", sigma1=0.5)
+    x = {p: rng.standard_normal((basis.bucket_size(p), (p + 1) ** 2))
+         for p in basis.bucket_degrees}
+    y_ref = bm.matvec(A, {p: jnp.asarray(v) for p, v in x.items()})
+    op, _ = dedup_spmv_from_plan(basis, penalty=2.0, dirichlet=True,
+                                 dtype=jnp.float64, plan=plan,
+                                 dg_form="nipg", sigma1=0.5)
+    y = op({p: jnp.asarray(v) for p, v in x.items()})
+    for p in y_ref:
+        rel = (np.linalg.norm(np.asarray(y[p]) - np.asarray(y_ref[p]))
+               / max(np.linalg.norm(np.asarray(y_ref[p])), 1e-300))
+        assert rel < 1e-13, (p, rel)
+
+
+def test_coef_parts_factorization_reproduces_values():
+    """assemble_laplace(coef_parts=True) returns (coef, D) with
+    coef @ D == the assembled value buffer, key by key."""
+    import jax.numpy as jnp
+    from hpdg_tpu.assemble import assemble_laplace, build_plan
+    m = hmesh.structured((3, 3, 2))
+    basis = DGBasis(m, np.full(m.n_elements, 2))
+    plan = build_plan(basis)
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True, plan=plan,
+                         dtype=jnp.float64)
+    parts = assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                             plan=plan, coef_parts=True)
+    for key, (coef, D) in parts.items():
+        W = np.asarray(A.values[key], np.float64)
+        W2 = (coef @ D).reshape(W.shape)
+        assert np.abs(W2 - W).max() < 1e-12 * max(1.0, np.abs(W).max()), key
