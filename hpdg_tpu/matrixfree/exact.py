@@ -223,7 +223,14 @@ def uniform_sipg_exact_residual(basis: DGBasis, b64, penalty: float = 2.0,
 
     def residual_pair(xh, xl):
         yh, yl = app(xh, xl)
-        return df32.df_sub_df(bh, bl, yh, yl)
+        # the barrier keeps the b pair out of XLA:CPU's constant-aware
+        # simplifier, which otherwise rewrites two_sum's error
+        # extraction to zero when jitted with b embedded as a literal
+        # (measured: lo half lost, 6e-8 abs).  Production drivers hoist
+        # b to a parameter anyway (solvers.cg.hoist_constants); this
+        # protects direct jit users.  TPU unaffected either way.
+        bhb, blb = jax.lax.optimization_barrier((bh, bl))
+        return df32.df_sub_df(bhb, blb, yh, yl)
 
     return residual_pair
 
@@ -364,29 +371,46 @@ def blocksparse_exact_apply(pattern, values64: dict, bits: int = 48,
 
 
 def _blocksparse_exact_apply_dedup(pattern, values64: dict, bits: int):
-    """Deduplicated store: chunk each bucket's UNIQUE blocks once, run
-    one GEMM per (unique block, chunk pair) over the gathered input
-    rows of that block's entries, reassemble in entry order, and
+    """Deduplicated store from ASSEMBLED values: bitwise unique blocks
+    per bucket (hash-accelerated — matrixfree.dedup.unique_rows), then
+    the shared grouped kernel."""
+    from hpdg_tpu.matrixfree.dedup import unique_rows
+    groups = {}
+    for key in pattern.entries:
+        W = np.asarray(values64[key], np.float64)
+        nnz = W.shape[0]
+        uid, reps = unique_rows(np.ascontiguousarray(W).reshape(nnz, -1))
+        groups[key] = (uid, W[reps] if nnz else W[:0])
+    return _dedup_exact_from_groups(pattern, groups, bits)
+
+
+def _dedup_exact_from_groups(pattern, groups: dict, bits: int):
+    """Grouped dedup exact apply: chunk each bucket's UNIQUE blocks
+    once, run one GEMM per (unique block, chunk pair) over the gathered
+    input rows of that block's entries, reassemble in entry order, and
     segment-sum per magnitude level (exact integer f32 adds — the same
-    bound as the per-entry path, since tau/sigma are bucket-global)."""
+    bound as the per-entry path, since tau/sigma are bucket-global).
+
+    ``groups[key] = (uid [nnz] int, U [nu, br, bc] f64)``: the unique
+    blocks and each entry's unique id, in pattern entry order."""
     entries = pattern.entries
     row_len = {pr: np.zeros(pattern.row_sizes[pr], np.int64)
                for pr in pattern.row_sizes}
     for (pr, pc), (rows, cols) in entries.items():
-        W = values64[(pr, pc)]
-        np.add.at(row_len[pr], rows, W.shape[2])
+        bc = groups[(pr, pc)][1].shape[2]
+        np.add.at(row_len[pr], rows, bc)
     L = max(int(v.max()) for v in row_len.values() if v.size) or 1
     t, nchunks = _pick_t_spmv(L, bits)
     levels = nchunks
 
     # bucket-global tau per block-row position: pow2 >= max |W| over
-    # every block that writes into bucket pr
+    # every block that writes into bucket pr (the unique blocks carry
+    # the same maxima as the full value set)
     taus = {}
     br_of = {}
-    for (pr, pc), _ in entries.items():
-        W = np.asarray(values64[(pr, pc)], np.float64)
-        br_of[pr] = W.shape[1]
-        m = np.abs(W).max(axis=(0, 2)) if len(W) else np.zeros(W.shape[1])
+    for (pr, pc), (_, U) in groups.items():
+        br_of[pr] = U.shape[1]
+        m = np.abs(U).max(axis=(0, 2)) if len(U) else np.zeros(U.shape[1])
         cur = taus.get(pr)
         taus[pr] = m if cur is None else np.maximum(cur, m)
     for pr in taus:
@@ -397,11 +421,7 @@ def _blocksparse_exact_apply_dedup(pattern, values64: dict, bits: int):
     # static numpy group slices
     prep = {}
     for (pr, pc), (rows, cols) in entries.items():
-        W = np.asarray(values64[(pr, pc)], np.float64)
-        nnz, br, bc = W.shape
-        flat = np.ascontiguousarray(W).reshape(nnz, -1)
-        uniq, uid = np.unique(flat, axis=0, return_inverse=True)
-        U = uniq.reshape(-1, br, bc)
+        uid, U = groups[(pr, pc)]
         perm = np.argsort(uid, kind="stable")
         bounds = np.searchsorted(uid[perm], np.arange(len(U) + 1))
         # chunk unique blocks at the bucket tau, transposed for x @ W^T
@@ -465,6 +485,78 @@ def _blocksparse_exact_apply_dedup(pattern, values64: dict, bits: int):
     return apply_pair
 
 
+def blocksparse_exact_apply_from_plan(basis, penalty: float = 2.0,
+                                      dirichlet: bool = False, plan=None,
+                                      penalty_scaling: str = "measure",
+                                      dg_form="sipg", sigma1: float = 0.0,
+                                      bits: int = 48):
+    """Dedup exact-split apply WITHOUT ever assembling the matrix: the
+    unique blocks come from the assembler's coefficient table
+    (assemble_laplace(coef_parts=True) — blocks are bitwise equal iff
+    their [K]-coefficient rows are), so the on-chip anchor for a
+    multi-M-DOF adaptive mesh needs neither the ~GBs of host f64
+    assembly nor minutes of full-row dedup.  Returns ``(apply_pair,
+    pattern)``.  Same exactness contract as
+    :func:`blocksparse_exact_apply(dedup=True)`."""
+    from hpdg_tpu.assemble.sipg import assemble_laplace
+    from hpdg_tpu.assemble.plan import build_plan
+    from hpdg_tpu.matrixfree.dedup import unique_rows
+    plan = plan or build_plan(basis)
+    parts = assemble_laplace(
+        basis, penalty=penalty, dirichlet=dirichlet, plan=plan,
+        penalty_scaling=penalty_scaling, dg_form=dg_form, sigma1=sigma1,
+        coef_parts=True)
+    dim = basis.mesh.dim
+    groups = {}
+    for (pr, pc), (coef, D) in parts.items():
+        rows, _ = plan.pattern.entries[(pr, pc)]
+        nnz = len(rows)
+        br, bc = (pr + 1) ** dim, (pc + 1) ** dim
+        if D.shape[0] == 0:
+            groups[(pr, pc)] = (np.zeros(nnz, np.int64),
+                                np.zeros((1 if nnz else 0, br, bc)))
+            continue
+        uid, reps = unique_rows(np.ascontiguousarray(coef))
+        groups[(pr, pc)] = (uid, (coef[reps] @ D).reshape(-1, br, bc))
+    return _dedup_exact_from_groups(plan.pattern, groups, bits), plan.pattern
+
+
+def blocksparse_exact_residual_from_plan(basis, b64: dict,
+                                         penalty: float = 2.0,
+                                         dirichlet: bool = False, plan=None,
+                                         penalty_scaling: str = "measure",
+                                         dg_form="sipg", sigma1: float = 0.0,
+                                         bits: int = 48):
+    """``residual_pair(xh, xl) -> (rh, rl)``, ``r = b - A x``, built
+    straight from the assembly plan (no assembled matrix anywhere):
+    the general-mesh on-chip anchor at multi-M-DOF adaptive sizes.
+    Drop-in for :func:`blocksparse_exact_residual` in the refinement
+    driver (``tree_mode`` bucket-dict pairs)."""
+    app, _ = blocksparse_exact_apply_from_plan(
+        basis, penalty=penalty, dirichlet=dirichlet, plan=plan,
+        penalty_scaling=penalty_scaling, dg_form=dg_form, sigma1=sigma1,
+        bits=bits)
+    bh, bl = {}, {}
+    for pk, v in b64.items():
+        h, low = df32.df_from_f64(np.asarray(v, np.float64))
+        bh[pk] = jnp.asarray(h)
+        bl[pk] = jnp.asarray(low)
+
+    def residual_pair(xh, xl):
+        yh, yl = app(xh, xl)
+        # barrier: see uniform_sipg_exact_residual — keeps the b-pair
+        # literals away from XLA:CPU's two_sum-breaking simplification
+        bhb, blb = jax.lax.optimization_barrier((bh, bl))
+        rh, rl = {}, {}
+        for pk in yh:
+            rh[pk], rl[pk] = df32.df_sub_df(bhb[pk], blb[pk],
+                                            yh[pk], yl[pk])
+        return rh, rl
+
+    residual_pair.tree_mode = True  # bucket-dict pairs (refine driver)
+    return residual_pair
+
+
 def blocksparse_exact_residual(A64, b64: dict, bits: int = 48,
                                dedup: bool = False):
     """``residual_pair(xh, xl) -> (rh, rl)`` with ``r = b - A x`` for a
@@ -480,9 +572,11 @@ def blocksparse_exact_residual(A64, b64: dict, bits: int = 48,
 
     def residual_pair(xh, xl):
         yh, yl = app(xh, xl)
+        # barrier: see uniform_sipg_exact_residual
+        bhb, blb = jax.lax.optimization_barrier((bh, bl))
         rh, rl = {}, {}
         for pk in yh:
-            rh[pk], rl[pk] = df32.df_sub_df(bh[pk], bl[pk],
+            rh[pk], rl[pk] = df32.df_sub_df(bhb[pk], blb[pk],
                                             yh[pk], yl[pk])
         return rh, rl
 

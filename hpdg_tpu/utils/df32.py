@@ -16,7 +16,15 @@ f32 GEMM over them is *bit-exact* as long as the accumulated integer
 sums stay below 2^24.
 
 All ops here rely only on IEEE f32 +,-,* semantics, which XLA preserves
-(it does not reassociate or fast-math float arithmetic by default).
+(it does not reassociate or fast-math float arithmetic by default) —
+with ONE measured exception: XLA:CPU's simplifier rewrites two_sum's
+error extraction to drop the low half when one operand is embedded in
+the program as a LITERAL constant (6e-8 abs loss; parameters are safe,
+and the TPU backend is unaffected).  Consumers that close over pair
+constants must either hoist them to arguments (solvers.cg
+.hoist_constants — what every production driver does) or wrap them in
+``jax.lax.optimization_barrier`` before the pair op (what the
+matrixfree.exact residual builders do).
 
 No reference analog: dune-hpdg computes in native f64 throughout; this
 module exists so the TPU path can anchor residuals on-chip instead of
