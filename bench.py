@@ -32,6 +32,17 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # multigrid solve metric; every TPU-path array passes an explicit f32
 # dtype, so nothing f64 ever reaches the TPU compiler.
 jax.config.update("jax_enable_x64", True)
+# Persistent compile cache: the large fused programs (whole-solve
+# while_loops at the 262k-DOF TNNMG / 1.1M-DOF elasticity configs) cost
+# many minutes of remote compile on first trace; cached executables make
+# repeat bench runs start hot.
+try:
+    _cache = os.path.join(os.path.expanduser("~"), ".cache", "jax_hpdg")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+except Exception:
+    pass
 import jax.numpy as jnp  # noqa: E402
 
 REPO = Path(__file__).resolve().parent
