@@ -738,7 +738,12 @@ def main():
             A64.pattern, A64.dim,
             {k: jnp.asarray(v, jnp.float32) for k, v in A64np.items()},
             A64.block_shape)
-        smoother = "patch" if basis_e.ndof * 3 < 3e5 else "gs"
+        # patch smoothing at every size: class-deduplicated inverses
+        # (solvers.patches.class_patch_smoother_step) store O(3^dim)
+        # [K,K] matrices, so the former >=3e5-dof "gs" fallback — which
+        # plateaued at ~0.93/chain and could NOT converge the 1.12M-DOF
+        # config — is gone.
+        smoother = "patch"
         step, _ = multigrid_solver(basis_e, A32, meshes=[mc, mf],
                                    smoother=smoother, dtype=dtype)
         ndofs_e = basis_e.ndof * 3

@@ -281,6 +281,20 @@ def multigrid_solver(basis: DGBasis, A: bm.BlockSparseMatrix,
                 usable = (2 ** bas.mesh.dim * A.block_shape[0]
                           * (pd + 1) ** bas.mesh.dim) <= patch_max_block
             if usable:
+                # class-deduplicated inverses first (full uniform
+                # lattices, translation-invariant assembly — verified,
+                # not assumed): O(3^dim) [K,K] inverses instead of one
+                # per patch, which is what makes assembled-matrix patch
+                # smoothing possible at M-DOF levels (the 1.12M-DOF
+                # elasticity config would need ~20 GB per-patch).
+                try:
+                    pre = pat.class_patch_smoother_step(M, bas,
+                                                        dtype=dtype)
+                    post = pat.class_patch_smoother_step(
+                        M, bas, reverse=True, dtype=dtype)
+                except ValueError:
+                    pre = post = None
+            if usable and pre is None:
                 try:
                     cols_ = pat.build_vertex_patches(bas.mesh)
                     invs_ = pat.patch_inverses(M, bas, cols_, dtype=dtype)

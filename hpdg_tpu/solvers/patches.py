@@ -418,6 +418,107 @@ def uniform_patch_smoother(op, basis, penalty: float,
     return step
 
 
+def class_patch_smoother_step(A: BlockSparseMatrix, basis,
+                              damping: float = 1.0, reverse: bool = False,
+                              dtype=jnp.float64):
+    """Vertex-patch sweep with CLASS-DEDUPLICATED inverses: the
+    assembled-matrix companion of :func:`uniform_patch_smoother`.
+
+    On a FULL uniform lattice with translation-invariant assembly
+    (constant coefficients — scalar SIPG, elasticity, ...), every patch
+    operator depends only on which patch faces touch the domain
+    boundary, so at most 3^dim distinct [K, K] inverses exist no matter
+    how large the level is.  This is what keeps patch smoothing usable
+    for ASSEMBLED systems at M-DOF sizes, where per-patch storage
+    (``patch_inverses``) would need tens of GB — e.g. the bench's
+    1.12M-DOF elasticity config: 12k patches of K=648 would be 20 GB;
+    the class store is ~27 * 1.7 MB.
+
+    Translation invariance is VERIFIED, not assumed: for every class
+    with >= 2 members a second member's inverse is computed and
+    compared (rtol 1e-10); a mismatch raises ValueError, which callers
+    (solvers.multigrid ``smoother="patch"``) treat as "fall back to
+    per-patch inverses".
+
+    Semantics match :func:`patch_smoother_step` exactly (same parity
+    coloring, same per-color fresh residual, multiplicative sweep).
+    """
+    mesh = basis.mesh
+    dim = mesh.dim
+    coords, cells = lattice_coords(mesh)
+    if mesh.n_elements != int(np.prod(cells)):
+        raise ValueError("class-dedup patches need a full box lattice")
+    if any(c < 2 for c in cells):
+        raise ValueError("vertex patches need >= 2 cells per axis")
+    (p,) = basis.bucket_degrees
+    pos = basis.elem_bucket_pos
+    k = 1 << dim
+    offs = np.array([[(c >> (dim - 1 - a)) & 1 for a in range(dim)]
+                     for c in range(k)], dtype=np.int64)
+    grid = np.empty(cells, dtype=np.int64)
+    grid[tuple(coords.T)] = np.arange(mesh.n_elements)
+
+    def class_of(v):
+        return tuple((int(v[a]) == 0, int(v[a]) == cells[a] - 2)
+                     for a in range(dim))
+
+    inv_cache = {}
+
+    def inv_of(els_one):
+        return patch_inverses(A, basis, [els_one[None, :].astype(np.int32)],
+                              dtype=dtype)[0][0]
+
+    verts = np.stack(np.meshgrid(*[np.arange(c - 1) for c in cells],
+                                 indexing="ij"), axis=-1).reshape(-1, dim)
+    par = verts % 2
+    # classify every patch GLOBALLY first so the translation-invariance
+    # check compares members across colors too (a small lattice can
+    # have only one member of a class per color)
+    global_classes: dict = {}
+    per_color: dict = {}
+    for v in verts:
+        els = np.array([grid[tuple(v + o)] for o in offs], dtype=np.int64)
+        key = class_of(v)
+        global_classes.setdefault(key, []).append(els)
+        per_color.setdefault(tuple(int(x) % 2 for x in v),
+                             {}).setdefault(key, []).append(els)
+    for key, elist in sorted(global_classes.items()):
+        inv = inv_of(elist[0])
+        if len(elist) > 1:  # verify translation invariance
+            inv2 = inv_of(elist[-1])
+            if not np.allclose(np.asarray(inv), np.asarray(inv2),
+                               rtol=1e-10, atol=0.0):
+                raise ValueError("patch operators are not translation-"
+                                 "invariant; use per-patch inverses")
+        inv_cache[key] = inv
+    color_groups = []
+    for ckey in sorted(per_color):
+        groups = []
+        for key, elist in sorted(per_color[ckey].items()):
+            els_all = np.stack(elist).astype(np.int32)
+            groups.append((jnp.asarray(pos[els_all]), inv_cache[key]))
+        color_groups.append(groups)
+    if reverse:
+        color_groups = color_groups[::-1]
+
+    def step(x: dict, b: dict) -> dict:
+        for groups in color_groups:
+            r = bv.sub(b, matvec(A, x))
+            xp = x[p]
+            bs = r[p].shape[1]
+            for bpos, inv in groups:
+                n = bpos.shape[0]
+                rg = r[p][bpos].reshape(n, k * bs)
+                y = jnp.matmul(rg, inv.T,
+                               preferred_element_type=rg.dtype)
+                xp = xp.at[bpos].add(
+                    damping * y.reshape(n, k, bs))
+            x = {p: xp}
+        return x
+
+    return step
+
+
 def patch_smoother_step(A: BlockSparseMatrix, basis,
                         colors: list[np.ndarray] | None = None,
                         invs: list | None = None,

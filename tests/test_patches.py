@@ -110,6 +110,53 @@ def test_elasticity_full_hp_hierarchy_patch_rate():
     assert r < 0.25, r
 
 
+def test_class_patch_step_matches_per_patch():
+    """Class-deduplicated patch sweep == per-patch-inverse sweep on a
+    full lattice, scalar SIPG (2D) AND 3D elasticity — the memory fix
+    that keeps assembled patch smoothing usable at M-DOF levels
+    (bench config 4 at 1.12M vector DOFs)."""
+    rng = np.random.default_rng(21)
+    cases = []
+    m2 = hmesh.structured((5, 4))
+    b2 = DGBasis(m2, np.full(m2.n_elements, 2, dtype=np.int32))
+    cases.append((b2, assemble_laplace(b2, penalty=2.0, dirichlet=True,
+                                       penalty_scaling="normal",
+                                       dtype=jnp.float64), 1))
+    m3 = hmesh.structured((3, 3, 2))
+    b3 = DGBasis(m3, np.ones(m3.n_elements, dtype=np.int32))
+    cases.append((b3, assemble_elasticity(b3, mu=1.0, lam=1.0, penalty=4.0,
+                                          dirichlet=True,
+                                          dtype=jnp.float64), 3))
+    for basis, A, ncomp in cases:
+        (p,) = basis.bucket_degrees
+        n = basis.bucket_size(p)
+        bs = ncomp * basis.n_local(p)
+        x0 = {p: jnp.asarray(rng.standard_normal((n, bs)))}
+        b = {p: jnp.asarray(rng.standard_normal((n, bs)))}
+        for rev in (False, True):
+            s_ref = pat.patch_smoother_step(A, basis, reverse=rev)
+            s_cls = pat.class_patch_smoother_step(A, basis, reverse=rev)
+            y1 = np.asarray(s_ref(x0, b)[p])
+            y2 = np.asarray(s_cls(x0, b)[p])
+            rel = (np.linalg.norm(y1 - y2)
+                   / max(np.linalg.norm(y1), 1e-300))
+            assert rel < 1e-12, (ncomp, rev, rel)
+
+
+def test_class_patch_rejects_non_invariant():
+    """Variable-coefficient assembly breaks translation invariance;
+    the class smoother must detect it and raise (multigrid then falls
+    back to per-patch inverses)."""
+    import pytest
+    m = hmesh.structured((5, 4))
+    basis = DGBasis(m, np.full(m.n_elements, 2, dtype=np.int32))
+    A = assemble_laplace(basis, penalty=2.0, dirichlet=True,
+                         diffusion=lambda x: 1.0 + x[..., 0],
+                         dtype=jnp.float64)
+    with pytest.raises(ValueError):
+        pat.class_patch_smoother_step(A, basis)
+
+
 def test_patch_smoother_masked_lattice_lshape():
     """Masked lattices (absent cells -> -1 patch lanes) work: L-shape
     Poisson V-cycle with patch smoothing converges."""
