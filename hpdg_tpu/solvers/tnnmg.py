@@ -470,7 +470,7 @@ def _truncated_refine_prog(res_par, cycle, chain_k: int, max_steps: int):
 def solve_obstacle_verified(A64, b64: dict, basis: DGBasis, lo, up,
                             tol: float = 1e-8, *, maxiter: int = 40,
                             stall_window: int = 3, pre_sweeps: int = 1,
-                            max_outer: int = 6, chain_k: int = 8,
+                            max_outer: int = 12, chain_k: int = 8,
                             max_steps: int = 12, mg_pre_steps: int = 3,
                             mg_post_steps: int = 3, dedup: bool = True,
                             meshes: list | None = None,
@@ -563,6 +563,7 @@ def solve_obstacle_verified(A64, b64: dict, basis: DGBasis, lo, up,
         x64 = {k: np.asarray(v, np.float64) for k, v in x32.items()}
         free_np = None
         outer_hist = []
+        xh_warm = xh0  # warm start of the inner refinement across outers
         for outer in range(max_outer):
             Ax = _np_matvec(A64, x64)
             lam = {k: Ax[k] - b64np[k] for k in keys}  # lambda = A x - b
@@ -590,9 +591,17 @@ def solve_obstacle_verified(A64, b64: dict, basis: DGBasis, lo, up,
             for k in keys:
                 h, low = df_from_f64(b_tr[k])
                 bh[k], bl[k] = jnp.asarray(h), jnp.asarray(low)
+            # warm start: near stationarity the active set changes by a
+            # handful of dofs per outer, so the previous truncated
+            # solution is already ~its own tol-accurate — without it
+            # every outer re-solves from zero and floors at
+            # max_steps * chain_k cycles of contraction (measured
+            # 1.3e-7 at the 262k bench config, 3.3e-8 free residual;
+            # warm-started outers reach tol in 1-2 steps).
             out = jprog(consts, data.matrices, dinvs, freef, bh, bl,
-                        f32(tol * nb), xh0)
+                        f32(tol * nb), xh_warm)
             xh, xl, h, ksteps = jax.device_get(out)
+            xh_warm = {k: jnp.asarray(xh[k]) for k in keys}
             nsteps = int(ksteps)
             y64 = {k: df_to_f64(xh[k], xl[k]) for k in keys}
             x64 = {k: x_act[k] + free_new[k] * y64[k] for k in keys}
@@ -610,12 +619,12 @@ def solve_obstacle_verified(A64, b64: dict, basis: DGBasis, lo, up,
             for k in keys))) / nb
         feas_tol = 1e-10 * (1.0 + max(
             float(np.max(np.abs(x64[k]))) for k in keys))
-        feasible = all(
-            bool(np.all(x64[k] >= np.where(np.isfinite(lo64[k]),
-                                           lo64[k] - feas_tol, -np.inf)))
-            and bool(np.all(x64[k] <= np.where(np.isfinite(up64[k]),
-                                               up64[k] + feas_tol, np.inf)))
-            for k in keys)
+        viol = 0.0
+        for k in keys:
+            lo_v = np.where(np.isfinite(lo64[k]), lo64[k] - x64[k], -np.inf)
+            up_v = np.where(np.isfinite(up64[k]), x64[k] - up64[k], -np.inf)
+            viol = max(viol, float(np.max(lo_v)), float(np.max(up_v)))
+        feasible = viol <= feas_tol
         # complementarity: max wrong-signed multiplier on active dofs
         comp = 0.0
         for k in keys:
